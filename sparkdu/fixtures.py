@@ -1,0 +1,165 @@
+"""Deterministic synthetic `pages` corpus generator — FIXTURES.md SS1/SS3.
+
+stdlib-only (no pyspark/pandas imports at module level) so the oracle test
+suite can generate fixtures without a JVM. Seeded per-doc PRNG
+(``random.Random(42 * 10**9 + doc_id)``): any row is reproducible in
+isolation, which is what lets Spark generate the bench corpus in parallel
+with ``mapInPandas`` over a ``spark.range`` (each worker re-derives its rows
+from doc_id alone).
+
+Corpus shape mirrors the reference's PAGE-XML collections (boilerplate
+decoration regions + content regions + tables; SURVEY.md SS1.1 [U]) as
+Common-Crawl-style HTML per the graft cell [B:9-15].
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import random
+
+SEED_BASE = 42 * 10**9
+EPOCH = _dt.datetime(2026, 1, 1, 0, 0, 0)
+DUP_FRACTION = 0.02  # trailing duplicate-url rows (exercises J9)
+LANGS = ["en", "de", "fr", "es", "zh"]
+
+_WORDS = (
+    "the quick brown fox jumps over lazy dog alpha beta gamma delta epsilon "
+    "document page layout region block text line word table cell header "
+    "content extraction spark arrow vector batch shuffle partition cluster "
+    "crawl corpus boiler plate signal noise feature graph edge node label "
+    "model classify order sort span offset byte ident hash salt skew mega"
+).split()
+
+_LATIN1_WORDS = ["café", "naïve", "über", "señor", "août", "cœur"]
+
+
+def n_docs_for_tier(tier: str) -> int:
+    return {"smoke": 500, "correctness": 5000, "bench": 50000}[tier]
+
+
+def _words(rng: random.Random, lo: int, hi: int) -> str:
+    return " ".join(rng.choice(_WORDS) for _ in range(rng.randint(lo, hi)))
+
+
+def _paragraph_html(rng: random.Random, i: int, text: str) -> str:
+    """10%% of paragraphs get inline markup (tests reassembly across tags)."""
+    if rng.random() < 0.10:
+        ws = text.split(" ")
+        k = rng.randrange(len(ws))
+        tag = rng.choice(["a", "b", "span"])
+        if tag == "a":
+            ws[k] = f'<a href="/x{i}">{ws[k]}</a>'
+        else:
+            ws[k] = f"<{tag}>{ws[k]}</{tag}>"
+        text = " ".join(ws)
+    return f'<div class="c{i % 7}"><p>{text}</p></div>'
+
+
+def gen_page_html(doc_id: int, mega: bool = False, over_cap: bool = False) -> bytes:
+    """Deterministic synthetic page per FIXTURES.md SS3. Returns raw bytes."""
+    rng = random.Random(SEED_BASE + doc_id)
+    latin1 = (doc_id % 100) == 7 and not mega and not over_cap
+    chopped = (doc_id % 200) == 13 and not mega and not over_cap
+
+    parts = ["<!DOCTYPE html><html><head>"]
+    parts.append(f"<title>Page {doc_id} &amp; friends</title>")
+    if latin1:
+        parts.append('<meta charset="iso-8859-1">')
+    parts.append("<script>var x = 1 < 2 && 3;</script>")
+    parts.append("<style>.c0 { color: red; }</style>")
+    parts.append("</head><body>")
+
+    # boilerplate shell — all must be stripped
+    nav_links = "".join(
+        f'<a href="/nav{j}">{rng.choice(_WORDS)} {j}</a> '
+        for j in range(rng.randint(3, 10))
+    )
+    parts.append(f"<nav><ul><li>{nav_links}</li></ul></nav>")
+    parts.append(f"<header><h1>{_words(rng, 2, 5)}</h1></header>")
+    if rng.random() < 0.5:
+        parts.append(f"<aside>{_words(rng, 5, 15)}</aside>")
+
+    # content paragraphs
+    n_paras = rng.randint(5000, 20000) if mega else rng.randint(5, 60)
+    if over_cap:
+        n_paras = 40000
+    content_texts = []
+    for i in range(n_paras):
+        base = _words(rng, 20, 80)
+        if latin1 and i == 0:
+            base = rng.choice(_LATIN1_WORDS) + " " + base
+        content_texts.append(base)
+        parts.append(_paragraph_html(rng, i, base))
+
+    # ambiguity band
+    if rng.random() < 0.20:
+        rel = "".join(
+            f'<a href="/rel{j}">{_words(rng, 2, 4)}</a> ' for j in range(8)
+        )
+        parts.append(f'<div class="related">{rel}</div>')
+        parts.append(f"<div>{'!?.;:' * rng.randint(2, 6)} {rng.choice(_WORDS)}</div>")
+
+    # tables: 10% of pages
+    if rng.random() < 0.10:
+        rows = "".join(
+            "<tr>"
+            + "".join(f"<td>{_words(rng, 1, 3)}</td>" for _ in range(4))
+            + "</tr>"
+            for _ in range(3)
+        )
+        parts.append(f"<table>{rows}</table>")
+
+    parts.append(
+        f"<footer>&copy; 2026 site{doc_id % 20} &amp; co.&nbsp;"
+        f'<a href="/tos">terms</a></footer>'
+    )
+    parts.append("</body></html>")
+    html = "".join(parts)
+
+    if chopped:
+        # truncate mid-tag (parser robustness, T0)
+        cut = int(len(html) * 0.6)
+        lt = html.rfind("<", 0, cut)
+        html = html[: lt + max(1, (cut - lt) // 2)]
+
+    return html.encode("latin-1", errors="replace") if latin1 else html.encode("utf-8")
+
+
+def gen_row(doc_id: int, n_main: int, bench_skew: bool = False) -> dict:
+    """One `pages` row. doc_id in [0, n_total); rows >= n_main are dup-url tail."""
+    is_dup = doc_id >= n_main
+    orig_id = (doc_id - n_main) if is_dup else doc_id
+    mega = bench_skew and not is_dup and (doc_id % 1000) == 499
+    over_cap = bench_skew and doc_id == 42 and not is_dup
+    html = gen_page_html(doc_id, mega=mega, over_cap=over_cap)
+    ts = EPOCH + _dt.timedelta(minutes=orig_id)
+    if is_dup:
+        ts += _dt.timedelta(days=1)
+    rng = random.Random(SEED_BASE + doc_id)
+    # crawler-style naive text: tag-stripped, un-normalized (never the target)
+    naive = _naive_strip(html)
+    return {
+        "url": f"https://site{orig_id % 20}.example/{orig_id:x}",
+        "warc_ts": ts,
+        "html": html,
+        "text": naive,
+        "lang": LANGS[orig_id % len(LANGS)],
+    }
+
+
+def _naive_strip(html: bytes) -> str:
+    import re
+
+    s = html.decode("utf-8", errors="replace")
+    return re.sub(r"<[^>]*>", " ", s)[:2000]
+
+
+def gen_rows(n: int, bench_skew: bool = False) -> list[dict]:
+    n_main = n - int(n * DUP_FRACTION)
+    return [gen_row(i, n_main, bench_skew) for i in range(n)]
+
+
+def gen_rows_range(start: int, stop: int, n_total: int, bench_skew: bool = False):
+    """Range shard for distributed generation (doc_id-addressable)."""
+    n_main = n_total - int(n_total * DUP_FRACTION)
+    return [gen_row(i, n_main, bench_skew) for i in range(start, stop)]
