@@ -1,0 +1,180 @@
+"""sparkdu public API — the extraction pipeline, Catalyst-shaped (SURVEY SS3.4).
+
+Fast path (one Python crossing, SURVEY SS4.3): pages -> dedup -> salted
+repartition -> ``mapInPandas(fused extract)`` -> extracted. The staged path
+(operators S2/P*/W*/D3 as separate DataFrame stages) lives in staged.py and
+must produce byte-identical output (differential test T3).
+
+Scale notes (100 TB / 10^12 docs): the pipeline is embarrassingly parallel
+per url after one hash repartition; no join or agg touches the hot path. The
+only shuffle is the salt repartition (skew control for mega-pages [B:14]);
+AQE cannot rebalance mapInPandas stages, hence the explicit salt. Arrow batch
+size is capped so a batch of mega-pages fits executor memory (SS4.3 item 2).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import parse as P
+from .tables import EXTRACTED_SCHEMA, NODES_SCHEMA
+
+
+@dataclass(frozen=True)
+class ExtractConfig:
+    """Frozen run configuration; artifacts referenced by path, loaded once
+    per executor (SURVEY SS4.4: global state frozen before the job)."""
+
+    model_path: Optional[str] = None   # frozen logistic weights (M5) or None
+    num_partitions: Optional[int] = None  # salt partition count; None = 4x cores
+    dedup: bool = True                 # J9 latest-per-url
+    arrow_batch_rows: int = 64         # mega-page safety (SURVEY SS4.3)
+
+
+def default_partitions(spark: SparkSession, cfg: ExtractConfig) -> int:
+    if cfg.num_partitions:
+        return cfg.num_partitions
+    return spark.sparkContext.defaultParallelism * 4
+
+
+_MODEL_CACHE: dict = {}
+
+
+def _load_model(path: Optional[str]):
+    """Executor-side artifact load, cached per worker process."""
+    if path is None:
+        return None
+    if path not in _MODEL_CACHE:
+        with open(path) as f:
+            _MODEL_CACHE[path] = json.load(f)
+    return _MODEL_CACHE[path]
+
+
+def dedup_latest(pages: DataFrame) -> DataFrame:
+    """J9: crawls repeat urls; keep the row with max warc_ts per url.
+
+    Window over url — the same shuffle key as the downstream salt
+    repartition, so AQE/exchange-reuse keeps this to one effective shuffle.
+    Mirrors corpus-side dedup concern [B:6]; reference has no analogue
+    (collections are pre-deduped on disk).
+    """
+    w = Window.partitionBy("url").orderBy(F.col("warc_ts").desc())
+    return (
+        pages.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def salted_repartition(df: DataFrame, num_parts: int) -> DataFrame:
+    """Explicit url-hash repartition (skew rule [B:6,14]).
+
+    ``pmod(xxhash64(url), K)`` keeps all rows of one url together (url-local
+    invariant, SURVEY SS4.4) while spreading hot sites across partitions.
+    """
+    return df.repartition(num_parts, F.pmod(F.xxhash64(F.col("url")), F.lit(num_parts)))
+
+
+def fused_extract_udf(cfg: ExtractConfig):
+    """D1: the single Python crossing — decode→parse→classify→order→assemble.
+
+    Iterator-of-batches form so the model artifact loads once per task, not
+    per batch. Mirrors the reference's whole per-doc loop
+    [U tasks/DU_Task --run; graph/Graph.loadGraphs → Model.predict →
+    NodeType.setDocNodeLabel] collapsed into one Arrow stage.
+    """
+    model_path = cfg.model_path
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = _load_model(model_path)
+        for pdf in batches:
+            texts, n_blocks, spans, versions = [], [], [], []
+            for html in pdf["html"]:
+                try:
+                    t, nb, sp, ver = P.extract_doc(html, model)
+                except Exception:
+                    t, nb, sp, ver = "", 0, [], P.PIPELINE_VERSION_RULE
+                texts.append(t)
+                n_blocks.append(nb)
+                spans.append(sp)
+                versions.append(ver)
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "warc_ts": pdf["warc_ts"],
+                    "extracted_text": texts,
+                    "n_blocks": pd.array(n_blocks, dtype="int32"),
+                    "spans": spans,
+                    "pipeline_version": versions,
+                }
+            )
+
+    return fn
+
+
+def extract_pages(
+    spark: SparkSession, pages: DataFrame, cfg: ExtractConfig = ExtractConfig()
+) -> DataFrame:
+    """Flagship query: main text of every page (SURVEY SS7 M1).
+
+    DataFrame-in/DataFrame-out; caller writes the result (or uses
+    jobs/extract_job.py which adds lineage + resume).
+    """
+    df = pages.select("url", "warc_ts", "html")
+    if cfg.dedup:
+        df = dedup_latest(df)
+    df = salted_repartition(df, default_partitions(spark, cfg))
+    return df.mapInPandas(fused_extract_udf(cfg), schema=EXTRACTED_SCHEMA)
+
+
+def parse_nodes_udf():
+    """S2 staged path: pages batch -> exploded node rows (one Arrow pass).
+
+    The Spark analogue of graph/Graph.parseDocFile + NodeType_PageXml node
+    selection [U]: DOM exists only inside this UDF; output is columnar.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = list(P.NODE_FIELDS)
+        for pdf in batches:
+            out = {
+                "url": [], "part_id": [], "doc_truncated": [],
+                **{c: [] for c in cols},
+            }
+            for url, html in zip(pdf["url"], pdf["html"]):
+                try:
+                    s, truncated = P.sniff_decode(html)
+                    blocks = P.parse_blocks(s)
+                except Exception:
+                    blocks, truncated = [], False
+                for r in blocks:
+                    out["url"].append(url)
+                    out["part_id"].append(0)
+                    out["doc_truncated"].append(truncated)
+                    for c, v in zip(cols, r):
+                        out[c].append(v)
+            pdf_out = pd.DataFrame(out)
+            for c, dt in (
+                ("part_id", "int32"), ("node_id", "int32"), ("depth", "int32"),
+                ("n_chars", "int32"), ("n_links", "int32"),
+            ):
+                pdf_out[c] = pd.array(pdf_out[c], dtype=dt)
+            yield pdf_out[[f.name for f in NODES_SCHEMA.fields]]
+
+    return fn
+
+
+def parse_nodes_df(spark: SparkSession, pages: DataFrame,
+                   cfg: ExtractConfig = ExtractConfig()) -> DataFrame:
+    """Materializable `nodes` table (SURVEY SS1.2), the engine's Block list."""
+    df = pages.select("url", "warc_ts", "html")
+    if cfg.dedup:
+        df = dedup_latest(df)
+    df = salted_repartition(df, default_partitions(spark, cfg))
+    return df.mapInPandas(parse_nodes_udf(), schema=NODES_SCHEMA)

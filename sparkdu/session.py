@@ -1,0 +1,39 @@
+"""SparkSession builder with the engine's tuned defaults."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app: str = "sparkdu",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    arrow_batch_rows: int = 64,
+) -> SparkSession:
+    """local[*] in-sandbox; on a cluster spark-submit supplies the master.
+
+    Arrow batch rows kept small (64) so a batch of mega-pages (F12 cap 8 MiB
+    each) stays < ~0.5 GB in a Python worker (SURVEY SS4.3 item 2).
+    """
+    if master is None:
+        master = os.environ.get("SPARKDU_MASTER", "local[*]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARKDU_SHUFFLE_PARTITIONS", "32"))
+    b = (
+        SparkSession.builder.appName(app)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.driver.memory", os.environ.get("SPARKDU_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return b.getOrCreate()

@@ -1,0 +1,73 @@
+"""T1 (Spark byte-identity), T3 (fused ≡ staged), T4 (determinism) — SURVEY SS5.2."""
+
+import pytest
+
+from oracle import extract as orc
+from sparkdu.api import ExtractConfig, extract_pages
+from sparkdu.staged import extract_pages_staged
+
+
+def _by_url(df):
+    return {r["url"]: r.asDict() for r in df.collect()}
+
+
+def _spans(row):
+    return [(d["node_id"], d["start"], d["end"]) for d in row["spans"]]
+
+
+@pytest.fixture(scope="module")
+def fused(spark, pages_df):
+    return _by_url(extract_pages(spark, pages_df))
+
+
+def test_t1_byte_identity_vs_oracle(fused, latest_rows):
+    assert len(fused) == len(latest_rows)
+    for url, r in latest_rows.items():
+        o = orc.extract_page(url, r["html"])
+        s = fused[url]
+        assert o["extracted_text"].encode("utf-8") == s["extracted_text"].encode("utf-8"), url
+        assert o["n_blocks"] == s["n_blocks"]
+        assert [(d["node_id"], d["start"], d["end"]) for d in o["spans"]] == _spans(s)
+
+
+def test_t3_fused_equals_staged(spark, pages_df, fused):
+    staged = _by_url(extract_pages_staged(spark, pages_df))
+    assert set(staged) == set(fused)
+    for url, s in staged.items():
+        f = fused[url]
+        assert s["extracted_text"].encode("utf-8") == f["extracted_text"].encode("utf-8"), url
+        assert s["n_blocks"] == f["n_blocks"]
+        assert _spans(s) == _spans(f)
+
+
+def test_t4_determinism_across_partitionings(spark, pages_df, fused):
+    import hashlib
+
+    for nparts in (3, 17):
+        alt = _by_url(
+            extract_pages(spark, pages_df.repartition(5), ExtractConfig(num_partitions=nparts))
+        )
+        h = {
+            u: hashlib.sha256(r["extracted_text"].encode("utf-8")).hexdigest()
+            for u, r in alt.items()
+        }
+        base = {
+            u: hashlib.sha256(r["extracted_text"].encode("utf-8")).hexdigest()
+            for u, r in fused.items()
+        }
+        assert h == base
+
+
+def test_dedup_semantics(spark, pages_df, pages_rows, fused):
+    # fixture has a 2% duplicate-url tail; dedup keeps max warc_ts
+    n_urls = len({r["url"] for r in pages_rows})
+    assert len(fused) == n_urls < len(pages_rows)
+
+
+def test_span_validity_spark(fused):
+    for url, r in fused.items():
+        txt = r["extracted_text"]
+        for nid, start, end in _spans(r):
+            assert 0 <= start <= end <= len(txt)
+            seg = txt[start:end]
+            assert "\n" not in seg
