@@ -1,38 +1,42 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry():     flagship fused extraction over the committed pages fixture
+             (sf0.001-scale corpus) — SURVEY.md SS7 M1.
+queries():   one callable per implemented operator from SURVEY.md SS2
+             (registry lives in sparkdu/harness.py).
+oracle_sql():DuckDB-equivalent SQL per query where SQL-expressible;
+             omitted keys are rows-only by design (approx sketches,
+             Spark-specific hashing, stubbed codecs).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: main-content extraction, byte-identical per url (SPEC.md)."""
+    from sparkdu.api import extract_pages
+    from sparkdu.harness import fx
+    from sparkdu.tables import PAGES_SCHEMA
+
+    pages = spark.read.schema(PAGES_SCHEMA).parquet(fx("pages"))
+    return extract_pages(spark, pages)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from sparkdu.harness import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from sparkdu.harness import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,231 @@
+"""Corpus-dedup & similarity operators for web-scale training-data curation.
+
+Scale-path designs (10^12 docs):
+- MinHash+LSH: shingling and per-permutation min-hashing are pure JVM
+  expressions (xxhash64 + affine re-hash), so the only Python-free shuffle is
+  the band-bucket groupBy. Candidate pairs are then verified exactly.
+- SimHash: 63-bit fingerprint computed entirely as JVM aggregations (one
+  bit = sign of a weighted sum over token hashes).
+- ANN: random-hyperplane LSH — bucket join, exact cosine inside the bucket.
+
+All randomness is compile-time constants (seed 42) — determinism rule
+SURVEY SS4.4.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_MERSENNE61 = (1 << 61) - 1
+_M31 = (1 << 31) - 1  # minhash re-hash space: products stay < 2^62 (ANSI-safe)
+_rng = random.Random(42)
+# affine re-hash constants for 32 minhash "permutations"
+_MH_A = [_rng.randrange(1, _M31) for _ in range(32)]
+_MH_B = [_rng.randrange(0, _M31) for _ in range(32)]
+
+
+def _shingles(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFrame:
+    tl = F.lower(F.col(text_col))
+    return (
+        df.select(id_col, tl.alias("_tl"))
+        .filter(F.length("_tl") >= k)
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(1), F.length("_tl") - (k - 1))).alias("_i"),
+            "_tl",
+        )
+        .select(id_col, F.substring(F.col("_tl"), F.col("_i"), k).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    n_hashes: int = 32, shingle_k: int = 5,
+) -> DataFrame:
+    """(id, sig array<bigint>[n_hashes]) — one JVM-only aggregation."""
+    sh = _shingles(df, id_col, text_col, shingle_k)
+    h31 = F.pmod(F.xxhash64("shingle"), F.lit(_M31))  # < 2^31
+    mins = [
+        F.min(
+            F.pmod(F.lit(_MH_A[i]) * h31 + F.lit(_MH_B[i]), F.lit(_M31))
+        ).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    agg = sh.groupBy(id_col).agg(*mins)
+    return agg.select(id_col, F.array(*[f"mh{i}" for i in range(n_hashes)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    n_hashes: int = 32, bands: int = 8,
+) -> DataFrame:
+    """Candidate near-dup pairs: same band signature in any of `bands` bands.
+
+    banding: r = n_hashes/bands rows per band; P(candidate) = 1-(1-j^r)^b.
+    The band groupBy is the single shuffle; self-join happens only inside
+    buckets (skew-safe: bucket sizes are tiny unless docs really collide).
+    """
+    r = n_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n_hashes)
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(*[F.col("sig")[b * r + j] for j in range(r)]).alias("bsig"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bsig")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id")
+        )
+        .distinct()
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 63
+) -> DataFrame:
+    """(id, simhash bigint) — 63-bit fingerprint, pure JVM aggregation."""
+    toks = df.select(
+        id_col, F.explode(F.split(F.lower(F.col(text_col)), r"\W+")).alias("tok")
+    ).filter(F.length("tok") > 0)
+    h = F.xxhash64("tok")
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_sums)
+    fp = None
+    for i in range(bits):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        fp = term if fp is None else fp + term
+    return agg.select(id_col, fp.alias("simhash"))
+
+
+def hamming64(a, b):
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+# ---------------------------------------------------------------------
+# ANN over embeddings
+# ---------------------------------------------------------------------
+
+def _planes(dim: int, n_planes: int = 8) -> list[list[float]]:
+    rng = random.Random(4242)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def _dot(vec_col: str, arr: list[float]):
+    lits = ", ".join(f"{x!r}D" for x in arr)
+    return F.expr(
+        f"aggregate(zip_with({vec_col}, array({lits}), (a, b) -> cast(a as double) * b),"
+        " cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+
+
+def cosine(a_col: str, b_col: str):
+    dot = F.expr(
+        f"aggregate(zip_with({a_col}, {b_col}, (a, b) -> cast(a as double) * cast(b as double)),"
+        " cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+    nrm = lambda c: F.sqrt(F.expr(
+        f"aggregate({c}, cast(0.0 as double), (acc, x) -> acc + cast(x as double) * cast(x as double))"
+    ))
+    return dot / (nrm(a_col) * nrm(b_col))
+
+
+def ann_brute_topk(emb: DataFrame, n_queries: int = 3, k: int = 10) -> DataFrame:
+    """Exact baseline: broadcast the query set, score every row."""
+    qv = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    j = F.broadcast(qv).crossJoin(emb).filter(F.col("vec_id") != F.col("q_id"))
+    scored = j.select(
+        "q_id", "vec_id", F.round(cosine("q_emb", "embedding"), 4).alias("cos")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "vec_id")
+    return scored.withColumn("rk", F.row_number().over(w)).filter(f"rk <= {k}").select(
+        "q_id", "vec_id", "cos"
+    )
+
+
+def with_lsh_bucket(emb: DataFrame, dim: int, n_planes: int = 8) -> DataFrame:
+    planes = _planes(dim, n_planes)
+    bucket = None
+    for i, p in enumerate(planes):
+        bit = F.when(_dot("embedding", p) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return emb.withColumn("bucket", bucket.cast("int"))
+
+
+def ann_lsh_topk(emb: DataFrame, n_queries: int = 3, k: int = 10, n_planes: int = 6) -> DataFrame:
+    """Scale path: candidates share an LSH bucket -> exact cosine inside.
+
+    At 10^12 rows the bucket column becomes the partition key (shuffle once,
+    probe within); here buckets are computed inline.
+    """
+    dim = len(emb.select("embedding").head()[0])
+    b = with_lsh_bucket(emb, dim, n_planes)
+    qv = b.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cand = F.broadcast(qv).join(b, F.col("bucket") == F.col("q_bucket")).filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    scored = cand.select(
+        "q_id", "vec_id", F.round(cosine("q_emb", "embedding"), 4).alias("cos")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "vec_id")
+    return scored.withColumn("rk", F.row_number().over(w)).filter(f"rk <= {k}").select(
+        "q_id", "vec_id", "cos"
+    )
+
+
+# ---------------------------------------------------------------------
+# rolling-hash fingerprint (Karp-Rabin)
+# ---------------------------------------------------------------------
+
+FP_BASE = 131
+FP_MOD = _MERSENNE61
+
+
+def rolling_fp_py(text: str) -> int:
+    """Pure-Python reference: Horner polynomial hash mod 2^61-1."""
+    fp = 0
+    for ch in text.encode("utf-8"):
+        fp = (fp * FP_BASE + ch) % FP_MOD
+    return fp
+
+
+def rolling_fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Arrow-batched fingerprinting (D2 scalar iterator pandas_udf)."""
+
+    @F.pandas_udf(T.LongType())
+    def fp_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in it:
+            yield s.map(lambda x: rolling_fp_py(x) if x is not None else None)
+
+    return df.select(id_col, fp_udf(F.col(text_col)).alias("fingerprint"))

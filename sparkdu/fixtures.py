@@ -57,9 +57,21 @@ def _paragraph_html(rng: random.Random, i: int, text: str) -> str:
 
 def gen_page_html(doc_id: int, mega: bool = False, over_cap: bool = False) -> bytes:
     """Deterministic synthetic page per FIXTURES.md SS3. Returns raw bytes."""
+    return _gen_page(doc_id, mega, over_cap)[0]
+
+
+def content_text_set(doc_id: int, mega: bool = False, over_cap: bool = False) -> set:
+    """Generator-intent ground truth: normalized texts of content blocks
+    (paragraphs + table cells). Used for the `labels` fixture (M5 training
+    + A3 confusion); everything else on the page is boilerplate by intent."""
+    return set(_gen_page(doc_id, mega, over_cap)[1])
+
+
+def _gen_page(doc_id: int, mega: bool = False, over_cap: bool = False):
     rng = random.Random(SEED_BASE + doc_id)
     latin1 = (doc_id % 100) == 7 and not mega and not over_cap
     chopped = (doc_id % 200) == 13 and not mega and not over_cap
+    content_texts: list[str] = []
 
     parts = ["<!DOCTYPE html><html><head>"]
     parts.append(f"<title>Page {doc_id} &amp; friends</title>")
@@ -83,7 +95,6 @@ def gen_page_html(doc_id: int, mega: bool = False, over_cap: bool = False) -> by
     n_paras = rng.randint(5000, 20000) if mega else rng.randint(5, 60)
     if over_cap:
         n_paras = 40000
-    content_texts = []
     for i in range(n_paras):
         base = _words(rng, 20, 80)
         if latin1 and i == 0:
@@ -101,13 +112,15 @@ def gen_page_html(doc_id: int, mega: bool = False, over_cap: bool = False) -> by
 
     # tables: 10% of pages
     if rng.random() < 0.10:
-        rows = "".join(
-            "<tr>"
-            + "".join(f"<td>{_words(rng, 1, 3)}</td>" for _ in range(4))
-            + "</tr>"
-            for _ in range(3)
-        )
-        parts.append(f"<table>{rows}</table>")
+        trs = []
+        for _ in range(3):
+            tds = []
+            for _ in range(4):
+                cell = _words(rng, 1, 3)
+                content_texts.append(cell)
+                tds.append(f"<td>{cell}</td>")
+            trs.append("<tr>" + "".join(tds) + "</tr>")
+        parts.append(f"<table>{''.join(trs)}</table>")
 
     parts.append(
         f"<footer>&copy; 2026 site{doc_id % 20} &amp; co.&nbsp;"
@@ -122,7 +135,8 @@ def gen_page_html(doc_id: int, mega: bool = False, over_cap: bool = False) -> by
         lt = html.rfind("<", 0, cut)
         html = html[: lt + max(1, (cut - lt) // 2)]
 
-    return html.encode("latin-1", errors="replace") if latin1 else html.encode("utf-8")
+    b = html.encode("latin-1", errors="replace") if latin1 else html.encode("utf-8")
+    return b, content_texts
 
 
 def gen_row(doc_id: int, n_main: int, bench_skew: bool = False) -> dict:

@@ -142,16 +142,18 @@ def _axis_join(nodes: DataFrame, edge_type: str) -> DataFrame:
         B(o_lo).alias("b_olo"), B(o_hi).alias("b_ohi"),
         A(scan_hi).alias("a_hi"), B(scan_lo).alias("b_lo"),
     )
-    blocked = pairs.join(
+    p = pairs.alias("p")
+    P_ = lambda s: F.col(f"p.{s}")
+    blocked = p.join(
         c,
-        (F.col("url") == C("url"))
-        & (F.col("part_id") == C("part_id"))
-        & (F.col("a_hi") <= C(scan_lo))
-        & (C(scan_hi) <= F.col("b_lo"))
-        & (F.least(F.col("a_ohi"), C(o_hi)) > F.greatest(F.col("a_olo"), C(o_lo)))
-        & (F.least(F.col("b_ohi"), C(o_hi)) > F.greatest(F.col("b_olo"), C(o_lo))),
+        (P_("url") == C("url"))
+        & (P_("part_id") == C("part_id"))
+        & (P_("a_hi") <= C(scan_lo))
+        & (C(scan_hi) <= P_("b_lo"))
+        & (F.least(P_("a_ohi"), C(o_hi)) > F.greatest(P_("a_olo"), C(o_lo)))
+        & (F.least(P_("b_ohi"), C(o_hi)) > F.greatest(P_("b_olo"), C(o_lo))),
         "left_semi",
-    )
+    ).select("url", "src_node_id", "dst_node_id")
     return pairs.join(
         blocked, ["url", "src_node_id", "dst_node_id"], "left_anti"
     ).select(

@@ -1,0 +1,1136 @@
+"""Driver-harness registry: SURVEY SS2 check keys -> (Spark query, DuckDB SQL).
+
+Each entry implements one operator from the SURVEY SS2 inventory as a Spark
+DataFrame query plus (where SQL-expressible) an equivalent ANSI-SQL string the
+driver runs through DuckDB over the same parquet inputs. Column names are
+aliased identically on both sides (driver hashes values after sorting columns
+by name). Doubles that pass through engine-ordered aggregation are rounded to
+6 dp on BOTH sides; timestamps are formatted to strings (Spark session tz is
+pinned to UTC in session.get_spark).
+
+Inputs: the driver tables at `sf_dir` (TPC-H-ish + documents/events/
+embeddings, TESTDATA.md) and the committed extraction fixtures under
+fixtures_data/ (FIXTURES.md; absolute paths so DuckDB reads the same files).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+FIX = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures_data")
+if not os.path.isdir(FIX):  # driver may run from elsewhere; repo-anchored
+    FIX = "/root/repo/fixtures_data"
+
+
+def fx(name: str) -> str:
+    return os.path.join(FIX, f"{name}.parquet")
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def f(spark: SparkSession, name: str) -> DataFrame:
+    return spark.read.parquet(fx(name))
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+R6 = lambda c: F.round(c, 6)  # noqa: E731
+
+
+# =====================================================================
+# 2.1 scans / sources / sinks
+# =====================================================================
+
+@q(
+    "scan_pages",
+    f"""SELECT url, lang, octet_length(html) AS n_bytes
+        FROM read_parquet('{fx("pages")}') WHERE lang IN ('en','de')""",
+)
+def scan_pages(spark, sf_dir):
+    """S1 — pruned/pushed-down scan of the pages table [U Graph.loadGraphs]."""
+    return (
+        f(spark, "pages")
+        .filter(F.col("lang").isin("en", "de"))
+        .select("url", "lang", F.length("html").cast("bigint").alias("n_bytes"))
+    )
+
+
+@q(
+    "extract_vs_golden",
+    f"""SELECT url, decode(extracted_text) AS extracted_text, n_blocks
+        FROM read_parquet('{fx("golden_extracted")}')""",
+)
+def extract_vs_golden(spark, sf_dir):
+    """T1 as a harness check: full fused pipeline vs the committed golden
+    bytes (oracle output). The flagship correctness gate [B:14,15]."""
+    from .api import extract_pages
+    from .tables import PAGES_SCHEMA
+
+    pages = spark.read.schema(PAGES_SCHEMA).parquet(fx("pages"))
+    return extract_pages(spark, pages).select(
+        "url", "extracted_text", F.col("n_blocks").cast("int").alias("n_blocks")
+    )
+
+
+@q("sink_extracted")  # rows-only: deterministic sink layout smoke (S3)
+def sink_extracted(spark, sf_dir):
+    """S3 — write path: deterministic repartition+sort layout, then re-read."""
+    import tempfile
+
+    from .api import extract_pages
+    from .tables import PAGES_SCHEMA
+
+    pages = spark.read.schema(PAGES_SCHEMA).parquet(fx("pages"))
+    out = extract_pages(spark, pages)
+    d = os.path.join(tempfile.gettempdir(), "sparkdu_sink_extracted")
+    (
+        out.repartition(4, "url")
+        .sortWithinPartitions("url")
+        .write.mode("overwrite")
+        .parquet(d)
+    )
+    return spark.read.parquet(d).select("url", "n_blocks", "pipeline_version")
+
+
+# =====================================================================
+# 2.2 projections / filters
+# =====================================================================
+
+@q(
+    "proj_norm_text",
+    f"""SELECT url, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS norm_text
+        FROM read_parquet('{fx("pages")}')""",
+)
+def proj_norm_text(spark, sf_dir):
+    """P1 — whitespace normalization of the crawler text [U Transformer]."""
+    return f(spark, "pages").select(
+        "url", F.trim(F.regexp_replace("text", r"\s+", " ")).alias("norm_text")
+    )
+
+
+@q(
+    "filter_nonempty",
+    f"""SELECT url, node_id FROM read_parquet('{fx("nodes")}')
+        WHERE n_chars > 0 AND x2 > x1 AND y2 > y1""",
+)
+def filter_nonempty(spark, sf_dir):
+    """P2 — degenerate-block filter [U Graph.parseDocFile]."""
+    n = f(spark, "nodes")
+    return n.filter(
+        (F.col("n_chars") > 0) & (F.col("x2") > F.col("x1")) & (F.col("y2") > F.col("y1"))
+    ).select("url", "node_id")
+
+
+@q(
+    "proj_geom_norm",
+    f"""SELECT url, node_id, round(x1/1000.0, 6) AS nx1, round(y1/1400.0, 6) AS ny1,
+               round((x2-x1)/1000.0, 6) AS nw, round((y2-y1)/1400.0, 6) AS nh
+        FROM read_parquet('{fx("geo")}')""",
+)
+def proj_geom_norm(spark, sf_dir):
+    """P3 — bbox normalized by page extent [U PageXml points + Block ctor]."""
+    g = f(spark, "geo")
+    return g.select(
+        "url", "node_id",
+        R6(F.col("x1") / 1000.0).alias("nx1"),
+        R6(F.col("y1") / 1400.0).alias("ny1"),
+        R6((F.col("x2") - F.col("x1")) / 1000.0).alias("nw"),
+        R6((F.col("y2") - F.col("y1")) / 1400.0).alias("nh"),
+    )
+
+
+@q(
+    "proj_text_feats",
+    """SELECT doc_id, length(text) AS n_chars,
+               len(regexp_extract_all(text, '[0-9]')) AS n_digits,
+               len(regexp_extract_all(text, '[A-Z]')) AS n_caps,
+               len(regexp_extract_all(text, '[[:punct:]]')) AS n_punct
+        FROM documents""",
+)
+def proj_text_feats(spark, sf_dir):
+    """P4 — character-class features, all JVM-side [U Node1HotFeatures]."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.regexp_count("text", F.lit("[0-9]")).cast("bigint").alias("n_digits"),
+        F.regexp_count("text", F.lit("[A-Z]")).cast("bigint").alias("n_caps"),
+        F.regexp_count("text", F.lit(r"[\p{Punct}]")).cast("bigint").alias("n_punct"),
+    )
+
+
+@q(
+    "filter_lang",
+    f"""SELECT url, lang FROM read_parquet('{fx("pages")}') WHERE lang IN ('en','zh')""",
+)
+def filter_lang(spark, sf_dir):
+    """P5 — language predicate pushed into the scan [U tasks/DU_*]."""
+    return f(spark, "pages").filter(F.col("lang").isin("en", "zh")).select("url", "lang")
+
+
+@q(
+    "proj_layout",
+    f"""SELECT url, node_id,
+               cast(coalesce(sum(n_chars + 1) OVER (PARTITION BY url, part_id
+                    ORDER BY node_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS double) AS ly1,
+               cast(depth AS double) AS lx1
+        FROM read_parquet('{fx("nodes")}')""",
+)
+def proj_layout(spark, sf_dir):
+    """P6 — synthetic layout assignment (SPEC SS6) recomputed from scratch."""
+    w = (
+        Window.partitionBy("url", "part_id")
+        .orderBy("node_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return f(spark, "nodes").select(
+        "url", "node_id",
+        F.coalesce(F.sum(F.col("n_chars") + 1).over(w), F.lit(0)).cast("double").alias("ly1"),
+        F.col("depth").cast("double").alias("lx1"),
+    )
+
+
+@q(
+    "filter_boiler_tags",
+    f"""SELECT url, node_id, tag FROM read_parquet('{fx("nodes")}')
+        WHERE tag IN ('nav','footer','aside','header','form') OR anc_boiler""",
+)
+def filter_boiler_tags(spark, sf_dir):
+    """P7 — boilerplate tag predicate [U tasks NodeType label maps; B:6]."""
+    n = f(spark, "nodes")
+    return n.filter(
+        F.col("tag").isin("nav", "footer", "aside", "header", "form") | F.col("anc_boiler")
+    ).select("url", "node_id", "tag")
+
+
+# =====================================================================
+# 2.3 joins
+# =====================================================================
+
+_AXIS_SQL = """
+    SELECT a.url, a.node_id AS src_node_id, b.node_id AS dst_node_id,
+           b.{slo} - a.{shi} AS dist,
+           least(a.{ohi}, b.{ohi}) - greatest(a.{olo}, b.{olo}) AS overlap
+    FROM read_parquet('{geo}') a JOIN read_parquet('{geo}') b
+      ON a.url = b.url AND a.part_id = b.part_id
+     AND a.{shi} <= b.{slo}
+     AND least(a.{ohi}, b.{ohi}) - greatest(a.{olo}, b.{olo}) > 0
+    WHERE NOT EXISTS (
+      SELECT 1 FROM read_parquet('{geo}') c
+      WHERE c.url = a.url AND c.part_id = a.part_id
+        AND a.{shi} <= c.{slo} AND c.{shi} <= b.{slo}
+        AND least(a.{ohi}, c.{ohi}) > greatest(a.{olo}, c.{olo})
+        AND least(b.{ohi}, c.{ohi}) > greatest(b.{olo}, c.{olo}))
+"""
+
+
+@q(
+    "join_hedges",
+    _AXIS_SQL.format(slo="x1", shi="x2", olo="y1", ohi="y2", geo=fx("geo")),
+)
+def join_hedges(spark, sf_dir):
+    """J1 — horizontal interval-overlap neighbor join, blocker-eliminated
+    [U graph/Block.findPageNeighborEdges]."""
+    from .graph import _axis_join
+
+    return _axis_join(f(spark, "geo"), "h").drop("edge_type")
+
+
+@q(
+    "join_vedges",
+    _AXIS_SQL.format(slo="y1", shi="y2", olo="x1", ohi="x2", geo=fx("geo")),
+)
+def join_vedges(spark, sf_dir):
+    """J2 — vertical neighbor join [U graph/Block.findPageNeighborEdges]."""
+    from .graph import _axis_join
+
+    return _axis_join(f(spark, "geo"), "v").drop("edge_type")
+
+
+@q(
+    "join_xpart",
+    f"""WITH stats AS (
+          SELECT url, part_id, max(y2) AS max_y2, min(y1) AS min_y1
+          FROM read_parquet('{fx("geo")}') GROUP BY url, part_id)
+        SELECT a.url, a.node_id AS src_node_id, b.node_id AS dst_node_id,
+               (sa.max_y2 - a.y2) + (b.y1 - sb.min_y1) AS dist
+        FROM read_parquet('{fx("geo")}') a
+        JOIN stats sa ON sa.url = a.url AND sa.part_id = a.part_id
+        JOIN stats sb ON sb.url = a.url AND sb.part_id = a.part_id + 1
+        JOIN read_parquet('{fx("geo")}') b ON b.url = a.url AND b.part_id = a.part_id + 1
+        WHERE a.y2 >= sa.max_y2 - 200.0 AND b.y1 <= sb.min_y1 + 200.0""",
+)
+def join_xpart(spark, sf_dir):
+    """J3 — as-of-style cross-part edges [U graph/Edge.CrossPageEdge]."""
+    from .graph import build_edges_join
+
+    return (
+        build_edges_join(f(spark, "geo"))
+        .filter(F.col("edge_type") == "xpart")
+        .select("url", "src_node_id", "dst_node_id", "dist")
+    )
+
+
+@q(
+    "join_contain",
+    f"""SELECT n.url, r.region_id, n.node_id
+        FROM read_parquet('{fx("geo")}') n
+        JOIN read_parquet('{fx("regions")}') r
+          ON n.url = r.url AND n.part_id = r.part_id
+         AND r.x1 <= n.x1 AND n.x2 <= r.x2 AND r.y1 <= n.y1 AND n.y2 <= r.y2""",
+)
+def join_contain(spark, sf_dir):
+    """J4 — bbox containment theta join [U ObjectModel XMLDSCELL/TABLE]."""
+    n = f(spark, "geo").alias("n")
+    r = f(spark, "regions").alias("r")
+    return n.join(
+        r,
+        (F.col("n.url") == F.col("r.url"))
+        & (F.col("n.part_id") == F.col("r.part_id"))
+        & (F.col("r.x1") <= F.col("n.x1"))
+        & (F.col("n.x2") <= F.col("r.x2"))
+        & (F.col("r.y1") <= F.col("n.y1"))
+        & (F.col("n.y2") <= F.col("r.y2")),
+    ).select(F.col("n.url").alias("url"), "region_id", "node_id")
+
+
+@q(
+    "join_edge_feats",
+    f"""SELECT e.url, e.src_node_id, e.dst_node_id, e.edge_type, e.dist,
+               a.x1 AS src_x1, a.y1 AS src_y1, b.x1 AS dst_x1, b.y1 AS dst_y1
+        FROM read_parquet('{fx("edges")}') e
+        JOIN read_parquet('{fx("geo")}') a ON a.url = e.url AND a.node_id = e.src_node_id
+        JOIN read_parquet('{fx("geo")}') b ON b.url = e.url AND b.node_id = e.dst_node_id""",
+)
+def join_edge_feats(spark, sf_dir):
+    """J5 — edge-endpoint feature resolve: two big equi joins, sort-merge/AQE
+    territory, never broadcast [U graph/Transformer Edge*Features]."""
+    e = f(spark, "edges").alias("e")
+    a = f(spark, "geo").alias("a")
+    b = f(spark, "geo").alias("b")
+    return (
+        e.join(a, (F.col("a.url") == F.col("e.url")) & (F.col("a.node_id") == F.col("e.src_node_id")))
+        .join(b, (F.col("b.url") == F.col("e.url")) & (F.col("b.node_id") == F.col("e.dst_node_id")))
+        .select(
+            F.col("e.url").alias("url"), "src_node_id", "dst_node_id", "edge_type", "dist",
+            F.col("a.x1").alias("src_x1"), F.col("a.y1").alias("src_y1"),
+            F.col("b.x1").alias("dst_x1"), F.col("b.y1").alias("dst_y1"),
+        )
+    )
+
+
+@q(
+    "join_idf",
+    f"""WITH toks AS (
+          SELECT url, node_id, unnest(string_split(text, ' ')) AS token
+          FROM read_parquet('{fx("nodes")}') WHERE node_id < 40),
+        vocab AS (
+          SELECT token, count(DISTINCT url) AS df FROM toks GROUP BY token),
+        total AS (SELECT count(DISTINCT url) AS n FROM toks)
+        SELECT t.url, t.node_id, t.token, round(ln(total.n / vocab.df), 6) AS idf
+        FROM toks t JOIN vocab ON t.token = vocab.token CROSS JOIN total""",
+)
+def join_idf(spark, sf_dir):
+    """J6 — broadcast vocabulary/IDF join [U TfidfVectorizer in
+    FeatureDefinition]; vocab is small -> explicit broadcast()."""
+    toks = (
+        f(spark, "nodes")
+        .filter(F.col("node_id") < 40)
+        .select("url", "node_id", F.explode(F.split("text", " ")).alias("token"))
+    )
+    n_docs = toks.select("url").distinct().count()
+    vocab = toks.groupBy("token").agg(F.countDistinct("url").alias("df"))
+    return toks.join(F.broadcast(vocab), "token").select(
+        "url", "node_id", "token",
+        R6(F.log(F.lit(float(n_docs)) / F.col("df"))).alias("idf"),
+    )
+
+
+@q(
+    "join_resume_anti",
+    f"""SELECT url FROM read_parquet('{fx("pages")}')
+        WHERE (length(url) % 8) NOT IN (
+          SELECT DISTINCT (length(url) % 8) FROM read_parquet('{fx("pages")}')
+          WHERE (length(url) % 8) IN (0, 1, 2))""",
+)
+def join_resume_anti(spark, sf_dir):
+    """J7 — resume: anti-join pages against completed partition keys [B:14]."""
+    p = f(spark, "pages").withColumn("pk", F.length("url") % 8)
+    done = p.filter(F.col("pk").isin(0, 1, 2)).select("pk").distinct()
+    return p.join(done, "pk", "left_anti").select("url")
+
+
+@q(
+    "join_golden_semi",
+    f"""SELECT url, lang FROM read_parquet('{fx("pages")}')
+        WHERE url IN (SELECT url FROM read_parquet('{fx("golden_extracted")}')
+                      WHERE n_blocks > 40)""",
+)
+def join_golden_semi(spark, sf_dir):
+    """J8 — golden-set restriction as a left-semi join."""
+    p = f(spark, "pages")
+    g = f(spark, "golden_extracted").filter(F.col("n_blocks") > 40).select("url")
+    return p.join(g, "url", "left_semi").select("url", "lang")
+
+
+@q(
+    "dedup_latest",
+    f"""SELECT url, strftime(warc_ts, '%Y-%m-%d %H:%M:%S') AS ts, lang
+        FROM (SELECT *, row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC) rn
+              FROM read_parquet('{fx("pages")}')) WHERE rn = 1""",
+)
+def dedup_latest_q(spark, sf_dir):
+    """J9 — latest-per-url as-of dedup (window top-1, WindowGroupLimit plan)."""
+    w = Window.partitionBy("url").orderBy(F.col("warc_ts").desc())
+    return (
+        f(spark, "pages")
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("url", F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("ts"), "lang")
+    )
+
+
+# =====================================================================
+# 2.4 aggregations
+# =====================================================================
+
+@q(
+    "agg_page_stats",
+    f"""SELECT url, count(*) AS n_nodes, sum(n_chars) AS total_chars,
+               round(avg((x2-x1)*(y2-y1)), 6) AS mean_area,
+               sum(CASE WHEN is_content THEN 1 ELSE 0 END) AS n_content
+        FROM read_parquet('{fx("nodes")}') GROUP BY url""",
+)
+def agg_page_stats(spark, sf_dir):
+    """A1 — per-document stats [U graph/Graph; Model.TestReport]."""
+    n = f(spark, "nodes")
+    return n.groupBy("url").agg(
+        F.count("*").alias("n_nodes"),
+        F.sum("n_chars").alias("total_chars"),
+        R6(F.avg((F.col("x2") - F.col("x1")) * (F.col("y2") - F.col("y1")))).alias("mean_area"),
+        F.sum(F.when(F.col("is_content"), 1).otherwise(0)).alias("n_content"),
+    )
+
+
+@q(
+    "agg_df",
+    f"""WITH toks AS (SELECT url, unnest(string_split(text, ' ')) AS token
+                     FROM read_parquet('{fx("nodes")}'))
+        SELECT token, count(DISTINCT url) AS doc_freq FROM toks
+        GROUP BY token HAVING count(DISTINCT url) >= 100""",
+)
+def agg_df(spark, sf_dir):
+    """A2 — document frequency (IDF denominator) [U TfidfVectorizer]."""
+    toks = f(spark, "nodes").select(
+        "url", F.explode(F.split("text", " ")).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.countDistinct("url").alias("doc_freq"))
+        .filter(F.col("doc_freq") >= 100)
+    )
+
+
+@q("agg_df_approx")  # rows-only: approx sketch is engine-specific by design
+def agg_df_approx(spark, sf_dir):
+    """A2' — approx_count_distinct variant for the 10^12 scale path (HLL);
+    bench-only, never on the byte-identity path (SURVEY SS7 hard-part 3)."""
+    toks = f(spark, "nodes").select("url", F.explode(F.split("text", " ")).alias("token"))
+    return (
+        toks.groupBy("token")
+        .agg(F.approx_count_distinct("url").alias("doc_freq_approx"))
+        .filter(F.col("doc_freq_approx") >= 80)
+    )
+
+
+@q(
+    "agg_confusion",
+    f"""SELECT l.gt_label,
+               CASE WHEN n.is_content THEN 'content' ELSE 'boiler' END AS pred_label,
+               count(*) AS n
+        FROM read_parquet('{fx("nodes")}') n
+        JOIN read_parquet('{fx("labels")}') l
+          ON n.url = l.url AND n.node_id = l.node_id
+        GROUP BY 1, 2""",
+)
+def agg_confusion(spark, sf_dir):
+    """A3 — confusion matrix of rule classifier vs generator ground truth
+    [U graph/Model.test -> TestReport]."""
+    n = f(spark, "nodes")
+    l = f(spark, "labels")
+    return (
+        n.join(l, ["url", "node_id"])
+        .groupBy(
+            "gt_label",
+            F.when(F.col("is_content"), "content").otherwise("boiler").alias("pred_label"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "agg_distinct_tags",
+    f"""SELECT DISTINCT tag FROM read_parquet('{fx("nodes")}')""",
+)
+def agg_distinct_tags(spark, sf_dir):
+    """A4 — distinct [U various]."""
+    return f(spark, "nodes").select("tag").distinct()
+
+
+@q(
+    "agg_cube_lang_source",
+    """SELECT coalesce(lang, '<all>') AS lang, coalesce(source, '<all>') AS source,
+              count(*) AS n, sum(n_chars) AS chars
+       FROM documents GROUP BY CUBE (lang, source)""",
+)
+def agg_cube_lang_source(spark, sf_dir):
+    """A5 — cube over the driver documents table (grouping sets)."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.cube("lang", "source")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("chars"))
+        .select(
+            F.coalesce(F.col("lang"), F.lit("<all>")).alias("lang"),
+            F.coalesce(F.col("source"), F.lit("<all>")).alias("source"),
+            "n", "chars",
+        )
+    )
+
+
+@q(
+    "agg_height_pctl",
+    f"""SELECT url, round(quantile_cont(y2 - y1, 0.5), 6) AS h_p50,
+               round(quantile_cont(y2 - y1, 0.9), 6) AS h_p90
+        FROM read_parquet('{fx("geo")}') GROUP BY url""",
+)
+def agg_height_pctl(spark, sf_dir):
+    """A7 — per-doc block-height percentiles [U QuantileTransformer scaler]."""
+    g = f(spark, "geo").withColumn("h", F.col("y2") - F.col("y1"))
+    return g.groupBy("url").agg(
+        R6(F.expr("percentile(h, 0.5)")).alias("h_p50"),
+        R6(F.expr("percentile(h, 0.9)")).alias("h_p90"),
+    )
+
+
+# =====================================================================
+# 2.5 windows
+# =====================================================================
+
+@q(
+    "win_reading_order",
+    f"""SELECT url, node_id,
+               row_number() OVER (PARTITION BY url ORDER BY part_id, node_id) AS seq
+        FROM read_parquet('{fx("nodes")}') WHERE is_content""",
+)
+def win_reading_order(spark, sf_dir):
+    """W1 — reading-order rank [U graph/Block sort cmp; B:6]."""
+    w = Window.partitionBy("url").orderBy("part_id", "node_id")
+    return (
+        f(spark, "nodes")
+        .filter("is_content")
+        .select("url", "node_id", F.row_number().over(w).alias("seq"))
+    )
+
+
+@q(
+    "win_para_merge",
+    f"""SELECT url, node_id,
+               sum(brk) OVER (PARTITION BY url, part_id ORDER BY node_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS paragraph_id
+        FROM (
+          SELECT url, part_id, node_id,
+                 CASE WHEN lag(y2) OVER (PARTITION BY url, part_id ORDER BY node_id) IS NULL
+                       OR y1 - lag(y2) OVER (PARTITION BY url, part_id ORDER BY node_id) > 40.0
+                      THEN 1 ELSE 0 END AS brk
+          FROM read_parquet('{fx("nodes")}'))""",
+)
+def win_para_merge(spark, sf_dir):
+    """W2 — gap-sessionization paragraph merge [U ObjectModel line grouping]."""
+    from .staged import with_paragraphs
+
+    return with_paragraphs(f(spark, "nodes"), gap=40.0).select(
+        "url", "node_id", "paragraph_id"
+    )
+
+
+@q(
+    "win_topk_blocks",
+    f"""SELECT url, node_id, n_chars FROM (
+          SELECT url, node_id, n_chars,
+                 rank() OVER (PARTITION BY url ORDER BY n_chars DESC) AS rk
+          FROM read_parquet('{fx("nodes")}')) WHERE rk <= 3""",
+)
+def win_topk_blocks(spark, sf_dir):
+    """W3 — top-k candidate content blocks per page [U task heuristics]."""
+    w = Window.partitionBy("url").orderBy(F.col("n_chars").desc())
+    return (
+        f(spark, "nodes")
+        .withColumn("rk", F.rank().over(w))
+        .filter("rk <= 3")
+        .select("url", "node_id", "n_chars")
+    )
+
+
+@q(
+    "win_neighbor_cnt",
+    f"""WITH ends AS (
+          SELECT url, src_node_id AS node_id, edge_type FROM read_parquet('{fx("edges")}')
+          UNION ALL
+          SELECT url, dst_node_id AS node_id, edge_type FROM read_parquet('{fx("edges")}'))
+        SELECT url, node_id,
+               sum(CASE WHEN edge_type = 'h' THEN 1 ELSE 0 END) AS n_h_neighbors,
+               sum(CASE WHEN edge_type = 'v' THEN 1 ELSE 0 END) AS n_v_neighbors
+        FROM ends GROUP BY url, node_id""",
+)
+def win_neighbor_cnt(spark, sf_dir):
+    """W4 — per-node neighbor counts [U NodeTransformerNeighbors]."""
+    e = f(spark, "edges")
+    ends = e.select("url", F.col("src_node_id").alias("node_id"), "edge_type").unionByName(
+        e.select("url", F.col("dst_node_id").alias("node_id"), "edge_type")
+    )
+    return ends.groupBy("url", "node_id").agg(
+        F.sum(F.when(F.col("edge_type") == "h", 1).otherwise(0)).alias("n_h_neighbors"),
+        F.sum(F.when(F.col("edge_type") == "v", 1).otherwise(0)).alias("n_v_neighbors"),
+    )
+
+
+@q(
+    "win_spans",
+    f"""SELECT url, node_id,
+               cast(coalesce(sum(n_chars + 1) OVER (PARTITION BY url ORDER BY block_seq
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bigint) AS start,
+               cast(coalesce(sum(n_chars + 1) OVER (PARTITION BY url ORDER BY block_seq
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + n_chars AS bigint) AS "end"
+        FROM read_parquet('{fx("nodes")}') WHERE is_content""",
+)
+def win_spans(spark, sf_dir):
+    """W5 — span offsets via explicit window frame (SPEC SS5) [B:6]."""
+    w = (
+        Window.partitionBy("url")
+        .orderBy("block_seq")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum(F.col("n_chars") + 1).over(w), F.lit(0)).cast("bigint")
+    return (
+        f(spark, "nodes")
+        .filter("is_content")
+        .select("url", "node_id", start.alias("start"), (start + F.col("n_chars")).cast("bigint").alias("end"))
+    )
+
+
+# =====================================================================
+# 2.6 sorts / limits / top-k   2.7 set ops
+# =====================================================================
+
+@q(
+    "sort_limit_urls",
+    f"""SELECT url, n_blocks FROM read_parquet('{fx("golden_extracted")}')
+        ORDER BY url LIMIT 50""",
+)
+def sort_limit_urls(spark, sf_dir):
+    """O2 — TakeOrderedAndProject global sort+limit."""
+    return f(spark, "golden_extracted").orderBy("url").limit(50).select("url", "n_blocks")
+
+
+@q(
+    "topk_global",
+    f"""SELECT url, node_id, n_chars FROM read_parquet('{fx("nodes")}')
+        ORDER BY n_chars DESC, url, node_id LIMIT 20""",
+)
+def topk_global(spark, sf_dir):
+    """O3 — global top-k by score, deterministic tie-break."""
+    return (
+        f(spark, "nodes")
+        .orderBy(F.col("n_chars").desc(), "url", "node_id")
+        .limit(20)
+        .select("url", "node_id", "n_chars")
+    )
+
+
+@q(
+    "set_union_shards",
+    f"""SELECT url, lang FROM read_parquet('{fx("pages")}') WHERE lang = 'en'
+        UNION ALL
+        SELECT url, lang FROM read_parquet('{fx("pages")}') WHERE lang = 'de'""",
+)
+def set_union_shards(spark, sf_dir):
+    """U1 — by-name union of collection shards [U tasks multi-dir]."""
+    p = f(spark, "pages")
+    return (
+        p.filter("lang = 'en'").select("url", "lang")
+        .unionByName(p.filter("lang = 'de'").select("url", "lang"))
+    )
+
+
+@q(
+    "set_except_golden",
+    f"""SELECT url FROM read_parquet('{fx("golden_extracted")}')
+        EXCEPT ALL
+        SELECT url FROM read_parquet('{fx("pages")}') WHERE lang = 'en'""",
+)
+def set_except_golden(spark, sf_dir):
+    """U2 — regression diff via exceptAll (empty <=> identical sets)."""
+    g = f(spark, "golden_extracted").select("url")
+    p = f(spark, "pages").filter("lang = 'en'").select("url")
+    return g.exceptAll(p)
+
+
+@q(
+    "set_intersect_urls",
+    f"""SELECT url FROM read_parquet('{fx("pages")}') WHERE lang = 'en'
+        INTERSECT
+        SELECT url FROM read_parquet('{fx("golden_extracted")}') WHERE n_blocks > 20""",
+)
+def set_intersect_urls(spark, sf_dir):
+    """U3 — intersect of url sets."""
+    p = f(spark, "pages").filter("lang = 'en'").select("url")
+    g = f(spark, "golden_extracted").filter("n_blocks > 20").select("url")
+    return p.intersect(g)
+
+
+# =====================================================================
+# 2.8 scalar functions
+# =====================================================================
+
+@q(
+    "fn_ws_collapse",
+    """SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS collapsed
+       FROM documents""",
+)
+def fn_ws_collapse(spark, sf_dir):
+    """F1 — whitespace collapse on the documents table."""
+    return t(spark, sf_dir, "documents").select(
+        "doc_id", F.trim(F.regexp_replace("text", r"\s+", " ")).alias("collapsed")
+    )
+
+
+@q(
+    "fn_char_ratios",
+    """SELECT doc_id,
+              round(len(regexp_extract_all(text, '[0-9]')) * 1.0 / length(text), 6) AS digit_ratio,
+              round(len(regexp_extract_all(text, '[A-Z]')) * 1.0 / length(text), 6) AS caps_ratio
+       FROM documents WHERE length(text) > 0""",
+)
+def fn_char_ratios(spark, sf_dir):
+    """F3 — character-class ratios [U Node1HotFeatures]."""
+    d = t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    return d.select(
+        "doc_id",
+        R6(F.regexp_count("text", F.lit("[0-9]")) * 1.0 / F.length("text")).alias("digit_ratio"),
+        R6(F.regexp_count("text", F.lit("[A-Z]")) * 1.0 / F.length("text")).alias("caps_ratio"),
+    )
+
+
+@q(
+    "fn_char_ngrams",
+    """WITH d AS (SELECT doc_id, lower(text) AS tl FROM documents WHERE doc_id < 50),
+       e AS (SELECT doc_id, tl, unnest(range(1, length(tl) - 1)) AS i FROM d)
+       SELECT doc_id, substring(tl, i::int, 3) AS ngram FROM e""",
+)
+def fn_char_ngrams(spark, sf_dir):
+    """F4 — char 3-gram tokenization via sequence+substring (JVM-side)
+    [U TfidfVectorizer analyzer='char']."""
+    d = t(spark, sf_dir, "documents").filter("doc_id < 50").select(
+        "doc_id", F.lower("text").alias("tl")
+    )
+    return d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("tl") - 2)).alias("i"),
+        "tl",
+    ).select("doc_id", F.substring(F.col("tl"), F.col("i"), 3).alias("ngram")).select("doc_id", "ngram")
+
+
+@q("fn_url_salt")  # rows-only: xxhash64 is Spark-specific (checked in pytest)
+def fn_url_salt(spark, sf_dir):
+    """F5 — url-hash salt for skew spreading [B:6,14]."""
+    return f(spark, "pages").select(
+        "url", F.pmod(F.xxhash64("url"), F.lit(64)).alias("salt")
+    )
+
+
+@q(
+    "fn_date_trunc",
+    """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, count(*) AS n,
+              round(sum(value), 6) AS total
+       FROM events GROUP BY 1""",
+)
+def fn_date_trunc(spark, sf_dir):
+    """F6 — date bucketing (Iceberg days() analogue) on events."""
+    e = t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(F.count("*").alias("n"), R6(F.sum("value")).alias("total"))
+
+
+@q(
+    "fn_bbox_math",
+    f"""SELECT url, node_id, round((x2-x1)*(y2-y1), 6) AS area,
+               round((x1+x2)/2.0, 6) AS cx, round((y1+y2)/2.0, 6) AS cy,
+               round(sqrt((x2-x1)*(x2-x1) + (y2-y1)*(y2-y1)), 6) AS diag
+        FROM read_parquet('{fx("geo")}')""",
+)
+def fn_bbox_math(spark, sf_dir):
+    """F7 — bbox geometry math [U Block.area etc.]."""
+    g = f(spark, "geo")
+    w, h = F.col("x2") - F.col("x1"), F.col("y2") - F.col("y1")
+    return g.select(
+        "url", "node_id",
+        R6(w * h).alias("area"),
+        R6((F.col("x1") + F.col("x2")) / 2.0).alias("cx"),
+        R6((F.col("y1") + F.col("y2")) / 2.0).alias("cy"),
+        R6(F.sqrt(w * w + h * h)).alias("diag"),
+    )
+
+
+@q(
+    "fn_array_spans",
+    f"""SELECT url, s.node_id AS node_id, s.start AS start, s."end" AS "end"
+        FROM (SELECT url, unnest(spans) AS s FROM read_parquet('{fx("golden_extracted")}'))""",
+)
+def fn_array_spans(spark, sf_dir):
+    """F8 — array-of-struct explode over the golden spans."""
+    g = f(spark, "golden_extracted")
+    return g.select("url", F.explode("spans").alias("s")).select(
+        "url", F.col("s.node_id").alias("node_id"),
+        F.col("s.start").alias("start"), F.col("s.end").alias("end"),
+    )
+
+
+@q(
+    "fn_attr_map",
+    f"""SELECT url, node_id, json_extract_string(attrs_json, '$.class') AS class_attr
+        FROM read_parquet('{fx("nodes")}') WHERE attrs_json != '{{}}'""",
+)
+def fn_attr_map(spark, sf_dir):
+    """F9 — DOM attr map ops [U PageXml.parseCustomAttr]; map built with
+    from_json then element_at."""
+    n = f(spark, "nodes").filter(F.col("attrs_json") != "{}")
+    m = F.from_json("attrs_json", "map<string,string>")
+    return n.select("url", "node_id", F.element_at(m, "class").alias("class_attr"))
+
+
+@q(
+    "fn_json_props",
+    """SELECT event_id, cast(json_extract(props, '$.k') AS bigint) AS k
+       FROM events""",
+)
+def fn_json_props(spark, sf_dir):
+    """F10 — JSON extraction on events.props."""
+    return t(spark, sf_dir, "events").select(
+        "event_id", F.get_json_object("props", "$.k").cast("bigint").alias("k")
+    )
+
+
+# =====================================================================
+# training-data pipeline ops (web-corpus curation; SURVEY north-rule
+# context: these run beside extraction in a Common-Crawl pipeline)
+# =====================================================================
+
+@q(
+    "dedup_exact",
+    """SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+       FROM documents GROUP BY md5(text)""",
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy, keep min doc_id. Map-side partial agg;
+    at 10^12 scale the md5 groupBy shuffles only (hash, doc_id) pairs."""
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash")).agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies")
+    )
+
+
+@q(
+    "dedup_ngram_jaccard",
+    """WITH d AS (SELECT doc_id, lower(text) AS tl FROM documents WHERE doc_id < 60),
+       e AS (SELECT doc_id, tl, unnest(range(1, length(tl) - 3)) AS i FROM d),
+       sh AS (SELECT DISTINCT doc_id, substring(tl, i::int, 5) AS shingle FROM e),
+       sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS ix
+                 FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                 GROUP BY a.doc_id, b.doc_id)
+       SELECT a_id, b_id, round(ix * 1.0 / (sa.sz + sb.sz - ix), 6) AS jaccard
+       FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+       WHERE ix * 1.0 / (sa.sz + sb.sz - ix) >= 0.2""",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """n-gram Jaccard near-dup: shingle -> pair-join on shingle -> |A∩B|/|A∪B|.
+    The relational form of MinHash's exact target quantity."""
+    d = t(spark, sf_dir, "documents").filter("doc_id < 60").select(
+        "doc_id", F.lower("text").alias("tl")
+    )
+    sh = (
+        d.select("doc_id", F.explode(F.sequence(F.lit(1), F.length("tl") - 4)).alias("i"), "tl")
+        .select("doc_id", F.substring(F.col("tl"), F.col("i"), 5).alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count("*").alias("ix"))
+    )
+    jac = F.col("ix") * 1.0 / (F.col("sa.sz") + F.col("sb.sz") - F.col("ix"))
+    return (
+        inter.join(sizes.alias("sa"), F.col("sa.doc_id") == F.col("a_id"))
+        .join(sizes.alias("sb"), F.col("sb.doc_id") == F.col("b_id"))
+        .filter(jac >= 0.2)
+        .select("a_id", "b_id", R6(jac).alias("jaccard"))
+    )
+
+
+@q("dedup_minhash_lsh")  # rows-only: xxhash64-seeded minhash is Spark-side
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup at scale: shingle -> 32 minhashes (xxhash64 with
+    seed i) -> 8 bands x 4 rows -> band-hash bucket join. Verified against
+    exact Jaccard in tests/test_dedup.py (recall on known near-dup pairs)."""
+    from .dedup import minhash_lsh_pairs
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return minhash_lsh_pairs(d, id_col="doc_id", text_col="text")
+
+
+@q("dedup_simhash")  # rows-only: xxhash64-based; property-tested in pytest
+def dedup_simhash(spark, sf_dir):
+    """SimHash fingerprints: token-hash sign aggregation -> 64-bit fp; near
+    dups share fp up to small Hamming distance (checked in tests)."""
+    from .dedup import simhash_fingerprints
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash_fingerprints(d, id_col="doc_id", text_col="text")
+
+
+@q(
+    "sim_cosine_topk",
+    """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 3),
+       scored AS (
+         SELECT q.q_id, e.vec_id,
+                round(list_cosine_similarity(q.q_emb::DOUBLE[], e.embedding::DOUBLE[]), 4) AS cos
+         FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.q_id)
+       SELECT q_id, vec_id, cos FROM (
+         SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+         FROM scored) WHERE rk <= 10""",
+)
+def sim_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k ANN baseline over array<float> embeddings.
+    JVM-side higher-order functions (zip_with/aggregate), no Python.
+    Ranked on 4-dp-rounded cosine with vec_id tie-break (cross-engine
+    float-determinism; exactness checked in pytest vs numpy)."""
+    e = t(spark, sf_dir, "embeddings")
+    qv = e.filter("vec_id < 3").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    j = qv.crossJoin(e).filter(F.col("vec_id") != F.col("q_id"))
+    dot = F.expr(
+        "aggregate(zip_with(q_emb, embedding, (a, b) -> cast(a as double) * cast(b as double)),"
+        " cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+    norm = lambda c: F.sqrt(F.expr(
+        f"aggregate({c}, cast(0.0 as double), (acc, x) -> acc + cast(x as double) * cast(x as double))"
+    ))
+    scored = j.select(
+        "q_id", "vec_id", F.round(dot / (norm("q_emb") * norm("embedding")), 4).alias("cos")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "vec_id")
+    return scored.withColumn("rk", F.row_number().over(w)).filter("rk <= 10").select(
+        "q_id", "vec_id", "cos"
+    )
+
+
+@q("sim_ann_lsh")  # rows-only: random-hyperplane LSH bucketing is Spark-side
+def sim_ann_lsh(spark, sf_dir):
+    """Scale-path ANN: random-hyperplane LSH bucket join (candidates share a
+    sign-pattern bucket), exact cosine only within buckets. Recall vs
+    brute force checked in tests/test_dedup.py."""
+    from .dedup import ann_lsh_topk
+
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return ann_lsh_topk(e, n_queries=3, k=10)
+
+
+@q(
+    "text_langid",
+    """SELECT doc_id,
+              CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+                   WHEN len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist)\\b')) >= 2 THEN 'de'
+                   WHEN len(regexp_extract_all(lower(text), '\\b(le|la|les|est|une)\\b')) >= 2 THEN 'fr'
+                   WHEN len(regexp_extract_all(lower(text), '\\b(el|los|las|es|una)\\b')) >= 2 THEN 'es'
+                   ELSE 'en' END AS pred_lang
+       FROM documents""",
+)
+def text_langid(spark, sf_dir):
+    """Language ID: marker-token heuristic, JVM regex only (the n-gram
+    profile approach of Cavnar-Trenkle reduced to its decision rule)."""
+    d = t(spark, sf_dir, "documents")
+    lower = F.lower("text")
+    cnt = lambda pat: F.regexp_count(lower, F.lit(pat))
+    return d.select(
+        "doc_id",
+        F.when(F.regexp_count("text", F.lit("[\\x{4e00}-\\x{9fff}]")) > 0, "zh")
+        .when(cnt(r"\b(der|die|das|und|ist)\b") >= 2, "de")
+        .when(cnt(r"\b(le|la|les|est|une)\b") >= 2, "fr")
+        .when(cnt(r"\b(el|los|las|es|una)\b") >= 2, "es")
+        .otherwise("en")
+        .alias("pred_lang"),
+    )
+
+
+@q(
+    "text_quality",
+    """SELECT doc_id,
+              round((4 * least(length(text), 1000) * greatest(length(text), 1)
+                       * greatest(len(string_split(text, ' ')), 1)
+                   + 3000 * (greatest(length(text), 1) - len(regexp_extract_all(text, '[[:punct:]]')))
+                       * greatest(len(string_split(text, ' ')), 1)
+                   + 3000 * len(regexp_extract_all(lower(text), '\\b(the|a|of|and|to|in|is)\\b'))
+                       * greatest(length(text), 1)) * 1.0
+                  / (10000 * greatest(length(text), 1) * greatest(len(string_split(text, ' ')), 1)),
+                  6) AS quality
+       FROM documents""",
+)
+def text_quality(spark, sf_dir):
+    """Quality score: length + punctuation + stopword-density mix (C4/Gopher
+    -style heuristics). Assembled as ONE exact-integer rational and divided
+    once, so the double result is correctly rounded and engine-identical:
+    q = 0.4*min(L,1000)/1000 + 0.3*(N-P)/N + 0.3*S/W with N=max(L,1),
+    W=max(words,1) => (4*min(L,1000)*N*W + 3000*(N-P)*W + 3000*S*N)/(10000*N*W).
+    """
+    d = t(spark, sf_dir, "documents")
+    L = F.length("text").cast("bigint")
+    N = F.greatest(L, F.lit(1))
+    P = F.regexp_count("text", F.lit(r"[\p{Punct}]")).cast("bigint")
+    S = F.regexp_count(F.lower("text"), F.lit(r"\b(the|a|of|and|to|in|is)\b")).cast("bigint")
+    W = F.greatest(F.size(F.split("text", " ")).cast("bigint"), F.lit(1))
+    num = 4 * F.least(L, F.lit(1000)) * N * W + 3000 * (N - P) * W + 3000 * S * N
+    den = 10000 * N * W
+    return d.select("doc_id", R6(num * 1.0 / den).alias("quality"))
+
+
+@q(
+    "text_tokens",
+    """SELECT doc_id,
+              len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
+              len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_ish_tokens
+       FROM documents WHERE length(trim(text)) > 0""",
+)
+def text_tokens(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish regex segmentation, JVM-side."""
+    d = t(spark, sf_dir, "documents").filter(F.length(F.trim(F.col("text"))) > 0)
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias("ws_tokens"),
+        F.regexp_count("text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+        .cast("bigint").alias("bpe_ish_tokens"),
+    )
+
+
+@q("text_fingerprint")  # rows-only: rolling hash is vectorized-numpy-side
+def text_fingerprint(spark, sf_dir):
+    """Karp-Rabin rolling-hash document fingerprint (pandas UDF, Arrow
+    batches); exactness vs pure Python checked in tests/test_dedup.py."""
+    from .dedup import rolling_fingerprints
+
+    return rolling_fingerprints(t(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+@q(
+    "mm_binary_meta",
+    f"""SELECT url, octet_length(html) AS n_bytes, sha256(hex(html)) AS sha_hex
+        FROM read_parquet('{fx("pages")}')""",
+)
+def mm_binary_meta(spark, sf_dir):
+    """Multimodal plumbing: opaque binary column + typed metadata, JVM-side
+    hashing. Decode itself is stubbed (see multimodal.py + tests).
+    (DuckDB 1.0 hashes only VARCHAR, so both sides hash the hex encoding.)"""
+    return f(spark, "pages").select(
+        "url",
+        F.length("html").cast("bigint").alias("n_bytes"),
+        F.lower(F.sha2(F.hex("html").cast("binary"), 256)).alias("sha_hex"),
+    )
+
+
+@q("mm_decode_features")  # rows-only: deterministic fake decode (libs absent)
+def mm_decode_features(spark, sf_dir):
+    """Multimodal decode/feature-extract scaffold over mapInPandas: real
+    schema/batching/partitioning, stubbed codec (NotImplementedError path +
+    deterministic fake features) — see sparkdu/multimodal.py."""
+    from .multimodal import decode_features
+
+    return decode_features(f(spark, "pages").select("url", "html"))
+
+
+# =====================================================================
+# classic relational headliners on the TPC-H-ish driver tables
+# =====================================================================
+
+@q(
+    "tpch_q1",
+    """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty,
+              round(sum(l_extendedprice), 4) AS sum_base_price,
+              round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+              count(*) AS count_order
+       FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       GROUP BY l_returnflag, l_linestatus""",
+)
+def tpch_q1(spark, sf_dir):
+    """Pricing-summary agg (map-side partial + final, AQE-coalesced)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@q(
+    "tpch_q3ish",
+    """SELECT o.o_orderkey, round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+              strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate, o.o_orderpriority
+       FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       WHERE c.c_mktsegment = 'BUILDING'
+       GROUP BY o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d'), o.o_orderpriority""",
+)
+def tpch_q3ish(spark, sf_dir):
+    """Shipping-priority join: broadcast the filtered customer dim, shuffle
+    join the two fact tables."""
+    c = t(spark, sf_dir, "customer").filter("c_mktsegment = 'BUILDING'")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .select("o_orderkey", "revenue", "orderdate", "o_orderpriority")
+    )

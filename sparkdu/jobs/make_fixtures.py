@@ -1,0 +1,268 @@
+"""Generate the committed fixture parquet files under fixtures_data/.
+
+Deterministic (seed 42). Uses the ORACLE (normative implementation) to derive
+golden_extracted and the nodes fixture — the Spark pipeline is then checked
+against these (T1/T2), so fixture generation must never import sparkdu's
+Spark code paths. stdlib + pyarrow only; no JVM needed.
+
+Run: python -m sparkdu.jobs.make_fixtures  (from repo root)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import random
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+
+from oracle import extract as orc  # noqa: E402
+from sparkdu import fixtures  # noqa: E402
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "fixtures_data")
+N_PAGES = 1000
+
+SPAN_T = pa.list_(
+    pa.struct([("node_id", pa.int32()), ("start", pa.int64()), ("end", pa.int64())])
+)
+
+
+def write(name: str, table: pa.Table) -> None:
+    os.makedirs(OUT, exist_ok=True)
+    pq.write_table(table, os.path.join(OUT, name), compression="zstd")
+    print(f"wrote {name}: {table.num_rows} rows")
+
+
+def main() -> None:
+    rows = fixtures.gen_rows(N_PAGES)
+    pages = pa.table(
+        {
+            "url": [r["url"] for r in rows],
+            "warc_ts": pa.array([r["warc_ts"] for r in rows], pa.timestamp("us")),
+            "html": pa.array([r["html"] for r in rows], pa.binary()),
+            "text": [r["text"] for r in rows],
+            "lang": [r["lang"] for r in rows],
+        }
+    )
+    write("pages.parquet", pages)
+
+    # latest-per-url (J9) basis for golden + nodes; row index i == doc_id
+    latest: dict[str, dict] = {}
+    latest_doc_id: dict[str, int] = {}
+    for i, r in enumerate(rows):
+        if r["url"] not in latest or r["warc_ts"] > latest[r["url"]]["warc_ts"]:
+            latest[r["url"]] = r
+            latest_doc_id[r["url"]] = i
+
+    g_url, g_bytes, g_sha, g_nb, g_spans = [], [], [], [], []
+    n_cols: dict[str, list] = {
+        k: []
+        for k in (
+            "url part_id node_id tag attrs_json depth text n_chars n_links link_density "
+            "punct_ratio digit_ratio caps_ratio anc_boiler x1 y1 x2 y2 "
+            "is_content block_seq text_start text_end"
+        ).split()
+    }
+    for url in sorted(latest):
+        r = latest[url]
+        o = orc.extract_page(url, r["html"])
+        b = o["extracted_text"].encode("utf-8")
+        g_url.append(url)
+        g_bytes.append(b)
+        g_sha.append(hashlib.sha256(b).hexdigest())
+        g_nb.append(o["n_blocks"])
+        g_spans.append(o["spans"])
+        for nd in sorted(o["nodes"], key=lambda d: d["node_id"]):
+            n_cols["url"].append(url)
+            n_cols["part_id"].append(0)
+            n_cols["attrs_json"].append(
+                json.dumps(nd["attrs"], sort_keys=True, ensure_ascii=False)
+            )
+            for k in (
+                "node_id tag depth text n_chars n_links link_density punct_ratio "
+                "digit_ratio caps_ratio anc_boiler x1 y1 x2 y2 is_content"
+            ).split():
+                n_cols[k].append(nd[k])
+            n_cols["block_seq"].append(nd.get("block_seq"))
+            n_cols["text_start"].append(nd.get("text_start"))
+            n_cols["text_end"].append(nd.get("text_end"))
+
+    write(
+        "golden_extracted.parquet",
+        pa.table(
+            {
+                "url": g_url,
+                "extracted_text": pa.array(g_bytes, pa.binary()),
+                "text_sha256": g_sha,
+                "n_blocks": pa.array(g_nb, pa.int32()),
+                "spans": pa.array(g_spans, SPAN_T),
+            }
+        ),
+    )
+    write(
+        "nodes.parquet",
+        pa.table(
+            {
+                "url": n_cols["url"],
+                "part_id": pa.array(n_cols["part_id"], pa.int32()),
+                "node_id": pa.array(n_cols["node_id"], pa.int32()),
+                "tag": n_cols["tag"],
+                "attrs_json": n_cols["attrs_json"],
+                "depth": pa.array(n_cols["depth"], pa.int32()),
+                "text": n_cols["text"],
+                "n_chars": pa.array(n_cols["n_chars"], pa.int32()),
+                "n_links": pa.array(n_cols["n_links"], pa.int32()),
+                "link_density": pa.array(n_cols["link_density"], pa.float64()),
+                "punct_ratio": pa.array(n_cols["punct_ratio"], pa.float64()),
+                "digit_ratio": pa.array(n_cols["digit_ratio"], pa.float64()),
+                "caps_ratio": pa.array(n_cols["caps_ratio"], pa.float64()),
+                "anc_boiler": pa.array(n_cols["anc_boiler"], pa.bool_()),
+                "x1": pa.array(n_cols["x1"], pa.float64()),
+                "y1": pa.array(n_cols["y1"], pa.float64()),
+                "x2": pa.array(n_cols["x2"], pa.float64()),
+                "y2": pa.array(n_cols["y2"], pa.float64()),
+                "is_content": pa.array(n_cols["is_content"], pa.bool_()),
+                "block_seq": pa.array(n_cols["block_seq"], pa.int32()),
+                "text_start": pa.array(n_cols["text_start"], pa.int64()),
+                "text_end": pa.array(n_cols["text_end"], pa.int64()),
+            }
+        ),
+    )
+
+    # labels: generator-intent ground truth (content paragraph/cell texts)
+    l_url, l_nid, l_lab = [], [], []
+    for url in sorted(latest):
+        r = latest[url]
+        content_texts = fixtures.content_text_set(latest_doc_id[url])
+        o = orc.extract_page(url, r["html"])
+        for nd in o["nodes"]:
+            l_url.append(url)
+            l_nid.append(nd["node_id"])
+            l_lab.append("content" if nd["text"] in content_texts else "boiler")
+    write(
+        "labels.parquet",
+        pa.table({"url": l_url, "node_id": pa.array(l_nid, pa.int32()), "gt_label": l_lab}),
+    )
+
+    # geo: synthetic 2D multi-part page layout for J1-J4 with real geometry
+    rng = random.Random(4242)
+    g: dict[str, list] = {k: [] for k in "url part_id node_id x1 y1 x2 y2 tag".split()}
+    r_cols: dict[str, list] = {k: [] for k in "url part_id region_id x1 y1 x2 y2".split()}
+    for u in range(40):
+        url = f"https://geo.example/{u:x}"
+        for part in range(rng.randint(1, 3)):
+            ncols = rng.randint(1, 3)
+            col_w = 1000.0 / ncols
+            nid = 0 if part == 0 else g["node_id"][-1] + 1
+            for ci in range(ncols):
+                y = 50.0 * rng.random()
+                while y < 1400:
+                    h = rng.uniform(20, 120)
+                    w = col_w * rng.uniform(0.6, 0.95)
+                    x1 = ci * col_w + col_w * 0.02 * rng.random()
+                    g["url"].append(url)
+                    g["part_id"].append(part)
+                    g["node_id"].append(nid)
+                    g["x1"].append(round(x1, 3))
+                    g["y1"].append(round(y, 3))
+                    g["x2"].append(round(x1 + w, 3))
+                    g["y2"].append(round(y + h, 3))
+                    g["tag"].append(rng.choice(["p", "div", "h2", "td"]))
+                    nid += 1
+                    y += h + rng.uniform(5, 60)
+            for ri in range(rng.randint(2, 5)):
+                rx1 = rng.uniform(0, 600)
+                ry1 = rng.uniform(0, 900)
+                r_cols["url"].append(url)
+                r_cols["part_id"].append(part)
+                r_cols["region_id"].append(ri)
+                r_cols["x1"].append(round(rx1, 3))
+                r_cols["y1"].append(round(ry1, 3))
+                r_cols["x2"].append(round(rx1 + rng.uniform(200, 400), 3))
+                r_cols["y2"].append(round(ry1 + rng.uniform(200, 500), 3))
+    write(
+        "geo.parquet",
+        pa.table(
+            {
+                "url": g["url"],
+                "part_id": pa.array(g["part_id"], pa.int32()),
+                "node_id": pa.array(g["node_id"], pa.int32()),
+                "x1": pa.array(g["x1"], pa.float64()),
+                "y1": pa.array(g["y1"], pa.float64()),
+                "x2": pa.array(g["x2"], pa.float64()),
+                "y2": pa.array(g["y2"], pa.float64()),
+                "tag": g["tag"],
+            }
+        ),
+    )
+    write(
+        "regions.parquet",
+        pa.table(
+            {
+                "url": r_cols["url"],
+                "part_id": pa.array(r_cols["part_id"], pa.int32()),
+                "region_id": pa.array(r_cols["region_id"], pa.int32()),
+                "x1": pa.array(r_cols["x1"], pa.float64()),
+                "y1": pa.array(r_cols["y1"], pa.float64()),
+                "x2": pa.array(r_cols["x2"], pa.float64()),
+                "y2": pa.array(r_cols["y2"], pa.float64()),
+            }
+        ),
+    )
+
+
+def make_edges() -> None:
+    """edges.parquet over geo.parquet via DuckDB (independent of sparkdu.graph;
+    the normative NOT-EXISTS form of the SPEC edge semantics)."""
+    import duckdb
+
+    geo = os.path.join(OUT, "geo.parquet")
+    axis = """
+    SELECT a.url, a.node_id AS src_node_id, b.node_id AS dst_node_id,
+           '{et}' AS edge_type,
+           b.{slo} - a.{shi} AS dist,
+           least(a.{ohi}, b.{ohi}) - greatest(a.{olo}, b.{olo}) AS overlap
+    FROM read_parquet('{geo}') a JOIN read_parquet('{geo}') b
+      ON a.url = b.url AND a.part_id = b.part_id
+     AND a.{shi} <= b.{slo}
+     AND least(a.{ohi}, b.{ohi}) - greatest(a.{olo}, b.{olo}) > 0
+    WHERE NOT EXISTS (
+      SELECT 1 FROM read_parquet('{geo}') c
+      WHERE c.url = a.url AND c.part_id = a.part_id
+        AND a.{shi} <= c.{slo} AND c.{shi} <= b.{slo}
+        AND least(a.{ohi}, c.{ohi}) > greatest(a.{olo}, c.{olo})
+        AND least(b.{ohi}, c.{ohi}) > greatest(b.{olo}, c.{olo}))
+    """
+    v = axis.format(et="v", slo="y1", shi="y2", olo="x1", ohi="x2", geo=geo)
+    h = axis.format(et="h", slo="x1", shi="x2", olo="y1", ohi="y2", geo=geo)
+    x = f"""
+    SELECT a.url, a.node_id AS src_node_id, b.node_id AS dst_node_id,
+           'xpart' AS edge_type,
+           (sa.max_y2 - a.y2) + (b.y1 - sb.min_y1) AS dist, 0.0 AS overlap
+    FROM read_parquet('{geo}') a
+    JOIN stats sa ON sa.url = a.url AND sa.part_id = a.part_id
+    JOIN stats sb ON sb.url = a.url AND sb.part_id = a.part_id + 1
+    JOIN read_parquet('{geo}') b ON b.url = a.url AND b.part_id = a.part_id + 1
+    WHERE a.y2 >= sa.max_y2 - 200.0 AND b.y1 <= sb.min_y1 + 200.0
+    """
+    stats = (
+        f"WITH stats AS (SELECT url, part_id, max(y2) AS max_y2, min(y1) AS min_y1 "
+        f"FROM read_parquet('{geo}') GROUP BY url, part_id) "
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"COPY ({stats} {v} UNION ALL {h} UNION ALL {x}) TO "
+        f"'{os.path.join(OUT, 'edges.parquet')}' (FORMAT parquet, COMPRESSION zstd)"
+    )
+    n = con.sql(f"SELECT count(*) FROM read_parquet('{os.path.join(OUT, 'edges.parquet')}')").fetchone()[0]
+    print(f"wrote edges.parquet: {n} rows")
+
+
+if __name__ == "__main__":
+    main()
+    make_edges()

@@ -1,0 +1,208 @@
+"""M6 — per-partition lineage, checkpointing, exact resume [B:6,14].
+
+Absent in the reference (single-process, restart-from-zero); required by the
+north rule. Design (SURVEY SS4.3 item 4):
+
+- every page row gets a stable ``partition_key = pmod(xxhash64(url), K)``;
+- the run proceeds in WAVES of partition keys; each wave is one distributed
+  job: extract -> idempotent overwrite of ``extracted/partition_key=<k>/``
+  directories -> THEN append `checkpoints` rows (status='done') for exactly
+  those keys. Lineage commit strictly after data commit, so a crash can only
+  lose the in-flight wave (its partial files are overwritten on retry);
+- resume = anti-join (J7) of partition keys against done checkpoints of the
+  same run_id. On Iceberg, each wave is one snapshot commit; locally each
+  wave is a dynamic-partition parquet overwrite.
+
+The fused UDF variant here additionally emits per-row parse metrics
+(n_nodes, had_error) that aggregate into the checkpoint counters.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+from dataclasses import dataclass
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import parse as P
+from .api import _load_model, dedup_latest
+
+EXTRACTED_LINEAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("extracted_text", T.StringType()),
+        T.StructField("n_blocks", T.IntegerType()),
+        T.StructField("spans", T.ArrayType(T.StructType([
+            T.StructField("node_id", T.IntegerType()),
+            T.StructField("start", T.LongType()),
+            T.StructField("end", T.LongType()),
+        ]))),
+        T.StructField("pipeline_version", T.StringType()),
+        T.StructField("partition_key", T.IntegerType()),
+        T.StructField("n_nodes", T.IntegerType()),
+        T.StructField("n_bytes_in", T.LongType()),
+        T.StructField("had_error", T.IntegerType()),
+    ]
+)
+
+
+@dataclass
+class ExtractJobConfig:
+    run_id: str
+    out_dir: str                      # root: <out>/extracted, <out>/checkpoints
+    num_partitions: int = 64
+    waves: int = 8
+    model_path: Optional[str] = None
+    resume: bool = False
+    fail_after_waves: Optional[int] = None  # test hook (T5 failure injection)
+
+
+def _extract_doc_metrics(html, model):
+    s, truncated = P.sniff_decode(html)
+    err = 0
+    try:
+        blocks = P.parse_blocks(s)
+    except Exception:
+        blocks, err = [], 1
+    blocks.sort(key=lambda r: r[0])
+    n_nodes = len(blocks)
+    if model is not None:
+        keep = P._score_blocks(blocks, model)
+        ver = P.PIPELINE_VERSION_MODEL
+    else:
+        keep = [P.rule_is_content(r[7], r[11]) for r in blocks]
+        ver = P.PIPELINE_VERSION_RULE
+    parts, spans, off = [], [], 0
+    for r, k in zip(blocks, keep):
+        if not k:
+            continue
+        n = r[5]
+        spans.append({"node_id": r[0], "start": off, "end": off + n})
+        parts.append(r[4])
+        off += n + 1
+    if truncated:
+        parts.append(P.TRUNCATION_MARKER)
+    return "\n".join(parts), len(spans), spans, ver, n_nodes, err
+
+
+def lineage_extract_udf(model_path: Optional[str]):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = _load_model(model_path)
+        for pdf in batches:
+            out = {k: [] for k in ("extracted_text", "n_blocks", "spans",
+                                   "pipeline_version", "n_nodes", "n_bytes_in", "had_error")}
+            for html in pdf["html"]:
+                try:
+                    txt, nb, sp, ver, nn, err = _extract_doc_metrics(html, model)
+                except Exception:
+                    txt, nb, sp, ver, nn, err = "", 0, [], P.PIPELINE_VERSION_RULE, 0, 1
+                out["extracted_text"].append(txt)
+                out["n_blocks"].append(nb)
+                out["spans"].append(sp)
+                out["pipeline_version"].append(ver)
+                out["n_nodes"].append(nn)
+                out["n_bytes_in"].append(len(html) if html is not None else 0)
+                out["had_error"].append(err)
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "warc_ts": pdf["warc_ts"],
+                    "extracted_text": out["extracted_text"],
+                    "n_blocks": pd.array(out["n_blocks"], dtype="int32"),
+                    "spans": out["spans"],
+                    "pipeline_version": out["pipeline_version"],
+                    "partition_key": pdf["partition_key"],
+                    "n_nodes": pd.array(out["n_nodes"], dtype="int32"),
+                    "n_bytes_in": pd.array(out["n_bytes_in"], dtype="int64"),
+                    "had_error": pd.array(out["had_error"], dtype="int32"),
+                }
+            )
+
+    return fn
+
+
+def done_partition_keys(spark: SparkSession, cfg: ExtractJobConfig) -> set[int]:
+    cp = os.path.join(cfg.out_dir, "checkpoints")
+    if not os.path.isdir(cp) or not os.listdir(cp):
+        return set()
+    df = spark.read.parquet(cp)
+    rows = (
+        df.filter((F.col("run_id") == cfg.run_id) & (F.col("status") == "done"))
+        .select("partition_key").distinct().collect()
+    )
+    return {r[0] for r in rows}
+
+
+def run_extract_job(spark: SparkSession, pages: DataFrame, cfg: ExtractJobConfig) -> dict:
+    """Wave-committed, resumable extraction run. Returns summary counters."""
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    ext_dir = os.path.join(cfg.out_dir, "extracted")
+    cp_dir = os.path.join(cfg.out_dir, "checkpoints")
+
+    k = cfg.num_partitions
+    keyed = dedup_latest(pages.select("url", "warc_ts", "html")).withColumn(
+        "partition_key", F.pmod(F.xxhash64("url"), F.lit(k)).cast("int")
+    )
+    done = done_partition_keys(spark, cfg) if cfg.resume else set()
+    todo = sorted(set(range(k)) - done)
+    waves = [todo[i :: cfg.waves] for i in range(cfg.waves)]
+    waves = [w for w in waves if w]
+
+    total = {"n_pages": 0, "n_nodes": 0, "n_errors": 0, "waves_run": 0}
+    for wi, wave_keys in enumerate(waves):
+        if cfg.fail_after_waves is not None and wi >= cfg.fail_after_waves:
+            raise RuntimeError(f"injected failure before wave {wi} (test hook)")
+        started = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+        wave_df = (
+            keyed.filter(F.col("partition_key").isin([int(x) for x in wave_keys]))
+            .repartition(len(wave_keys), "partition_key")
+            .mapInPandas(lineage_extract_udf(cfg.model_path), schema=EXTRACTED_LINEAGE_SCHEMA)
+        )
+        # one execution of the (expensive) parse UDF: cache for write + stats
+        wave_df = wave_df.persist()
+        stats_df = wave_df.groupBy("partition_key").agg(
+            F.count("*").alias("n_pages"),
+            F.sum("n_nodes").alias("n_nodes"),
+            F.sum("n_bytes_in").alias("n_bytes_in"),
+            F.sum("had_error").alias("n_errors"),
+        )
+        wave_df.drop("n_nodes", "n_bytes_in", "had_error").write.mode(
+            "overwrite"
+        ).partitionBy("partition_key").parquet(ext_dir)
+        # data committed; now lineage (strictly after — SURVEY hard-part 5)
+        finished = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+        stats = {r["partition_key"]: r for r in stats_df.collect()}
+        cp_rows = []
+        for pk in wave_keys:
+            s = stats.get(pk)
+            cp_rows.append(
+                {
+                    "run_id": cfg.run_id,
+                    "partition_key": int(pk),
+                    "n_pages": int(s["n_pages"]) if s else 0,
+                    "n_nodes": int(s["n_nodes"]) if s else 0,
+                    "n_bytes_in": int(s["n_bytes_in"]) if s else 0,
+                    "n_errors": int(s["n_errors"]) if s else 0,
+                    "started_ts": started,
+                    "finished_ts": finished,
+                    "status": "done",
+                }
+            )
+            if s:
+                total["n_pages"] += int(s["n_pages"])
+                total["n_nodes"] += int(s["n_nodes"])
+                total["n_errors"] += int(s["n_errors"])
+        from .tables import CHECKPOINTS_SCHEMA
+
+        spark.createDataFrame(cp_rows, CHECKPOINTS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(cp_dir)
+        wave_df.unpersist()
+        total["waves_run"] += 1
+    return total

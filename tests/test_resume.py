@@ -1,0 +1,69 @@
+"""T5 — lineage/checkpoint/resume exactness (SURVEY SS5.2)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkdu.lineage import ExtractJobConfig, run_extract_job
+
+
+def _texts(spark, d):
+    df = spark.read.parquet(os.path.join(d, "extracted"))
+    return {
+        r["url"]: (r["extracted_text"], r["n_blocks"])
+        for r in df.select("url", "extracted_text", "n_blocks").collect()
+    }
+
+
+def test_resume_exact(spark, pages_df, tmp_path):
+    full_dir = str(tmp_path / "full")
+    part_dir = str(tmp_path / "partial")
+
+    cfg = ExtractJobConfig(run_id="r1", out_dir=full_dir, num_partitions=16, waves=4)
+    total = run_extract_job(spark, pages_df, cfg)
+    assert total["waves_run"] == 4
+    full = _texts(spark, full_dir)
+
+    # inject failure after 2 waves
+    cfg2 = ExtractJobConfig(
+        run_id="r1", out_dir=part_dir, num_partitions=16, waves=4, fail_after_waves=2
+    )
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_extract_job(spark, pages_df, cfg2)
+
+    cp = spark.read.parquet(os.path.join(part_dir, "checkpoints"))
+    done_before = cp.filter("status = 'done'").count()
+    assert 0 < done_before < 16
+
+    # resume with the same run_id completes the remainder
+    cfg3 = ExtractJobConfig(
+        run_id="r1", out_dir=part_dir, num_partitions=16, waves=4, resume=True
+    )
+    run_extract_job(spark, pages_df, cfg3)
+
+    resumed = _texts(spark, part_dir)
+    assert resumed == full  # byte-identical union
+
+    cp = spark.read.parquet(os.path.join(part_dir, "checkpoints"))
+    # no duplicate lineage rows; counters add up
+    assert cp.count() == cp.select("run_id", "partition_key").distinct().count() == 16
+    n_pages = cp.agg(F.sum("n_pages")).first()[0]
+    assert n_pages == len(full)
+    assert cp.filter("status != 'done'").count() == 0
+
+
+def test_lineage_counters(spark, pages_df, tmp_path):
+    d = str(tmp_path / "cnt")
+    run_extract_job(
+        spark, pages_df, ExtractJobConfig(run_id="c1", out_dir=d, num_partitions=8, waves=2)
+    )
+    cp = spark.read.parquet(os.path.join(d, "checkpoints"))
+    row = cp.agg(
+        F.sum("n_pages").alias("p"), F.sum("n_nodes").alias("n"),
+        F.sum("n_bytes_in").alias("b"), F.sum("n_errors").alias("e"),
+    ).first()
+    n_urls = pages_df.select("url").distinct().count()
+    assert row["p"] == n_urls
+    assert row["n"] > 0 and row["b"] > 0
+    assert row["e"] == 0
