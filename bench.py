@@ -1,0 +1,145 @@
+"""Bench entry (driver contract + SURVEY SS7 M8 scaling evidence).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <sec>, "unit": "sec", "queries": {...}, "sf": ...,
+   extra: docs/s at local[N] and local[4N], scaling efficiency, corpus size}
+
+- flagship extraction benched on a deterministic synthetic pages corpus
+  (FIXTURES.md bench tier incl. mega-page skew tail), generated DISTRIBUTED
+  (spark.range -> mapInPandas; each row re-derived from doc_id) and cached.
+- the same job runs at local[N] and local[4N] (driver-sanctioned stand-in
+  for N vs 4N executors — no real cluster in this sandbox); efficiency =
+  (docs_s_4N / docs_s_N) / 4.
+- headline operator queries timed at $SPARK_GRAFT_SF_DIR.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), SPARK_GRAFT_CPUS
+(default 32), SPARKDU_BENCH_DOCS (default 50000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_DOCS = int(os.environ.get("SPARKDU_BENCH_DOCS", "50000"))
+CACHE = os.environ.get("SPARKDU_BENCH_CACHE", "/tmp/sparkdu_bench")
+
+HEADLINE = [
+    "tpch_q1", "tpch_q3ish", "dedup_exact", "text_quality",
+    "sim_cosine_topk", "agg_page_stats", "join_vedges", "win_reading_order",
+]
+
+
+def _corpus_path() -> str:
+    return os.path.join(CACHE, f"pages_{N_DOCS}")
+
+
+def ensure_corpus(spark) -> str:
+    """Distributed deterministic generation (doc_id-addressable, seed 42)."""
+    import pandas as pd
+
+    from sparkdu.fixtures import DUP_FRACTION, gen_row
+    from sparkdu.tables import PAGES_SCHEMA
+
+    path = _corpus_path()
+    ok = os.path.join(path, "_SUCCESS")
+    if os.path.exists(ok):
+        return path
+    n_main = N_DOCS - int(N_DOCS * DUP_FRACTION)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [gen_row(int(i), n_main, bench_skew=True) for i in pdf["id"]]
+            yield pd.DataFrame(rows)
+
+    (
+        spark.range(0, N_DOCS, 1, CPUS * 2)
+        .mapInPandas(gen, schema=PAGES_SCHEMA)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return path
+
+
+def time_extract(master_cores: int, path: str) -> tuple[float, int]:
+    """Fresh session at local[cores]; returns (best wall sec, n_out_rows)."""
+    from sparkdu.api import ExtractConfig, extract_pages
+    from sparkdu.session import get_spark
+    from sparkdu.tables import PAGES_SCHEMA
+
+    spark = get_spark(
+        app=f"bench-extract-{master_cores}",
+        master=f"local[{master_cores}]",
+        shuffle_partitions=max(2 * master_cores, 16),
+    )
+    pages = spark.read.schema(PAGES_SCHEMA).parquet(path)
+    cfg = ExtractConfig(num_partitions=4 * master_cores)
+    best = float("inf")
+    for _ in range(2):  # second run avoids JVM warmup skew; keep the best
+        df = extract_pages(spark, pages, cfg)
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        best = min(best, time.time() - t0)
+    spark.stop()
+    return best, N_DOCS
+
+
+def main() -> None:
+    from sparkdu.harness import QUERIES
+    from sparkdu.session import get_spark
+
+    t_all = time.time()
+    spark = get_spark(app="bench-gen", master=f"local[{CPUS}]")
+    t0 = time.time()
+    path = ensure_corpus(spark)
+    gen_s = time.time() - t0
+
+    queries: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        try:
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            queries[name] = round(time.time() - t0, 3)
+        except Exception:
+            queries[name] = -1.0
+    spark.stop()
+
+    small = max(CPUS // 4, 1)
+    t_small, _ = time_extract(small, path)
+    t_big, _ = time_extract(CPUS, path)
+    ds_small = N_DOCS / t_small
+    ds_big = N_DOCS / t_big
+    eff = (ds_big / ds_small) / (CPUS / small)
+
+    queries[f"extract_local{small}"] = round(t_small, 3)
+    queries[f"extract_local{CPUS}"] = round(t_big, 3)
+
+    out = {
+        "metric": f"extract_{N_DOCS}_docs_local{CPUS}_sec",
+        "value": round(t_big, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "n_docs": N_DOCS,
+        "docs_per_sec_small": round(ds_small, 1),
+        "docs_per_sec_big": round(ds_big, 1),
+        "parallelism_small": small,
+        "parallelism_big": CPUS,
+        "scaling_efficiency": round(eff, 3),
+        "corpus_gen_sec": round(gen_s, 1),
+        "total_bench_sec": round(time.time() - t_all, 1),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

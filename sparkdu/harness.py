@@ -342,7 +342,7 @@ def join_edge_feats(spark, sf_dir):
     "join_idf",
     f"""WITH toks AS (
           SELECT url, node_id, unnest(string_split(text, ' ')) AS token
-          FROM read_parquet('{fx("nodes")}') WHERE node_id < 40),
+          FROM read_parquet('{fx("nodes")}') WHERE node_id < 10),
         vocab AS (
           SELECT token, count(DISTINCT url) AS df FROM toks GROUP BY token),
         total AS (SELECT count(DISTINCT url) AS n FROM toks)
@@ -354,7 +354,7 @@ def join_idf(spark, sf_dir):
     FeatureDefinition]; vocab is small -> explicit broadcast()."""
     toks = (
         f(spark, "nodes")
-        .filter(F.col("node_id") < 40)
+        .filter(F.col("node_id") < 10)
         .select("url", "node_id", F.explode(F.split("text", " ")).alias("token"))
     )
     n_docs = toks.select("url").distinct().count()
@@ -1133,4 +1133,23 @@ def tpch_q3ish(spark, sf_dir):
         )
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
         .select("o_orderkey", "revenue", "orderdate", "o_orderpriority")
+    )
+
+
+@q(
+    "extract_model_golden",
+    f"""SELECT url, decode(extracted_text) AS extracted_text, n_blocks
+        FROM read_parquet('{fx("golden_extracted_model")}')""",
+)
+def extract_model_golden(spark, sf_dir):
+    """M5 gate: fused pipeline WITH the frozen logistic model (v1.1.0) vs
+    the oracle-computed model golden — byte identity holds because the
+    weights artifact is an input to both (SURVEY SS7 M5)."""
+    from .api import ExtractConfig, extract_pages
+    from .tables import PAGES_SCHEMA
+
+    art = os.path.join(os.path.dirname(FIX), "artifacts", "clf_v1.json")
+    pages = spark.read.schema(PAGES_SCHEMA).parquet(fx("pages"))
+    return extract_pages(spark, pages, ExtractConfig(model_path=art)).select(
+        "url", "extracted_text", F.col("n_blocks").cast("int").alias("n_blocks")
     )

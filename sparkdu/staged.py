@@ -81,7 +81,8 @@ def with_paragraphs(nodes: DataFrame, gap: float = 40.0) -> DataFrame:
     ).drop("_brk")
 
 
-def assemble(spark: SparkSession, pages: DataFrame, content_nodes: DataFrame) -> DataFrame:
+def assemble(spark: SparkSession, pages: DataFrame, content_nodes: DataFrame,
+             version: str = P.PIPELINE_VERSION_RULE) -> DataFrame:
     """D3-as-Catalyst — deterministic per-url text assembly, fully JVM-side.
 
     collect_list is unordered under parallel merge, so ordering is imposed
@@ -126,7 +127,7 @@ def assemble(spark: SparkSession, pages: DataFrame, content_nodes: DataFrame) ->
         F.coalesce(F.col("n_blocks"), F.lit(0)).cast("int").alias("n_blocks"),
         F.coalesce(F.col("spans"), F.expr("array()").cast(
             "array<struct<node_id:int,start:bigint,end:bigint>>")).alias("spans"),
-        F.lit(P.PIPELINE_VERSION_RULE).alias("pipeline_version"),
+        F.lit(version).alias("pipeline_version"),
     )
 
 
@@ -145,4 +146,5 @@ def extract_pages_staged(
     else:
         nodes = classify_rule(with_layout(nodes))
     content = with_spans(with_reading_order(nodes))
-    return assemble(spark, deduped, content)
+    version = P.PIPELINE_VERSION_MODEL if cfg.model_path else P.PIPELINE_VERSION_RULE
+    return assemble(spark, deduped, content, version)

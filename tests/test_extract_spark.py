@@ -71,3 +71,30 @@ def test_span_validity_spark(fused):
             assert 0 <= start <= end <= len(txt)
             seg = txt[start:end]
             assert "\n" not in seg
+
+
+def test_model_path_fused_and_staged(spark, pages_df):
+    """M5: fused+model == staged+model == oracle+model, byte-for-byte."""
+    import os
+
+    from oracle import extract as orc
+
+    art = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "artifacts", "clf_v1.json")
+    if not os.path.exists(art):
+        pytest.skip("artifact not trained")
+    model = orc.load_model(art)
+    cfg = ExtractConfig(model_path=art)
+    fused_m = _by_url(extract_pages(spark, pages_df, cfg))
+    staged_m = _by_url(extract_pages_staged(spark, pages_df, cfg))
+    rows = {r["url"]: r for r in pages_df.collect()}
+    latest = {}
+    for r in rows.values():
+        if r["url"] not in latest or r["warc_ts"] > latest[r["url"]]["warc_ts"]:
+            latest[r["url"]] = r
+    assert set(fused_m) == set(staged_m)
+    for url, fr in fused_m.items():
+        o = orc.extract_page(url, bytes(latest[url]["html"]), model)
+        assert fr["extracted_text"].encode() == o["extracted_text"].encode(), url
+        assert staged_m[url]["extracted_text"].encode() == o["extracted_text"].encode(), url
+        assert fr["pipeline_version"] == "1.1.0"

@@ -5,7 +5,7 @@ golden_extracted and the nodes fixture — the Spark pipeline is then checked
 against these (T1/T2), so fixture generation must never import sparkdu's
 Spark code paths. stdlib + pyarrow only; no JVM needed.
 
-Run: python -m sparkdu.jobs.make_fixtures  (from repo root)
+Run: python tools/make_fixtures.py  (from repo root)
 """
 
 from __future__ import annotations
@@ -19,12 +19,12 @@ import sys
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from oracle import extract as orc  # noqa: E402
 from sparkdu import fixtures  # noqa: E402
 
-OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "fixtures_data")
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures_data")
 N_PAGES = 1000
 
 SPAN_T = pa.list_(
@@ -263,6 +263,38 @@ def make_edges() -> None:
     print(f"wrote edges.parquet: {n} rows")
 
 
+def make_model_golden() -> None:
+    """golden for the model-enabled pipeline (v1.1.0): oracle + frozen
+    artifact; run AFTER jobs/fit_artifacts.py."""
+    art_path = os.path.join(os.path.dirname(OUT), "artifacts", "clf_v1.json")
+    if not os.path.exists(art_path):
+        print("skip model golden: artifacts/clf_v1.json missing (run fit_artifacts)")
+        return
+    model = orc.load_model(art_path)
+    rows = fixtures.gen_rows(N_PAGES)
+    latest: dict[str, dict] = {}
+    for r in rows:
+        if r["url"] not in latest or r["warc_ts"] > latest[r["url"]]["warc_ts"]:
+            latest[r["url"]] = r
+    urls, texts, nbs = [], [], []
+    for url in sorted(latest):
+        o = orc.extract_page(url, latest[url]["html"], model)
+        urls.append(url)
+        texts.append(o["extracted_text"].encode("utf-8"))
+        nbs.append(o["n_blocks"])
+    write(
+        "golden_extracted_model.parquet",
+        pa.table(
+            {
+                "url": urls,
+                "extracted_text": pa.array(texts, pa.binary()),
+                "n_blocks": pa.array(nbs, pa.int32()),
+            }
+        ),
+    )
+
+
 if __name__ == "__main__":
     main()
     make_edges()
+    make_model_golden()
