@@ -80,8 +80,12 @@ def time_extract(master_cores: int, path: str) -> tuple[float, int]:
     )
     pages = spark.read.schema(PAGES_SCHEMA).parquet(path)
     cfg = ExtractConfig(num_partitions=4 * master_cores)
+    # prewarm: spawn python workers + JIT/codegen outside the timed window
+    extract_pages(spark, pages.limit(512), cfg).write.format("noop").mode(
+        "overwrite"
+    ).save()
     best = float("inf")
-    for _ in range(2):  # second run avoids JVM warmup skew; keep the best
+    for _ in range(3):  # shared-host noise is large; report the best of 3
         df = extract_pages(spark, pages, cfg)
         t0 = time.time()
         df.write.format("noop").mode("overwrite").save()

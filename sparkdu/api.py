@@ -34,7 +34,9 @@ class ExtractConfig:
     model_path: Optional[str] = None   # frozen logistic weights (M5) or None
     num_partitions: Optional[int] = None  # salt partition count; None = 4x cores
     dedup: bool = True                 # J9 latest-per-url
-    arrow_batch_rows: int = 64         # mega-page safety (SURVEY SS4.3)
+    salt: bool = True                  # explicit url-hash repartition [B:14];
+    # False for input already bucketed/partitioned by url (Iceberg bucket(url)
+    # tables) — then the pipeline is completely shuffle-free.
 
 
 def default_partitions(spark: SparkSession, cfg: ExtractConfig) -> int:
@@ -64,7 +66,9 @@ def dedup_latest(pages: DataFrame) -> DataFrame:
     Mirrors corpus-side dedup concern [B:6]; reference has no analogue
     (collections are pre-deduped on disk).
     """
-    w = Window.partitionBy("url").orderBy(F.col("warc_ts").desc())
+    w = Window.partitionBy("url").orderBy(
+        F.col("warc_ts").desc(), F.xxhash64("html").desc()
+    )
     return (
         pages.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -81,8 +85,30 @@ def salted_repartition(df: DataFrame, num_parts: int) -> DataFrame:
     return df.repartition(num_parts, F.pmod(F.xxhash64(F.col("url")), F.lit(num_parts)))
 
 
+def _dedup_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Streaming J9 over a partition whose rows are sorted by
+    (url ASC, warc_ts DESC, tiebreak): keep the first row of every url run.
+    State (last url seen) carries across Arrow batches — mapInPandas hands
+    the partition's batches to one generator in order, so this is exact and
+    needs no second shuffle (the old window form shuffled the full html
+    payload twice; see BENCH notes)."""
+    last_url = None
+    for pdf in batches:
+        if len(pdf):
+            urls = pdf["url"]
+            mask = urls.ne(urls.shift())
+            if last_url is not None:
+                mask.iat[0] = urls.iat[0] != last_url
+            last_url = urls.iat[-1]
+            # reset_index: downstream builds output frames mixing these
+            # series with positional lists — indexes must be 0..n-1
+            pdf = pdf[mask.to_numpy()].reset_index(drop=True)
+        yield pdf
+
+
 def fused_extract_udf(cfg: ExtractConfig):
-    """D1: the single Python crossing — decode→parse→classify→order→assemble.
+    """D1: the single Python crossing — (dedup)→decode→parse→classify→order
+    →assemble.
 
     Iterator-of-batches form so the model artifact loads once per task, not
     per batch. Mirrors the reference's whole per-doc loop
@@ -90,9 +116,12 @@ def fused_extract_udf(cfg: ExtractConfig):
     NodeType.setDocNodeLabel] collapsed into one Arrow stage.
     """
     model_path = cfg.model_path
+    dedup = cfg.dedup
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         model = _load_model(model_path)
+        if dedup:
+            batches = _dedup_batches(batches)
         for pdf in batches:
             texts, n_blocks, spans, versions = [], [], [], []
             for html in pdf["html"]:
@@ -118,6 +147,25 @@ def fused_extract_udf(cfg: ExtractConfig):
     return fn
 
 
+def prepare_pages(spark: SparkSession, pages: DataFrame, cfg: ExtractConfig) -> DataFrame:
+    """Shared physical front half: ONE shuffle total (or zero).
+
+    - salt repartition on pmod(xxhash64(url), K): url-local, skew-spreading
+      [B:14]; skipped when the source is already bucketed by url.
+    - dedup needs url-grouped + sorted rows: sortWithinPartitions piggybacks
+      on the same exchange (local sort, no extra shuffle). Ties on warc_ts
+      broken by xxhash64(html) so the kept row is deterministic (SURVEY SS4.4).
+    """
+    df = pages.select("url", "warc_ts", "html")
+    if cfg.salt:
+        df = salted_repartition(df, default_partitions(spark, cfg))
+    if cfg.dedup:
+        df = df.sortWithinPartitions(
+            F.col("url").asc(), F.col("warc_ts").desc(), F.xxhash64("html").desc()
+        )
+    return df
+
+
 def extract_pages(
     spark: SparkSession, pages: DataFrame, cfg: ExtractConfig = ExtractConfig()
 ) -> DataFrame:
@@ -126,14 +174,11 @@ def extract_pages(
     DataFrame-in/DataFrame-out; caller writes the result (or uses
     jobs/extract_job.py which adds lineage + resume).
     """
-    df = pages.select("url", "warc_ts", "html")
-    if cfg.dedup:
-        df = dedup_latest(df)
-    df = salted_repartition(df, default_partitions(spark, cfg))
+    df = prepare_pages(spark, pages, cfg)
     return df.mapInPandas(fused_extract_udf(cfg), schema=EXTRACTED_SCHEMA)
 
 
-def parse_nodes_udf():
+def parse_nodes_udf(dedup: bool = False):
     """S2 staged path: pages batch -> exploded node rows (one Arrow pass).
 
     The Spark analogue of graph/Graph.parseDocFile + NodeType_PageXml node
@@ -142,6 +187,8 @@ def parse_nodes_udf():
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = list(P.NODE_FIELDS)
+        if dedup:
+            batches = _dedup_batches(batches)
         for pdf in batches:
             out = {
                 "url": [], "part_id": [], "doc_truncated": [],
@@ -173,8 +220,5 @@ def parse_nodes_udf():
 def parse_nodes_df(spark: SparkSession, pages: DataFrame,
                    cfg: ExtractConfig = ExtractConfig()) -> DataFrame:
     """Materializable `nodes` table (SURVEY SS1.2), the engine's Block list."""
-    df = pages.select("url", "warc_ts", "html")
-    if cfg.dedup:
-        df = dedup_latest(df)
-    df = salted_repartition(df, default_partitions(spark, cfg))
-    return df.mapInPandas(parse_nodes_udf(), schema=NODES_SCHEMA)
+    df = prepare_pages(spark, pages, cfg)
+    return df.mapInPandas(parse_nodes_udf(dedup=cfg.dedup), schema=NODES_SCHEMA)

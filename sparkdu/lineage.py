@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from . import parse as P
-from .api import _load_model, dedup_latest
+from .api import _dedup_batches, _load_model
 
 EXTRACTED_LINEAGE_SCHEMA = T.StructType(
     [
@@ -91,9 +91,11 @@ def _extract_doc_metrics(html, model):
     return "\n".join(parts), len(spans), spans, ver, n_nodes, err
 
 
-def lineage_extract_udf(model_path: Optional[str]):
+def lineage_extract_udf(model_path: Optional[str], dedup: bool = True):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         model = _load_model(model_path)
+        if dedup:
+            batches = _dedup_batches(batches)
         for pdf in batches:
             out = {k: [] for k in ("extracted_text", "n_blocks", "spans",
                                    "pipeline_version", "n_nodes", "n_bytes_in", "had_error")}
@@ -146,7 +148,7 @@ def run_extract_job(spark: SparkSession, pages: DataFrame, cfg: ExtractJobConfig
     cp_dir = os.path.join(cfg.out_dir, "checkpoints")
 
     k = cfg.num_partitions
-    keyed = dedup_latest(pages.select("url", "warc_ts", "html")).withColumn(
+    keyed = pages.select("url", "warc_ts", "html").withColumn(
         "partition_key", F.pmod(F.xxhash64("url"), F.lit(k)).cast("int")
     )
     done = done_partition_keys(spark, cfg) if cfg.resume else set()
@@ -162,7 +164,21 @@ def run_extract_job(spark: SparkSession, pages: DataFrame, cfg: ExtractJobConfig
         wave_df = (
             keyed.filter(F.col("partition_key").isin([int(x) for x in wave_keys]))
             .repartition(len(wave_keys), "partition_key")
+            .sortWithinPartitions(  # J9 inside the UDF: one shuffle total
+                F.col("url").asc(), F.col("warc_ts").desc(), F.xxhash64("html").desc()
+            )
             .mapInPandas(lineage_extract_udf(cfg.model_path), schema=EXTRACTED_LINEAGE_SCHEMA)
+        )
+        # A6: free pipeline metrics via observe() — evaluated during the
+        # write action, no extra job (SURVEY SS2.4 A6 [B:6,14])
+        from pyspark.sql import Observation
+
+        obs = Observation(f"{cfg.run_id}-wave{wi}")
+        wave_df = wave_df.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows_out"),
+            F.sum("had_error").alias("errors"),
+            F.sum("n_bytes_in").alias("bytes_in"),
         )
         # one execution of the (expensive) parse UDF: cache for write + stats
         wave_df = wave_df.persist()
@@ -205,4 +221,5 @@ def run_extract_job(spark: SparkSession, pages: DataFrame, cfg: ExtractJobConfig
         ).parquet(cp_dir)
         wave_df.unpersist()
         total["waves_run"] += 1
+        total.setdefault("observed", []).append(obs.get)
     return total

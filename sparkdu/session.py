@@ -11,12 +11,13 @@ def get_spark(
     app: str = "sparkdu",
     master: str | None = None,
     shuffle_partitions: int | None = None,
-    arrow_batch_rows: int = 64,
+    arrow_batch_rows: int = 256,
 ) -> SparkSession:
     """local[*] in-sandbox; on a cluster spark-submit supplies the master.
 
-    Arrow batch rows kept small (64) so a batch of mega-pages (F12 cap 8 MiB
-    each) stays < ~0.5 GB in a Python worker (SURVEY SS4.3 item 2).
+    Arrow batch rows capped at 256 — balances per-batch IPC overhead against
+    mega-page memory (worst case 256 x 8 MiB cap = 2 GiB, far under the
+    per-executor budget; typical batch ~3 MB) (SURVEY SS4.3 item 2).
     """
     if master is None:
         master = os.environ.get("SPARKDU_MASTER", "local[*]")
@@ -34,7 +35,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.sql.parquet.compression.codec", "zstd")
-        .config("spark.driver.memory", os.environ.get("SPARKDU_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARKDU_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
     return b.getOrCreate()

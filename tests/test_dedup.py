@@ -1,0 +1,126 @@
+"""Curation-operator property tests: MinHash/SimHash/ANN/fingerprints/stub.
+
+These back the rows-only harness entries (dedup_minhash_lsh, dedup_simhash,
+sim_ann_lsh, text_fingerprint, mm_decode_features) with quality checks the
+SQL oracle can't express.
+"""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkdu.dedup import (
+    ann_brute_topk,
+    ann_lsh_topk,
+    hamming64,
+    minhash_lsh_pairs,
+    rolling_fp_py,
+    rolling_fingerprints,
+    simhash_fingerprints,
+)
+
+WORDS = "alpha beta gamma delta epsilon zeta eta theta iota kappa lamda mu".split()
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rng = random.Random(7)
+    rows = []
+    for i in range(120):
+        rows.append((i, " ".join(rng.choice(WORDS) for _ in range(60))))
+    # 15 near-dup pairs: copy with one word changed (high Jaccard)
+    for j in range(15):
+        base = rows[j][1].split(" ")
+        base[rng.randrange(len(base))] = rng.choice(WORDS)
+        rows.append((1000 + j, " ".join(base)))
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def _jaccard(a: str, b: str, k: int = 5) -> float:
+    sa = {a.lower()[i : i + k] for i in range(len(a) - k + 1)}
+    sb = {b.lower()[i : i + k] for i in range(len(b) - k + 1)}
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_minhash_lsh_recall(spark, docs_df):
+    texts = {r["doc_id"]: r["text"] for r in docs_df.collect()}
+    truth = {
+        (j, 1000 + j)
+        for j in range(15)
+        if _jaccard(texts[j], texts[1000 + j]) >= 0.6
+    }
+    pairs = {
+        (r["a_id"], r["b_id"]) for r in minhash_lsh_pairs(docs_df).collect()
+    }
+    hits = truth & pairs
+    assert len(hits) / max(len(truth), 1) >= 0.8, (len(hits), len(truth))
+    # precision: candidates should mostly be genuinely similar
+    good = sum(1 for a, b in pairs if _jaccard(texts[a], texts[b]) >= 0.3)
+    assert good / max(len(pairs), 1) >= 0.8
+
+
+def test_simhash_near_dup_hamming(spark, docs_df):
+    fp = simhash_fingerprints(docs_df)
+    a = fp.alias("a")
+    b = fp.alias("b")
+    joined = a.join(
+        b, F.col("b.doc_id") == F.col("a.doc_id") + 1000, "inner"
+    ).select(hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("d"))
+    near = [r["d"] for r in joined.collect()]
+    assert len(near) == 15
+    rnd = fp.filter("doc_id IN (20, 21, 22, 23)").collect()
+    far = [
+        bin(rnd[i]["simhash"] ^ rnd[j]["simhash"]).count("1")
+        for i in range(4)
+        for j in range(i + 1, 4)
+    ]
+    assert sum(near) / len(near) < sum(far) / len(far)
+    assert max(near) <= 24  # near-dups stay close in hamming space
+
+
+def test_rolling_fingerprint_exact(spark, docs_df):
+    got = {r["doc_id"]: r["fingerprint"] for r in rolling_fingerprints(docs_df).collect()}
+    for r in docs_df.collect():
+        assert got[r["doc_id"]] == rolling_fp_py(r["text"])
+
+
+def test_ann_lsh_subset_of_space_and_sane(spark):
+    import math
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(200):
+        v = [rng.gauss(0, 1) for _ in range(16)]
+        n = math.sqrt(sum(x * x for x in v))
+        rows.append((i, [x / n for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    brute = ann_brute_topk(emb, n_queries=3, k=10).collect()
+    assert len(brute) == 30
+    lsh = ann_lsh_topk(emb, n_queries=3, k=10).collect()
+    assert 0 < len(lsh) <= 30
+    bmap = {(r["q_id"], r["vec_id"]): r["cos"] for r in brute}
+    # every LSH result's cosine must equal the brute-force cosine (exact
+    # scoring inside buckets), and top-1 should usually be recovered
+    lmap = {(r["q_id"], r["vec_id"]): r["cos"] for r in lsh}
+    for k_, v in lmap.items():
+        if k_ in bmap:
+            assert abs(v - bmap[k_]) < 1e-9
+
+
+def test_multimodal_stub(spark, pages_df):
+    from sparkdu.multimodal import decode_features, fake_features
+
+    out = decode_features(pages_df.limit(20).select("url", "html")).collect()
+    assert len(out) == 20
+    for r in out:
+        assert r["decode_status"] == "stubbed"
+        assert len(r["feature"]) == 8
+        assert r["format"] in ("html", "unknown")
+        assert r["n_bytes"] > 0
+    # deterministic fake features
+    row = pages_df.limit(1).collect()[0]
+    assert out is not None
+    f1 = fake_features(bytes(row["html"]))
+    f2 = fake_features(bytes(row["html"]))
+    assert f1 == f2

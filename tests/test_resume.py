@@ -67,3 +67,17 @@ def test_lineage_counters(spark, pages_df, tmp_path):
     assert row["p"] == n_urls
     assert row["n"] > 0 and row["b"] > 0
     assert row["e"] == 0
+
+
+def test_observe_metrics(spark, pages_df, tmp_path):
+    """A6: observe() counters agree with the checkpoint-table counters."""
+    d = str(tmp_path / "obs")
+    total = run_extract_job(
+        spark, pages_df, ExtractJobConfig(run_id="o1", out_dir=d, num_partitions=8, waves=2)
+    )
+    observed = total["observed"]
+    assert len(observed) == 2
+    n_urls = pages_df.select("url").distinct().count()
+    assert sum(o["rows_out"] for o in observed) == n_urls
+    assert sum(o["errors"] for o in observed) == 0
+    assert all(o["bytes_in"] > 0 for o in observed)
