@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from . import parse as P
-from .api import _dedup_batches, _load_model
+from .api import _load_model
 
 EXTRACTED_LINEAGE_SCHEMA = T.StructType(
     [
@@ -92,14 +92,20 @@ def _extract_doc_metrics(html, model):
 
 
 def lineage_extract_udf(model_path: Optional[str], dedup: bool = True):
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import pyarrow as pa
+
+    from .api import SPAN_ARROW, _dedup_record_batches
+
+    def fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         model = _load_model(model_path)
         if dedup:
-            batches = _dedup_batches(batches)
-        for pdf in batches:
+            batches = _dedup_record_batches(batches)
+        for rb in batches:
+            idx = {n: i for i, n in enumerate(rb.schema.names)}
             out = {k: [] for k in ("extracted_text", "n_blocks", "spans",
                                    "pipeline_version", "n_nodes", "n_bytes_in", "had_error")}
-            for html in pdf["html"]:
+            for h in rb.column(idx["html"]):
+                html = h.as_py()
                 try:
                     txt, nb, sp, ver, nn, err = _extract_doc_metrics(html, model)
                 except Exception:
@@ -111,19 +117,20 @@ def lineage_extract_udf(model_path: Optional[str], dedup: bool = True):
                 out["n_nodes"].append(nn)
                 out["n_bytes_in"].append(len(html) if html is not None else 0)
                 out["had_error"].append(err)
-            yield pd.DataFrame(
-                {
-                    "url": pdf["url"],
-                    "warc_ts": pdf["warc_ts"],
-                    "extracted_text": out["extracted_text"],
-                    "n_blocks": pd.array(out["n_blocks"], dtype="int32"),
-                    "spans": out["spans"],
-                    "pipeline_version": out["pipeline_version"],
-                    "partition_key": pdf["partition_key"],
-                    "n_nodes": pd.array(out["n_nodes"], dtype="int32"),
-                    "n_bytes_in": pd.array(out["n_bytes_in"], dtype="int64"),
-                    "had_error": pd.array(out["had_error"], dtype="int32"),
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(idx["url"]),
+                    rb.column(idx["warc_ts"]),
+                    pa.array(out["extracted_text"], pa.string()),
+                    pa.array(out["n_blocks"], pa.int32()),
+                    pa.array(out["spans"], SPAN_ARROW),
+                    pa.array(out["pipeline_version"], pa.string()),
+                    rb.column(idx["partition_key"]),
+                    pa.array(out["n_nodes"], pa.int32()),
+                    pa.array(out["n_bytes_in"], pa.int64()),
+                    pa.array(out["had_error"], pa.int32()),
+                ],
+                names=[f.name for f in EXTRACTED_LINEAGE_SCHEMA.fields],
             )
 
     return fn
@@ -167,7 +174,7 @@ def run_extract_job(spark: SparkSession, pages: DataFrame, cfg: ExtractJobConfig
             .sortWithinPartitions(  # J9 inside the UDF: one shuffle total
                 F.col("url").asc(), F.col("warc_ts").desc(), F.xxhash64("html").desc()
             )
-            .mapInPandas(lineage_extract_udf(cfg.model_path), schema=EXTRACTED_LINEAGE_SCHEMA)
+            .mapInArrow(lineage_extract_udf(cfg.model_path), schema=EXTRACTED_LINEAGE_SCHEMA)
         )
         # A6: free pipeline metrics via observe() — evaluated during the
         # write action, no extra job (SURVEY SS2.4 A6 [B:6,14])

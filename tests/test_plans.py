@@ -58,7 +58,7 @@ def test_fused_extract_single_exchange(spark, pages_df):
     import re
 
     n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
-    n_py = len(re.findall(r"\(\d+\) MapInPandas", plan))
+    n_py = len(re.findall(r"\(\d+\) (MapInPandas|PythonMapInArrow|MapInArrow)", plan))
     assert n_exchange == 1, plan
     assert n_py == 1
 
