@@ -67,8 +67,7 @@ def ensure_corpus(spark) -> str:
     return path
 
 
-def time_extract(master_cores: int, path: str) -> tuple[float, int]:
-    """Fresh session at local[cores]; returns (best wall sec, n_out_rows)."""
+def _one_session(master_cores: int, path: str, runs: int) -> list[float]:
     from sparkdu.api import ExtractConfig, extract_pages
     from sparkdu.session import get_spark
     from sparkdu.tables import PAGES_SCHEMA
@@ -84,14 +83,26 @@ def time_extract(master_cores: int, path: str) -> tuple[float, int]:
     extract_pages(spark, pages.limit(512), cfg).write.format("noop").mode(
         "overwrite"
     ).save()
-    best = float("inf")
-    for _ in range(3):  # shared-host noise is large; report the best of 3
+    walls = []
+    for _ in range(runs):
         df = extract_pages(spark, pages, cfg)
         t0 = time.time()
         df.write.format("noop").mode("overwrite").save()
-        best = min(best, time.time() - t0)
+        walls.append(time.time() - t0)
     spark.stop()
-    return best, N_DOCS
+    return walls
+
+
+def time_levels(small: int, big: int, path: str) -> dict[int, float]:
+    """Interleaved measurement: the sandbox host is shared (≈13% CPU steal
+    measured under load, bursts far higher), so each level is sampled in
+    alternating sessions across time and the best wall per level is kept —
+    the closest observable to the uncontended machine."""
+    walls: dict[int, list[float]] = {small: [], big: []}
+    for _round in range(2):
+        for cores in (small, big):
+            walls[cores] += _one_session(cores, path, runs=2)
+    return {c: min(v) for c, v in walls.items()}
 
 
 def main() -> None:
@@ -118,8 +129,8 @@ def main() -> None:
     spark.stop()
 
     small = max(CPUS // 4, 1)
-    t_small, _ = time_extract(small, path)
-    t_big, _ = time_extract(CPUS, path)
+    best = time_levels(small, CPUS, path)
+    t_small, t_big = best[small], best[CPUS]
     ds_small = N_DOCS / t_small
     ds_big = N_DOCS / t_big
     eff = (ds_big / ds_small) / (CPUS / small)
