@@ -105,9 +105,9 @@ def time_levels(small: int, big: int, path: str) -> dict[int, float]:
     with ~13%+ steal). A real 1000-executor cluster is the 4→16 regime —
     executors own their cores."""
     walls: dict[int, list[float]] = {small: [], big: []}
-    for _round in range(3):
-        for cores in (small, big):
-            walls[cores] += _one_session(cores, path, runs=1)
+    for _round in range(2):
+        walls[small] += _one_session(small, path, runs=1)
+        walls[big] += _one_session(big, path, runs=2)  # cheap level: 2 samples
     return {c: min(v) for c, v in walls.items()}
 
 
