@@ -36,22 +36,21 @@ HEADLINE = [
 ]
 
 
-def _corpus_path() -> str:
-    return os.path.join(CACHE, f"pages_{N_DOCS}")
+PAIR_DOCS = int(os.environ.get("SPARKDU_BENCH_PAIR_DOCS", str(N_DOCS // 2)))
 
 
-def ensure_corpus(spark) -> str:
+def ensure_corpus(spark, n_docs: int) -> str:
     """Distributed deterministic generation (doc_id-addressable, seed 42)."""
     import pandas as pd
 
     from sparkdu.fixtures import DUP_FRACTION, gen_row
     from sparkdu.tables import PAGES_SCHEMA
 
-    path = _corpus_path()
+    path = os.path.join(CACHE, f"pages_{n_docs}")
     ok = os.path.join(path, "_SUCCESS")
     if os.path.exists(ok):
         return path
-    n_main = N_DOCS - int(N_DOCS * DUP_FRACTION)
+    n_main = n_docs - int(n_docs * DUP_FRACTION)
 
     def gen(batches):
         for pdf in batches:
@@ -59,7 +58,7 @@ def ensure_corpus(spark) -> str:
             yield pd.DataFrame(rows)
 
     (
-        spark.range(0, N_DOCS, 1, CPUS * 2)
+        spark.range(0, n_docs, 1, CPUS * 2)
         .mapInPandas(gen, schema=PAGES_SCHEMA)
         .write.mode("overwrite")
         .parquet(path)
@@ -105,7 +104,7 @@ def time_levels(small: int, big: int, path: str) -> dict[int, float]:
     with ~13%+ steal). A real 1000-executor cluster is the 4→16 regime —
     executors own their cores."""
     walls: dict[int, list[float]] = {small: [], big: []}
-    for _round in range(2):
+    for _round in range(3):
         walls[small] += _one_session(small, path, runs=1)
         walls[big] += _one_session(big, path, runs=2)  # cheap level: 2 samples
     return {c: min(v) for c, v in walls.items()}
@@ -118,7 +117,8 @@ def main() -> None:
     t_all = time.time()
     spark = get_spark(app="bench-gen", master=f"local[{CPUS}]")
     t0 = time.time()
-    path = ensure_corpus(spark)
+    path = ensure_corpus(spark, N_DOCS)
+    pair_path = ensure_corpus(spark, PAIR_DOCS)
     gen_s = time.time() - t0
 
     queries: dict[str, float] = {}
@@ -137,10 +137,10 @@ def main() -> None:
     # N -> 4N scaling pair (see time_levels docstring for the half-host cap)
     n_small = int(os.environ.get("SPARKDU_BENCH_N", max(CPUS // 8, 1)))
     n_big = 4 * n_small
-    best = time_levels(n_small, n_big, path)
+    best = time_levels(n_small, n_big, pair_path)
     t_small, t_big = best[n_small], best[n_big]
-    ds_small = N_DOCS / t_small
-    ds_big = N_DOCS / t_big
+    ds_small = PAIR_DOCS / t_small
+    ds_big = PAIR_DOCS / t_big
     eff = (ds_big / ds_small) / (n_big / n_small)
 
     # full-width throughput at local[CPUS] (the headline latency metric)
@@ -157,6 +157,7 @@ def main() -> None:
         "queries": queries,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "n_docs": N_DOCS,
+        "n_docs_pair": PAIR_DOCS,
         "docs_per_sec_N": round(ds_small, 1),
         "docs_per_sec_4N": round(ds_big, 1),
         "docs_per_sec_full": round(N_DOCS / t_full, 1),

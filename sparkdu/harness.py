@@ -742,14 +742,15 @@ def fn_char_ratios(spark, sf_dir):
 
 @q(
     "fn_char_ngrams",
-    """WITH d AS (SELECT doc_id, lower(text) AS tl FROM documents WHERE doc_id < 50),
+    """WITH d AS (SELECT doc_id, lower(text) AS tl FROM documents
+                WHERE doc_id < 50 AND length(text) >= 3),
        e AS (SELECT doc_id, tl, unnest(range(1, length(tl) - 1)) AS i FROM d)
        SELECT doc_id, substring(tl, i::int, 3) AS ngram FROM e""",
 )
 def fn_char_ngrams(spark, sf_dir):
     """F4 — char 3-gram tokenization via sequence+substring (JVM-side)
     [U TfidfVectorizer analyzer='char']."""
-    d = t(spark, sf_dir, "documents").filter("doc_id < 50").select(
+    d = t(spark, sf_dir, "documents").filter("doc_id < 50 AND length(text) >= 3").select(
         "doc_id", F.lower("text").alias("tl")
     )
     return d.select(
@@ -861,7 +862,8 @@ def dedup_exact(spark, sf_dir):
 
 @q(
     "dedup_ngram_jaccard",
-    """WITH d AS (SELECT doc_id, lower(text) AS tl FROM documents WHERE doc_id < 60),
+    """WITH d AS (SELECT doc_id, lower(text) AS tl FROM documents
+                WHERE doc_id < 60 AND length(text) >= 5),
        e AS (SELECT doc_id, tl, unnest(range(1, length(tl) - 3)) AS i FROM d),
        sh AS (SELECT DISTINCT doc_id, substring(tl, i::int, 5) AS shingle FROM e),
        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
@@ -875,7 +877,7 @@ def dedup_exact(spark, sf_dir):
 def dedup_ngram_jaccard(spark, sf_dir):
     """n-gram Jaccard near-dup: shingle -> pair-join on shingle -> |A∩B|/|A∪B|.
     The relational form of MinHash's exact target quantity."""
-    d = t(spark, sf_dir, "documents").filter("doc_id < 60").select(
+    d = t(spark, sf_dir, "documents").filter("doc_id < 60 AND length(text) >= 5").select(
         "doc_id", F.lower("text").alias("tl")
     )
     sh = (

@@ -62,3 +62,15 @@ def test_iceberg_ddl_renders():
         assert "USING iceberg" in ddl and name in ddl
     assert "days(warc_ts)" in iceberg_ddl("pages")
     assert "bucket(256, url)" in iceberg_ddl("nodes")
+
+
+def test_table_catalog_roundtrip(spark, pages_df, tmp_path):
+    from sparkdu.tables import TableCatalog
+
+    cat = TableCatalog(spark, str(tmp_path / "warehouse"))
+    assert not cat.exists("pages")
+    cat.write("pages", pages_df, mode="overwrite")
+    assert cat.exists("pages")
+    back = cat.read("pages")
+    assert back.count() == pages_df.count()
+    assert [f.name for f in back.schema.fields] == [f.name for f in pages_df.schema.fields]
