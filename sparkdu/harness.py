@@ -1155,3 +1155,70 @@ def extract_model_golden(spark, sf_dir):
     return extract_pages(spark, pages, ExtractConfig(model_path=art)).select(
         "url", "extracted_text", F.col("n_blocks").cast("int").alias("n_blocks")
     )
+
+
+@q(
+    "dedup_embedding_cosine",
+    """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+              round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
+       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.35""",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs above a threshold. Exact all-pairs
+    baseline (JVM higher-order fns); the LSH-bucketed path (sim_ann_lsh)
+    is the 10^12-scale variant."""
+    from .dedup import cosine
+
+    e = t(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
+    b = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"))
+    pairs = a.join(b, F.col("a_id") < F.col("b_id"))
+    cos = F.round(cosine("a_emb", "b_emb"), 4)
+    return pairs.select("a_id", "b_id", cos.alias("cos")).filter(F.col("cos") >= 0.35)
+
+
+@q(
+    "tpch_q5ish",
+    """SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+       FROM customer c
+       JOIN orders o ON c.c_custkey = o.o_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+       JOIN nation n ON s.s_nationkey = n.n_nationkey
+       JOIN region r ON n.n_regionkey = r.r_regionkey
+       WHERE r.r_name IN ('ASIA', 'EUROPE')
+       GROUP BY n.n_name""",
+)
+def tpch_q5ish(spark, sf_dir):
+    """Local-supplier-volume 6-table join: Catalyst reorders, broadcasts the
+    dimension chain (region->nation->supplier), shuffles only the facts."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+    )
+
+
+@q("mm_frame_sample")  # rows-only: windowed binary chunking, codec stubbed
+def mm_frame_sample(spark, sf_dir):
+    """Multimodal frame/window sampling scaffold: opaque binary payload ->
+    fixed-stride windows with typed metadata (the audio/video analogue of
+    image decode; sparkdu/multimodal.py)."""
+    from .multimodal import frame_sample
+
+    return frame_sample(f(spark, "pages").select("url", "html").limit(100))

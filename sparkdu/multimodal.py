@@ -82,3 +82,53 @@ def decode_features(df: DataFrame, payload_col: str = "html") -> DataFrame:
             )
 
     return df.mapInPandas(fn, schema=DECODE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("frame_sha", T.StringType()),
+    ]
+)
+
+
+def frame_sample(df: DataFrame, payload_col: str = "html",
+                 frame_bytes: int = 65536, stride: int = 4,
+                 max_frames: int = 8) -> DataFrame:
+    """Audio/video-style frame sampling over an opaque binary column:
+    every `stride`-th window of `frame_bytes`, up to `max_frames` per row.
+    Real decoders (libav frame extraction, audio resample) would replace the
+    sha fingerprint; the batching/explosion plumbing is the production shape.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, idxs, offs, sizes, shas = [], [], [], [], []
+            for url, b in zip(pdf["url"], pdf[payload_col]):
+                b = bytes(b) if b is not None else b""
+                fi = 0
+                for k in range(0, max_frames):
+                    off = k * stride * frame_bytes
+                    if off >= len(b):
+                        break
+                    chunk = b[off : off + frame_bytes]
+                    urls.append(url)
+                    idxs.append(fi)
+                    offs.append(off)
+                    sizes.append(len(chunk))
+                    shas.append(hashlib.sha256(chunk).hexdigest()[:16])
+                    fi += 1
+            yield pd.DataFrame(
+                {
+                    "url": urls,
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "offset": pd.array(offs, dtype="int64"),
+                    "n_bytes": pd.array(sizes, dtype="int32"),
+                    "frame_sha": shas,
+                }
+            )
+
+    return df.mapInPandas(fn, schema=FRAME_SCHEMA)

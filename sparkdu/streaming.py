@@ -35,11 +35,12 @@ def windowed_event_counts(spark: SparkSession, src_dir: str, schema) -> DataFram
 
 
 def streaming_extract(spark: SparkSession, pages_dir: str,
-                      cfg: ExtractConfig = ExtractConfig()) -> DataFrame:
+                      cfg: ExtractConfig = ExtractConfig(dedup=False)) -> DataFrame:
     """Streaming flagship: pages files -> fused extraction (same UDF as
-    batch; dedup is a batch concern — streaming appends latest crawl)."""
+    batch; dedup is a batch concern — streaming appends every crawl row,
+    and the in-UDF sorted-run dedup has no sorted input here)."""
     stream = spark.readStream.schema(PAGES_SCHEMA).parquet(pages_dir)
-    return stream.select("url", "warc_ts", "html").mapInPandas(
+    return stream.select("url", "warc_ts", "html").mapInArrow(
         fused_extract_udf(cfg), schema=EXTRACTED_SCHEMA
     )
 
@@ -56,3 +57,66 @@ def run_available_now(df: DataFrame, out_dir: str, checkpoint_dir: str,
         .start()
     )
     q.awaitTermination()
+
+
+def sessionize_events(spark: SparkSession, src_dir: str, schema,
+                      gap_seconds: int = 600) -> DataFrame:
+    """Custom stateful streaming operator (D-series surface): gap-based
+    sessionization per user via ``applyInPandasWithState``.
+
+    State = (session_start_epoch, last_seen_epoch, n_events); a new event
+    further than `gap_seconds` from last_seen closes the running session and
+    emits it. Timeout closes idle sessions. This is the streaming analogue
+    of the batch W2 paragraph-merge sessionization (staged.with_paragraphs).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_t = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.LongType()),
+        T.StructField("session_end", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ])
+    state_t = T.StructType([
+        T.StructField("start", T.LongType()),
+        T.StructField("last", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ])
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame([{"user_id": user_id, "session_start": start,
+                                 "session_end": last, "n_events": n}])
+            return
+        ts = []
+        for pdf in pdfs:
+            ts += [int(t.timestamp()) for t in pdf["ts"]]
+        ts.sort()
+        closed = []
+        start, last, n = state.get if state.exists else (None, None, 0)
+        for t in ts:
+            if last is not None and t - last > gap_seconds:
+                closed.append((start, last, n))
+                start, last, n = t, t, 1
+            else:
+                start = t if start is None else start
+                last, n = t, n + 1
+        state.update((start, last, n))
+        state.setTimeoutDuration(gap_seconds * 1000)
+        if closed:
+            yield pd.DataFrame(
+                [{"user_id": user_id, "session_start": s, "session_end": e,
+                  "n_events": c} for s, e, c in closed]
+            )
+
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    return (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(fn, out_t, state_t, "append",
+                                GroupStateTimeout.ProcessingTimeTimeout)
+    )

@@ -71,3 +71,43 @@ def test_windowed_event_counts(spark, tmp_path):
     assert len(res) == 12
     total = sum(r["n"] for r in res)
     assert total == 60
+
+
+def test_stateful_sessionize(spark, tmp_path):
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from sparkdu.streaming import sessionize_events
+
+    schema = T.StructType([
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+    ])
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = []
+    for u in range(3):
+        # two bursts separated by > gap (600s) -> first session closes
+        for m in (0, 1, 2):
+            rows.append((base + dt.timedelta(minutes=m), u))
+        for m in (30, 31):
+            rows.append((base + dt.timedelta(minutes=m), u))
+    src = str(tmp_path / "sess_src")
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(src)
+
+    df = sessionize_events(spark, src, schema, gap_seconds=600)
+    assert df.isStreaming
+    q = (
+        df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    res = spark.sql("select * from sessions").collect()
+    # per user: the first 3-event session is closed by the second burst
+    assert len(res) == 3
+    for r in res:
+        assert r["n_events"] == 3
+        assert r["session_end"] - r["session_start"] == 120
