@@ -1,0 +1,104 @@
+"""End-to-end corpus curation: the full training-data pipeline composed
+from the engine's operators (the 100 TB production shape).
+
+    pages ─ extract (fused, salted, deduped) ─┐
+                                              ├─ quality score + lang-ID
+                                              ├─ exact dedup (md5 groupBy)
+                                              ├─ MinHash-LSH near-dup pairs -> drop the newer of each pair
+                                              └─ curated parquet + reject stats
+
+Every stage is JVM-side except the one extraction crossing; the near-dup
+join shuffles only (id, band-signature) pairs, never text.
+
+Run: python -m sparkdu.jobs.curate_job --input fixtures_data/pages.parquet \
+        --output /tmp/sparkdu_curated
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def curate(spark: SparkSession, pages: DataFrame, min_quality: float = 0.35,
+           min_chars: int = 200, jaccard_bands: int = 8) -> dict[str, DataFrame]:
+    from sparkdu.api import ExtractConfig, extract_pages
+    from sparkdu.dedup import minhash_lsh_pairs
+
+    extracted = extract_pages(spark, pages, ExtractConfig()).select(
+        "url", "warc_ts", "extracted_text", "n_blocks"
+    )
+
+    n = F.length("extracted_text")
+    punct = F.regexp_count("extracted_text", F.lit(r"[\p{Punct}]"))
+    stop = F.regexp_count(F.lower("extracted_text"), F.lit(r"\b(the|a|of|and|to|in|is)\b"))
+    words = F.size(F.split("extracted_text", " "))
+    quality = (
+        0.4 * F.least(n / 1000.0, F.lit(1.0))
+        + 0.3 * (1.0 - punct * 1.0 / F.greatest(n, F.lit(1)))
+        + 0.3 * (stop * 1.0 / F.greatest(words, F.lit(1)))
+    )
+    scored = extracted.withColumn("quality", F.round(quality, 6)).withColumn(
+        "n_chars", n
+    )
+
+    kept = scored.filter((F.col("n_chars") >= min_chars) & (F.col("quality") >= min_quality))
+
+    # exact dedup: first (min url) survivor per text hash
+    h = F.md5(F.col("extracted_text").cast("binary")).alias("text_hash")
+    survivors = (
+        kept.select(h, "url")
+        .groupBy("text_hash")
+        .agg(F.min("url").alias("url"))
+        .select("url")
+    )
+    exact_deduped = kept.join(survivors, "url", "left_semi")
+
+    # near-dup: MinHash-LSH candidate pairs; drop the lexicographically
+    # larger id of each pair (deterministic survivor choice)
+    pairs = minhash_lsh_pairs(
+        exact_deduped.select(F.col("url").alias("doc_id"),
+                             F.col("extracted_text").alias("text")),
+        id_col="doc_id", text_col="text", bands=jaccard_bands,
+    )
+    drop = pairs.select(F.col("b_id").alias("url")).distinct()
+    curated = exact_deduped.join(drop, "url", "left_anti")
+
+    return {"extracted": extracted, "scored": scored, "kept": kept,
+            "exact_deduped": exact_deduped, "curated": curated}
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--min-quality", type=float, default=0.35)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    from sparkdu.session import get_spark
+    from sparkdu.tables import PAGES_SCHEMA
+
+    spark = get_spark(app="sparkdu-curate", master=args.master)
+    pages = spark.read.schema(PAGES_SCHEMA).parquet(args.input)
+    t0 = time.time()
+    stages = curate(spark, pages, min_quality=args.min_quality)
+    stages["curated"].write.mode("overwrite").parquet(os.path.join(args.output, "curated"))
+    counts = {k: v.count() for k, v in stages.items()}
+    print(
+        f"curate: in={pages.count()} extracted={counts['extracted']} "
+        f"kept={counts['kept']} exact_deduped={counts['exact_deduped']} "
+        f"curated={counts['curated']} wall={time.time()-t0:.1f}s"
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -124,3 +124,19 @@ def test_multimodal_stub(spark, pages_df):
     f1 = fake_features(bytes(row["html"]))
     f2 = fake_features(bytes(row["html"]))
     assert f1 == f2
+
+
+def test_curate_pipeline(spark, pages_df):
+    """Composite curation job: counts monotone, dedup actually removes the
+    2% dup-url tail via extraction-level dedup, exact dedup is idempotent."""
+    from sparkdu.jobs.curate_job import curate
+
+    stages = curate(spark, pages_df, min_quality=0.2, min_chars=50)
+    c = {k: v.count() for k, v in stages.items()}
+    n_urls = pages_df.select("url").distinct().count()
+    assert c["extracted"] == n_urls
+    assert c["extracted"] >= c["kept"] >= c["exact_deduped"] >= c["curated"]
+    assert c["curated"] > 0
+    # curated rows carry the quality score and text
+    row = stages["curated"].select("url", "quality", "extracted_text").first()
+    assert 0.0 <= row["quality"] <= 1.1 and len(row["extracted_text"]) >= 50
