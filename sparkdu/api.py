@@ -35,6 +35,29 @@ SPAN_ARROW = pa.list_(
 )
 
 
+def _span_list_array(pa_mod, span_lists):
+    """list-of-(nid,start,end)-tuples per row -> Arrow list<struct> column,
+    built from flat arrays (no per-span python dicts)."""
+    s_nid, s_start, s_end, offsets = [], [], [], [0]
+    for sp in span_lists:
+        for nid, st, en in sp:
+            s_nid.append(nid)
+            s_start.append(st)
+            s_end.append(en)
+        offsets.append(len(s_nid))
+    return pa_mod.ListArray.from_arrays(
+        pa_mod.array(offsets, pa_mod.int32()),
+        pa_mod.StructArray.from_arrays(
+            [
+                pa_mod.array(s_nid, pa_mod.int32()),
+                pa_mod.array(s_start, pa_mod.int64()),
+                pa_mod.array(s_end, pa_mod.int64()),
+            ],
+            names=["node_id", "start", "end"],
+        ),
+    )
+
+
 @dataclass(frozen=True)
 class ExtractConfig:
     """Frozen run configuration; artifacts referenced by path, loaded once
@@ -147,7 +170,10 @@ def fused_extract_udf(cfg: ExtractConfig):
             batches = _dedup_record_batches(batches)
         for rb in batches:
             idx = {n: i for i, n in enumerate(rb.schema.names)}
-            texts, n_blocks, spans, versions = [], [], [], []
+            texts, n_blocks, versions = [], [], []
+            # spans columnarized flat (one ListArray build per batch instead
+            # of ~n_docs x n_blocks python dicts)
+            s_nid, s_start, s_end, offsets = [], [], [], [0]
             for html in rb.column(idx["html"]):
                 try:
                     t, nb, sp, ver = P.extract_doc(html.as_py(), model)
@@ -155,15 +181,30 @@ def fused_extract_udf(cfg: ExtractConfig):
                     t, nb, sp, ver = "", 0, [], P.PIPELINE_VERSION_RULE
                 texts.append(t)
                 n_blocks.append(nb)
-                spans.append(sp)
                 versions.append(ver)
+                for nid, st, en in sp:
+                    s_nid.append(nid)
+                    s_start.append(st)
+                    s_end.append(en)
+                offsets.append(len(s_nid))
+            span_arr = pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()),
+                pa.StructArray.from_arrays(
+                    [
+                        pa.array(s_nid, pa.int32()),
+                        pa.array(s_start, pa.int64()),
+                        pa.array(s_end, pa.int64()),
+                    ],
+                    names=["node_id", "start", "end"],
+                ),
+            )
             yield pa.RecordBatch.from_arrays(
                 [
                     rb.column(idx["url"]),
                     rb.column(idx["warc_ts"]),
                     pa.array(texts, pa.string()),
                     pa.array(n_blocks, pa.int32()),
-                    pa.array(spans, SPAN_ARROW),
+                    span_arr,
                     pa.array(versions, pa.string()),
                 ],
                 names=["url", "warc_ts", "extracted_text", "n_blocks",

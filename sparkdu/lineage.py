@@ -83,7 +83,7 @@ def _extract_doc_metrics(html, model):
         if not k:
             continue
         n = r[5]
-        spans.append({"node_id": r[0], "start": off, "end": off + n})
+        spans.append((r[0], off, off + n))
         parts.append(r[4])
         off += n + 1
     if truncated:
@@ -94,7 +94,7 @@ def _extract_doc_metrics(html, model):
 def lineage_extract_udf(model_path: Optional[str], dedup: bool = True):
     import pyarrow as pa
 
-    from .api import SPAN_ARROW, _dedup_record_batches
+    from .api import _dedup_record_batches, _span_list_array
 
     def fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         model = _load_model(model_path)
@@ -123,7 +123,7 @@ def lineage_extract_udf(model_path: Optional[str], dedup: bool = True):
                     rb.column(idx["warc_ts"]),
                     pa.array(out["extracted_text"], pa.string()),
                     pa.array(out["n_blocks"], pa.int32()),
-                    pa.array(out["spans"], SPAN_ARROW),
+                    _span_list_array(pa, out["spans"]),
                     pa.array(out["pipeline_version"], pa.string()),
                     rb.column(idx["partition_key"]),
                     pa.array(out["n_nodes"], pa.int32()),

@@ -48,9 +48,7 @@ def test_fuzz_parity(frag):
     t, nb, spans, _ = sp.extract_doc(b)
     assert o["extracted_text"].encode("utf-8") == t.encode("utf-8"), repr(frag)
     assert o["n_blocks"] == nb
-    assert [(d["node_id"], d["start"], d["end"]) for d in o["spans"]] == [
-        (d["node_id"], d["start"], d["end"]) for d in spans
-    ]
+    assert [(d["node_id"], d["start"], d["end"]) for d in o["spans"]] == list(spans)
 
 
 @given(st.binary(min_size=0, max_size=300))

@@ -38,9 +38,7 @@ def _both(b):
     s_text, s_nb, s_spans, _ = sp.extract_doc(b)
     assert o["extracted_text"].encode() == s_text.encode()
     assert o["n_blocks"] == s_nb
-    assert [(d["node_id"], d["start"], d["end"]) for d in o["spans"]] == [
-        (d["node_id"], d["start"], d["end"]) for d in s_spans
-    ]
+    assert [(d["node_id"], d["start"], d["end"]) for d in o["spans"]] == list(s_spans)
     return o
 
 
