@@ -1222,3 +1222,28 @@ def mm_frame_sample(spark, sf_dir):
     from .multimodal import frame_sample
 
     return frame_sample(f(spark, "pages").select("url", "html").limit(100))
+
+
+@q(
+    "tpch_q4ish",
+    """SELECT o.o_orderpriority, count(*) AS order_count
+       FROM orders o
+       WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+         AND EXISTS (SELECT 1 FROM lineitem l
+                     WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+       GROUP BY o.o_orderpriority""",
+)
+def tpch_q4ish(spark, sf_dir):
+    """Order-priority check: EXISTS -> left-semi join + agg."""
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp")
+    )
+    li = t(spark, sf_dir, "lineitem").alias("l")
+    oa = o.alias("o")
+    sem = oa.join(
+        li,
+        (F.col("l.l_orderkey") == F.col("o.o_orderkey"))
+        & (F.col("l.l_shipdate") > F.col("o.o_orderdate")),
+        "left_semi",
+    )
+    return sem.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
