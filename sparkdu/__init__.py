@@ -11,3 +11,26 @@ submodules (fixtures) are usable without a JVM.
 """
 
 __version__ = "0.1.0"
+
+_LAZY = {
+    "extract_pages": ("sparkdu.api", "extract_pages"),
+    "extract_pages_staged": ("sparkdu.staged", "extract_pages_staged"),
+    "parse_nodes_df": ("sparkdu.api", "parse_nodes_df"),
+    "ExtractConfig": ("sparkdu.api", "ExtractConfig"),
+    "get_spark": ("sparkdu.session", "get_spark"),
+    "run_extract_job": ("sparkdu.lineage", "run_extract_job"),
+    "ExtractJobConfig": ("sparkdu.lineage", "ExtractJobConfig"),
+    "build_edges_grouped": ("sparkdu.graph", "build_edges_grouped"),
+    "TableCatalog": ("sparkdu.tables", "TableCatalog"),
+}
+
+
+def __getattr__(name):
+    """Lazy public API: `from sparkdu import extract_pages` without forcing
+    a pyspark import for stdlib-only consumers (fixtures, tests)."""
+    if name in _LAZY:
+        import importlib
+
+        mod, attr = _LAZY[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(name)

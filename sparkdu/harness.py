@@ -1161,7 +1161,7 @@ def extract_model_golden(spark, sf_dir):
     "dedup_embedding_cosine",
     """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
               round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
-       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id AND b.vec_id < 5000
        WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.35""",
 )
 def dedup_embedding_cosine(spark, sf_dir):
@@ -1170,7 +1170,7 @@ def dedup_embedding_cosine(spark, sf_dir):
     is the 10^12-scale variant."""
     from .dedup import cosine
 
-    e = t(spark, sf_dir, "embeddings")
+    e = t(spark, sf_dir, "embeddings").filter("vec_id < 5000")  # bound all-pairs at big sf
     a = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
     b = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"))
     pairs = a.join(b, F.col("a_id") < F.col("b_id"))
