@@ -415,9 +415,9 @@ def dedup_latest_q(spark, sf_dir):
 
 @q(
     "agg_page_stats",
-    f"""SELECT url, count(*) AS n_nodes, sum(n_chars) AS total_chars,
+    f"""SELECT url, count(*) AS n_nodes, cast(sum(n_chars) AS BIGINT) AS total_chars,
                round(avg((x2-x1)*(y2-y1)), 6) AS mean_area,
-               sum(CASE WHEN is_content THEN 1 ELSE 0 END) AS n_content
+               cast(sum(CASE WHEN is_content THEN 1 ELSE 0 END) AS BIGINT) AS n_content
         FROM read_parquet('{fx("nodes")}') GROUP BY url""",
 )
 def agg_page_stats(spark, sf_dir):
@@ -499,7 +499,7 @@ def agg_distinct_tags(spark, sf_dir):
 @q(
     "agg_cube_lang_source",
     """SELECT coalesce(lang, '<all>') AS lang, coalesce(source, '<all>') AS source,
-              count(*) AS n, sum(n_chars) AS chars
+              count(*) AS n, cast(sum(n_chars) AS BIGINT) AS chars
        FROM documents GROUP BY CUBE (lang, source)""",
 )
 def agg_cube_lang_source(spark, sf_dir):
@@ -554,8 +554,8 @@ def win_reading_order(spark, sf_dir):
 @q(
     "win_para_merge",
     f"""SELECT url, node_id,
-               sum(brk) OVER (PARTITION BY url, part_id ORDER BY node_id
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS paragraph_id
+               cast(sum(brk) OVER (PARTITION BY url, part_id ORDER BY node_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS paragraph_id
         FROM (
           SELECT url, part_id, node_id,
                  CASE WHEN lag(y2) OVER (PARTITION BY url, part_id ORDER BY node_id) IS NULL
@@ -597,8 +597,8 @@ def win_topk_blocks(spark, sf_dir):
           UNION ALL
           SELECT url, dst_node_id AS node_id, edge_type FROM read_parquet('{fx("edges")}'))
         SELECT url, node_id,
-               sum(CASE WHEN edge_type = 'h' THEN 1 ELSE 0 END) AS n_h_neighbors,
-               sum(CASE WHEN edge_type = 'v' THEN 1 ELSE 0 END) AS n_v_neighbors
+               cast(sum(CASE WHEN edge_type = 'h' THEN 1 ELSE 0 END) AS BIGINT) AS n_h_neighbors,
+               cast(sum(CASE WHEN edge_type = 'v' THEN 1 ELSE 0 END) AS BIGINT) AS n_v_neighbors
         FROM ends GROUP BY url, node_id""",
 )
 def win_neighbor_cnt(spark, sf_dir):

@@ -9,12 +9,14 @@ order-insensitive values. Usage:
 
 from __future__ import annotations
 
+import decimal
 import math
 import os
 import sys
 import time
 
 import duckdb
+import pyarrow as pa
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -28,6 +30,13 @@ def canon(v):
         if math.isnan(v):
             return "NaN"
         return f"{v:.9g}"
+    # Decimal must NOT collapse to the int/float representation: the driver
+    # hashes at the Arrow level, where decimal128 != int64 even for equal
+    # values (DuckDB sum(INTEGER) -> HUGEINT -> decimal128(38,0) burned us
+    # in round 1). Keep it a distinct canonical form so the local gate
+    # fails exactly where the driver fails.
+    if isinstance(v, decimal.Decimal):
+        return f"dec:{v}"
     if isinstance(v, bytes):
         return v.hex()
     if isinstance(v, list):
@@ -35,6 +44,61 @@ def canon(v):
     if isinstance(v, dict):
         return tuple(sorted((k, canon(x)) for k, x in v.items()))
     return str(v)
+
+
+def arrow_family(t: pa.DataType) -> str:
+    """Coarse type family of an Arrow type, for Spark-vs-DuckDB schema compare."""
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_timestamp(t):
+        return "ts"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "bytes"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return "list"
+    if pa.types.is_struct(t) or pa.types.is_map(t):
+        return "struct"
+    if pa.types.is_null(t):
+        return "null"
+    return str(t)
+
+
+def spark_family(dtype: str) -> str:
+    """Coarse type family of a Spark simpleString dtype."""
+    d = dtype.lower()
+    if d in ("tinyint", "smallint", "int", "integer", "bigint", "long", "short", "byte"):
+        return "int"
+    if d in ("float", "double"):
+        return "float"
+    if d.startswith("decimal"):
+        return "decimal"
+    if d == "boolean":
+        return "bool"
+    if d.startswith("timestamp"):
+        return "ts"
+    if d == "date":
+        return "date"
+    if d == "binary":
+        return "bytes"
+    if d == "string":
+        return "str"
+    if d.startswith("array"):
+        return "list"
+    if d.startswith("struct") or d.startswith("map"):
+        return "struct"
+    if d in ("void", "null"):
+        return "null"
+    return d
 
 
 def canon_rows(cols, rows):
@@ -64,6 +128,7 @@ def main():
         try:
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
+            s_types = {fld.name: fld.dataType.simpleString() for fld in sdf.schema.fields}
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
@@ -74,9 +139,13 @@ def main():
             n_rowsonly += 1
             continue
         try:
-            rel = con.sql(ORACLES[name])
-            d_cols = rel.columns
-            d_rows = rel.fetchall()
+            # Arrow-level fetch: the driver hashes DuckDB output through
+            # Arrow, so type mismatches invisible to fetchall() (decimal128
+            # vs int64) must surface here too.
+            tbl = con.sql(ORACLES[name]).arrow()
+            d_cols = tbl.column_names
+            d_rows = [tuple(d[c] for c in d_cols) for d in tbl.to_pylist()]
+            d_families = {f.name: arrow_family(f.type) for f in tbl.schema}
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             n_fail += 1
@@ -89,6 +158,14 @@ def main():
         if sorted(s_cols) != sorted(d_cols):
             ok = False
             msgs.append(f"schema spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
+        else:
+            for c in s_cols:
+                sf_, df_ = spark_family(s_types[c]), d_families[c]
+                if "null" in (sf_, df_):  # empty/all-null column: undecidable
+                    continue
+                if sf_ != df_:
+                    ok = False
+                    msgs.append(f"type family {c}: spark={s_types[c]}({sf_}) duckdb={df_}")
         if ok:
             cs = canon_rows(s_cols, s_rows)
             cd = canon_rows(d_cols, d_rows)
