@@ -66,9 +66,12 @@ class ExtractConfig:
     model_path: Optional[str] = None   # frozen logistic weights (M5) or None
     num_partitions: Optional[int] = None  # salt partition count; None = 4x cores
     dedup: bool = True                 # J9 latest-per-url
-    salt: bool = True                  # explicit url-hash repartition [B:14];
-    # False for input already bucketed/partitioned by url (Iceberg bucket(url)
-    # tables) — then the pipeline is completely shuffle-free.
+    salt: bool = True                  # explicit url-hash repartition [B:14].
+    # CONTRACT: salt=False asserts the input is ALREADY url-bucketed (e.g. an
+    # Iceberg bucket(url) table) — then the pipeline is completely
+    # shuffle-free. If salt=False and dedup=True, dedup is only
+    # sortWithinPartitions-local: same-url rows split across partitions
+    # SILENTLY SURVIVE. Never set salt=False on un-bucketed input.
 
 
 def default_partitions(spark: SparkSession, cfg: ExtractConfig) -> int:
@@ -178,7 +181,9 @@ def fused_extract_udf(cfg: ExtractConfig):
                 try:
                     t, nb, sp, ver = P.extract_doc(html.as_py(), model)
                 except Exception:
-                    t, nb, sp, ver = "", 0, [], P.PIPELINE_VERSION_RULE
+                    t, nb, sp = "", 0, []
+                    ver = (P.PIPELINE_VERSION_MODEL if model is not None
+                           else P.PIPELINE_VERSION_RULE)
                 texts.append(t)
                 n_blocks.append(nb)
                 versions.append(ver)
@@ -273,7 +278,9 @@ def parse_nodes_udf(dedup: bool = False):
                     out["doc_truncated"].append(truncated)
                     for c, v in zip(cols, r):
                         out[c].append(v)
-            pdf_out = pd.DataFrame(out)
+            # object dtype: an all-error/empty batch otherwise yields float64
+            # NaN columns that Arrow refuses to convert to map<string,string>
+            pdf_out = pd.DataFrame(out, dtype=object)
             for c, dt in (
                 ("part_id", "int32"), ("node_id", "int32"), ("depth", "int32"),
                 ("n_chars", "int32"), ("n_links", "int32"),

@@ -109,7 +109,9 @@ def lineage_extract_udf(model_path: Optional[str], dedup: bool = True):
                 try:
                     txt, nb, sp, ver, nn, err = _extract_doc_metrics(html, model)
                 except Exception:
-                    txt, nb, sp, ver, nn, err = "", 0, [], P.PIPELINE_VERSION_RULE, 0, 1
+                    txt, nb, sp, nn, err = "", 0, [], 0, 1
+                    ver = (P.PIPELINE_VERSION_MODEL if model is not None
+                           else P.PIPELINE_VERSION_RULE)
                 out["extracted_text"].append(txt)
                 out["n_blocks"].append(nb)
                 out["spans"].append(sp)

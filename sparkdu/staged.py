@@ -112,7 +112,9 @@ def assemble(spark: SparkSession, pages: DataFrame, content_nodes: DataFrame,
     base = pages.select(
         "url",
         "warc_ts",
-        (F.length("html") > P.MAX_HTML_BYTES).alias("_trunc"),
+        # coalesce: NULL html (spec: -> '') must not fall through the
+        # when-chain into the truncation-marker branch
+        F.coalesce(F.length("html") > P.MAX_HTML_BYTES, F.lit(False)).alias("_trunc"),
     )
     body = F.coalesce(F.col("_body"), F.lit(""))
     text = (

@@ -60,6 +60,31 @@ def test_minhash_lsh_recall(spark, docs_df):
     assert good / max(len(pairs), 1) >= 0.8
 
 
+def test_minhash_lsh_bucket_cap_bounds_skew(spark):
+    """10k identical docs all land in ONE bucket per band; the per-bucket cap
+    must bound pair output at O(cap^2), not O(k^2) (VERDICT r1 item 7), and
+    the Observation must report the dropped row count."""
+    from pyspark.sql import Observation
+
+    k, cap = 2000, 50
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate page body text repeated verbatim") for i in range(k)],
+        "doc_id long, text string",
+    )
+    obs = Observation("lsh_skew")
+    pairs = minhash_lsh_pairs(
+        docs, n_hashes=32, bands=8, max_bucket=cap, observation=obs
+    )
+    n_pairs = pairs.count()
+    # survivors are the cap lowest ids; pairs among them only
+    assert n_pairs == cap * (cap - 1) // 2
+    # each of the 8 bands drops (k - cap) rows
+    assert obs.get["lsh_bucket_dropped"] == 8 * (k - cap)
+    # survivors keep the duplicate cluster discoverable: ids 0..cap-1 paired
+    a_ids = {r["a_id"] for r in pairs.select("a_id").distinct().collect()}
+    assert a_ids == set(range(cap - 1))
+
+
 def test_simhash_near_dup_hamming(spark, docs_df):
     fp = simhash_fingerprints(docs_df)
     a = fp.alias("a")
@@ -97,7 +122,7 @@ def test_ann_lsh_subset_of_space_and_sane(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
     brute = ann_brute_topk(emb, n_queries=3, k=10).collect()
     assert len(brute) == 30
-    lsh = ann_lsh_topk(emb, n_queries=3, k=10).collect()
+    lsh = ann_lsh_topk(emb, n_queries=3, k=10, dim=16).collect()
     assert 0 < len(lsh) <= 30
     bmap = {(r["q_id"], r["vec_id"]): r["cos"] for r in brute}
     # every LSH result's cosine must equal the brute-force cosine (exact

@@ -40,6 +40,31 @@ def test_t3_fused_equals_staged(spark, pages_df, fused):
         assert _spans(s) == _spans(f)
 
 
+def test_t3b_null_html_fused_staged_oracle(spark):
+    """Spec SS1: NULL html -> ''. The staged path's _trunc predicate is NULL
+    for NULL html; without coalesce it fell through to the truncation marker
+    (ADVICE r1) — pin all three implementations to the spec."""
+    import datetime
+
+    from sparkdu.tables import PAGES_SCHEMA
+
+    rows = [
+        {"url": "https://null.example/", "warc_ts": datetime.datetime(2024, 1, 1),
+         "html": None, "text": None, "lang": "en"},
+        {"url": "https://tiny.example/", "warc_ts": datetime.datetime(2024, 1, 1),
+         "html": b"<html><body><p>hello world</p></body></html>", "text": None,
+         "lang": "en"},
+    ]
+    df = spark.createDataFrame(rows, PAGES_SCHEMA)
+    fused_m = _by_url(extract_pages(spark, df))
+    staged_m = _by_url(extract_pages_staged(spark, df))
+    for impl in (fused_m, staged_m):
+        o = orc.extract_page("https://null.example/", None)
+        s = impl["https://null.example/"]
+        assert s["extracted_text"] == o["extracted_text"] == ""
+        assert s["n_blocks"] == 0 and _spans(s) == []
+
+
 def test_t4_determinism_across_partitionings(spark, pages_df, fused):
     import hashlib
 
