@@ -46,7 +46,9 @@ def ensure_corpus(spark, n_docs: int) -> str:
     from sparkdu.fixtures import DUP_FRACTION, gen_row
     from sparkdu.tables import PAGES_SCHEMA
 
-    path = os.path.join(CACHE, f"pages_{n_docs}")
+    # v2: corpus version key — bump when sparkdu.fixtures generation changes,
+    # or a stale /tmp cache silently serves the old corpus
+    path = os.path.join(CACHE, f"pages_v2_{n_docs}")
     ok = os.path.join(path, "_SUCCESS")
     if os.path.exists(ok):
         return path
@@ -104,7 +106,7 @@ def time_levels(small: int, big: int, path: str) -> dict[int, float]:
     with ~13%+ steal). A real 1000-executor cluster is the 4→16 regime —
     executors own their cores."""
     walls: dict[int, list[float]] = {small: [], big: []}
-    for _round in range(3):
+    for _round in range(4):
         walls[small] += _one_session(small, path, runs=1)
         walls[big] += _one_session(big, path, runs=2)  # cheap level: 2 samples
     return {c: min(v) for c, v in walls.items()}
@@ -121,15 +123,26 @@ def main() -> None:
     pair_path = ensure_corpus(spark, PAIR_DOCS)
     gen_s = time.time() - t0
 
+    # session warm-up OUTSIDE any timed window: first-action costs (codegen
+    # warm-up, scheduler init, parquet footer cache) otherwise land entirely
+    # on the first timed query (r1: tpch_q1 "7.9s" was ~7s of warm-up)
+    spark.range(1 << 22).selectExpr("sum(id)").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
     queries: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES.get(name)
         if fn is None:
             continue
-        t0 = time.time()
         try:
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            queries[name] = round(time.time() - t0, 3)
+            best = None
+            for _attempt in range(2):  # best-of-2: absorb per-query first-run JIT
+                t0 = time.time()
+                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            queries[name] = round(best, 3)
         except Exception:
             queries[name] = -1.0
     spark.stop()
@@ -143,8 +156,11 @@ def main() -> None:
     ds_big = PAIR_DOCS / t_big
     eff = (ds_big / ds_small) / (n_big / n_small)
 
-    # full-width throughput at local[CPUS] (the headline latency metric)
-    t_full = min(_one_session(CPUS, path, runs=2))
+    # full-width throughput at local[CPUS] (the headline latency metric);
+    # two sessions spread in time, best of 4 samples — the shared host's
+    # contention bursts last tens of seconds, so temporal spread matters
+    # more than sample count within one session
+    t_full = min(_one_session(CPUS, path, runs=2) + _one_session(CPUS, path, runs=2))
 
     queries[f"extract_local{n_small}"] = round(t_small, 3)
     queries[f"extract_local{n_big}"] = round(t_big, 3)

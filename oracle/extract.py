@@ -79,12 +79,13 @@ def normalize_text(raw: str) -> str:
 
 
 class _Open:
-    __slots__ = ("tag", "node_id", "depth", "is_block", "anc_boiler", "attrs",
-                 "chunks", "link_chunks", "n_links")
+    __slots__ = ("tag", "node_id", "part_id", "depth", "is_block", "anc_boiler",
+                 "attrs", "chunks", "link_chunks", "n_links")
 
-    def __init__(self, tag, node_id, depth, is_block, anc_boiler, attrs):
+    def __init__(self, tag, node_id, part_id, depth, is_block, anc_boiler, attrs):
         self.tag = tag
         self.node_id = node_id
+        self.part_id = part_id
         self.depth = depth
         self.is_block = is_block
         self.anc_boiler = anc_boiler
@@ -102,6 +103,7 @@ class _BlockParser(HTMLParser):
         self.stack: list[_Open] = []
         self.nodes: list[dict] = []
         self.next_id = 0
+        self.part = 0        # SPEC SS2 pagination counter (<hr> increments)
         self.skip_depth = 0  # count of open SKIP_TAGS elements
         self.a_depth = 0     # count of open <a> elements
 
@@ -139,6 +141,7 @@ class _BlockParser(HTMLParser):
         self.nodes.append(
             {
                 "node_id": el.node_id,
+                "part_id": el.part_id,
                 "tag": el.tag,
                 "attrs": el.attrs,
                 "depth": el.depth,
@@ -159,6 +162,8 @@ class _BlockParser(HTMLParser):
         self.next_id += 1
         if tag == "br":
             self._add_text(" ")
+        if tag == "hr":
+            self.part += 1  # SPEC SS2: pagination boundary (after node_id count)
         if tag in VOID_TAGS:
             return
         if tag == "a":
@@ -176,7 +181,8 @@ class _BlockParser(HTMLParser):
             if k not in d:
                 d[k] = v if v is not None else ""
         self.stack.append(
-            _Open(tag, node_id, len(self.stack), tag in BLOCK_TAGS, anc_boiler, d)
+            _Open(tag, node_id, self.part, len(self.stack), tag in BLOCK_TAGS,
+                  anc_boiler, d)
         )
 
     def handle_startendtag(self, tag, attrs):
@@ -187,6 +193,8 @@ class _BlockParser(HTMLParser):
             return
         if tag in VOID_TAGS:
             self.next_id += 1
+            if tag == "hr":
+                self.part += 1
             return
         self.handle_starttag(tag, attrs)
         self.handle_endtag(tag)
@@ -252,8 +260,42 @@ def _model_score(nd: dict, model: dict) -> float:
     return 1.0 / (1.0 + math.exp(-z))
 
 
+def _add_derived_features(nodes: list[dict], model: dict) -> None:
+    """SPEC.md SS4 clf_v2 derived features, in place (per-doc pure map)."""
+    nb_bases = [f[len("nb_mean_"):] for f in model["features"]
+                if f.startswith("nb_mean_")]
+    want_tfidf = "tfidf_mean" in model["features"]
+    if nb_bases:
+        order = sorted(nodes, key=lambda d: d["node_id"])
+        for i, nd in enumerate(order):
+            prev = order[i - 1] if i > 0 and order[i - 1]["part_id"] == nd["part_id"] else None
+            nxt = (order[i + 1] if i + 1 < len(order)
+                   and order[i + 1]["part_id"] == nd["part_id"] else None)
+            for base in nb_bases:
+                if prev is not None and nxt is not None:
+                    v = (float(prev[base]) + float(nxt[base])) / 2
+                elif prev is not None:
+                    v = float(prev[base])
+                elif nxt is not None:
+                    v = float(nxt[base])
+                else:
+                    v = float(nd[base])
+                nd["nb_mean_" + base] = v
+    if want_tfidf:
+        idf = model["idf"]
+        oov = model["idf_oov"]
+        for nd in nodes:
+            toks = nd["text"].split(" ")
+            s = 0.0
+            for t in toks:
+                s += idf.get(t, oov)
+            nd["tfidf_mean"] = s / len(toks)
+
+
 def classify(nodes: list[dict], model: dict | None = None) -> None:
     """SPEC.md SS4: set is_content per node, in place."""
+    if model is not None and nodes:
+        _add_derived_features(nodes, model)
     for nd in nodes:
         ok = (not nd["anc_boiler"]) and nd["link_density"] <= 0.5
         if ok and model is not None:

@@ -274,7 +274,7 @@ def parse_nodes_udf(dedup: bool = False):
                     blocks, truncated = [], False
                 for r in blocks:
                     out["url"].append(url)
-                    out["part_id"].append(0)
+                    out["part_id"].append(r[-1])  # trailing part_id (SPEC SS2)
                     out["doc_truncated"].append(truncated)
                     for c, v in zip(cols, r):
                         out[c].append(v)

@@ -53,9 +53,58 @@ def score_udf(model: dict):
     return fn
 
 
+def _tfidf_mean_py(txt: str, idf: dict, oov: float) -> float:
+    toks = txt.split(" ")
+    s = 0.0
+    for t in toks:
+        s += idf.get(t, oov)
+    return s / len(toks)
+
+
+def with_derived_features(nodes: DataFrame, model: dict) -> DataFrame:
+    """clf_v2 derived features (SPEC SS4) as DataFrame columns.
+
+    nb_mean_<raw>: lag/lead window over (url, part_id) ordered by node_id —
+    JVM doubles, same IEEE sequence as the oracle's (prev+next)/2.
+    tfidf_mean: frozen-IDF lookup in a pandas UDF, token-order accumulation
+    identical to the oracle loop. Both stay per-document (window keys are
+    url-local), so this adds no shuffle beyond the url partitioning the
+    staged path already has.
+    """
+    from pyspark.sql import Window
+
+    feats = model["features"]
+    nb_bases = [f[len("nb_mean_"):] for f in feats if f.startswith("nb_mean_")]
+    df = nodes
+    if nb_bases:
+        w = Window.partitionBy("url", "part_id").orderBy("node_id")
+        for base in nb_bases:
+            prev = F.lag(F.col(base).cast("double")).over(w)
+            nxt = F.lead(F.col(base).cast("double")).over(w)
+            df = df.withColumn(
+                "nb_mean_" + base,
+                F.when(prev.isNotNull() & nxt.isNotNull(), (prev + nxt) / 2)
+                .when(prev.isNotNull(), prev)
+                .when(nxt.isNotNull(), nxt)
+                .otherwise(F.col(base).cast("double")),
+            )
+    if "tfidf_mean" in feats:
+        idf = {k: float(v) for k, v in model["idf"].items()}
+        oov = float(model["idf_oov"])
+
+        @F.pandas_udf(T.DoubleType())
+        def tfidf_fn(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+            for s in it:
+                yield s.map(lambda txt: _tfidf_mean_py(txt, idf, oov))
+
+        df = df.withColumn("tfidf_mean", tfidf_fn(F.col("text")))
+    return df
+
+
 def classify_model(nodes: DataFrame, model_path: str) -> DataFrame:
     """Rule stage then model refinement (SPEC SS4, pipeline >= 1.1.0)."""
     model = load_artifact(model_path)
+    nodes = with_derived_features(nodes, model)
     rule_ok = (~F.col("anc_boiler")) & (F.col("link_density") <= 0.5)
     scored = score_udf(model)(F.struct(*model["features"]))
     return nodes.withColumn("is_content", rule_ok & scored)

@@ -73,6 +73,13 @@ def _gen_page(doc_id: int, mega: bool = False, over_cap: bool = False):
     chopped = (doc_id % 200) == 13 and not mega and not over_cap
     content_texts: list[str] = []
 
+    # multi-part pages (SPEC SS2 pagination; web analogue of MultiPageXml):
+    # ~1/9 of pages get 2-4 sections separated by <hr class="page-break">.
+    # Break positions come from an INDEPENDENT prng so every other page's
+    # main-rng draw sequence (and thus its bytes) is unchanged.
+    multi = (doc_id % 9) == 3 and not mega and not over_cap
+    hr_breaks: set = set()
+
     parts = ["<!DOCTYPE html><html><head>"]
     parts.append(f"<title>Page {doc_id} &amp; friends</title>")
     if latin1:
@@ -95,7 +102,13 @@ def _gen_page(doc_id: int, mega: bool = False, over_cap: bool = False):
     n_paras = rng.randint(5000, 20000) if mega else rng.randint(5, 60)
     if over_cap:
         n_paras = 40000
+    if multi and n_paras >= 4:
+        prng = random.Random(SEED_BASE + doc_id + 7_777_777)
+        n_parts = prng.randint(2, 4)
+        hr_breaks = set(prng.sample(range(1, n_paras), min(n_parts - 1, n_paras - 1)))
     for i in range(n_paras):
+        if i in hr_breaks:
+            parts.append('<hr class="page-break">')
         base = _words(rng, 20, 80)
         if latin1 and i == 0:
             base = rng.choice(_LATIN1_WORDS) + " " + base

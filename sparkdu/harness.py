@@ -291,6 +291,43 @@ def join_xpart(spark, sf_dir):
 
 
 @q(
+    "join_xpart_pipeline",
+    f"""WITH b AS (
+          SELECT url, part_id, min(node_id) AS first_id, max(node_id) AS last_id
+          FROM read_parquet('{fx("nodes")}') GROUP BY url, part_id)
+        SELECT a.url, a.part_id AS part_a, a.last_id AS node_a,
+               c.part_id AS part_b, c.first_id AS node_b
+        FROM b a JOIN b c ON a.url = c.url AND c.part_id = a.part_id + 1""",
+)
+def join_xpart_pipeline(spark, sf_dir):
+    """J3 end-to-end — cross-part continuity edges over PIPELINE-parsed
+    multi-part pages (SPEC SS2 pagination: <hr> part boundaries), the web
+    analogue of MultiPageXml cross-page edges [U xml_formats/PageXml].
+
+    The Spark side parses pages.parquet with parse_nodes_df (its own
+    parser); the oracle reads the oracle-parsed nodes fixture — so this key
+    cross-checks the two parsers' part assignment, not just the join."""
+    from .api import ExtractConfig, parse_nodes_df
+
+    nodes = parse_nodes_df(spark, f(spark, "pages"), ExtractConfig())
+    b = nodes.groupBy("url", "part_id").agg(
+        F.min("node_id").alias("first_id"), F.max("node_id").alias("last_id")
+    )
+    a, c = b.alias("a"), b.alias("c")
+    return a.join(
+        c,
+        (F.col("a.url") == F.col("c.url"))
+        & (F.col("c.part_id") == F.col("a.part_id") + 1),
+    ).select(
+        F.col("a.url").alias("url"),
+        F.col("a.part_id").alias("part_a"),
+        F.col("a.last_id").alias("node_a"),
+        F.col("c.part_id").alias("part_b"),
+        F.col("c.first_id").alias("node_b"),
+    )
+
+
+@q(
     "join_contain",
     f"""SELECT n.url, r.region_id, n.node_id
         FROM read_parquet('{fx("geo")}') n
@@ -1154,13 +1191,14 @@ def tpch_q3ish(spark, sf_dir):
         FROM read_parquet('{fx("golden_extracted_model")}')""",
 )
 def extract_model_golden(spark, sf_dir):
-    """M5 gate: fused pipeline WITH the frozen logistic model (v1.1.0) vs
-    the oracle-computed model golden — byte identity holds because the
-    weights artifact is an input to both (SURVEY SS7 M5)."""
+    """M5 gate: fused pipeline WITH the frozen clf_v2 model (v1.1.0;
+    neighbor-smoothing + TF-IDF features, SPEC SS4) vs the oracle-computed
+    model golden — byte identity holds because the weights artifact is an
+    input to both (SURVEY SS7 M5)."""
     from .api import ExtractConfig, extract_pages
     from .tables import PAGES_SCHEMA
 
-    art = os.path.join(os.path.dirname(FIX), "artifacts", "clf_v1.json")
+    art = os.path.join(os.path.dirname(FIX), "artifacts", "clf_v2.json")
     pages = spark.read.schema(PAGES_SCHEMA).parquet(fx("pages"))
     return extract_pages(spark, pages, ExtractConfig(model_path=art)).select(
         "url", "extracted_text", F.col("n_blocks").cast("int").alias("n_blocks")

@@ -59,6 +59,35 @@ def train(X: np.ndarray, y: np.ndarray, iters: int = 400, lr: float = 0.5):
     return w_raw, b_raw, mu, sigma
 
 
+DERIVED_BASES = ["n_chars", "link_density", "punct_ratio"]
+FEATURES_V2 = (
+    FEATURES
+    + ["nb_mean_" + b for b in DERIVED_BASES]
+    + ["tfidf_mean"]
+)
+IDF_MIN_DF = 3
+
+
+def _confusion(pred: np.ndarray, y: np.ndarray) -> dict:
+    return {
+        "tp": int(((pred == 1) & (y == 1)).sum()),
+        "fp": int(((pred == 1) & (y == 0)).sum()),
+        "fn": int(((pred == 0) & (y == 1)).sum()),
+        "tn": int(((pred == 0) & (y == 0)).sum()),
+    }
+
+
+def _fit_and_report(X: np.ndarray, y: np.ndarray, names: list, tag: str):
+    w, b, mu, sigma = train(X, y)
+    z = X @ w + b
+    pred = (1.0 / (1.0 + np.exp(-z))) >= 0.5
+    cm = _confusion(pred, y)
+    prec = cm["tp"] / max(cm["tp"] + cm["fp"], 1)
+    rec = cm["tp"] / max(cm["tp"] + cm["fn"], 1)
+    print(f"{tag}: n={len(y)} {cm} precision={prec:.4f} recall={rec:.4f}")
+    return w, b, cm, prec, rec
+
+
 def main() -> None:
     from sparkdu.harness import fx
     from sparkdu.session import get_spark
@@ -68,39 +97,85 @@ def main() -> None:
 
     nodes = spark.read.parquet(fx("nodes"))
     labels = spark.read.parquet(fx("labels"))
+
+    # --- frozen IDF table (two-phase rule): the A2/J6 operators run at FIT
+    # time over the same corpus; extraction then only does dict lookups.
+    toks = nodes.select("url", F.explode(F.split("text", " ")).alias("token"))
+    n_docs = toks.select("url").distinct().count()
+    vocab_rows = (
+        toks.groupBy("token")
+        .agg(F.countDistinct("url").alias("df"))
+        .filter(F.col("df") >= IDF_MIN_DF)
+        .collect()
+    )
+    import math
+
+    idf = {r["token"]: math.log(n_docs / r["df"]) for r in vocab_rows}
+    idf_oov = math.log(float(n_docs))
+    print(f"idf vocab: {len(idf)} tokens over {n_docs} docs")
+
+    # --- derived feature columns via the SAME code path the staged pipeline
+    # uses at scoring time (sparkdu.classify.with_derived_features)
+    from sparkdu.classify import with_derived_features
+
+    pseudo = {"features": FEATURES_V2, "idf": idf, "idf_oov": idf_oov}
+    nodes_d = with_derived_features(nodes, pseudo)
+
     rule_ok = (~F.col("anc_boiler")) & (F.col("link_density") <= 0.5)
     df = (
-        nodes.filter(rule_ok)
+        nodes_d.filter(rule_ok)
         .join(labels, ["url", "node_id"])
-        .select(*FEATURES, (F.col("gt_label") == "content").cast("int").alias("y"))
+        .select(*FEATURES_V2, (F.col("gt_label") == "content").cast("int").alias("y"))
     )
     pdf = df.toPandas()
     spark.stop()
 
-    X = pdf[FEATURES].to_numpy(dtype=np.float64)
     y = pdf["y"].to_numpy(dtype=np.float64)
-    w, b, mu, sigma = train(X, y)
-
-    z = X @ w + b
-    pred = (1.0 / (1.0 + np.exp(-z))) >= 0.5
-    tp = int(((pred == 1) & (y == 1)).sum())
-    fp = int(((pred == 1) & (y == 0)).sum())
-    fn = int(((pred == 0) & (y == 1)).sum())
-    tn = int(((pred == 0) & (y == 0)).sum())
-    print(f"train n={len(y)} pos={y.mean():.3f}  tp={tp} fp={fp} fn={fn} tn={tn}")
-    print(f"precision={tp/max(tp+fp,1):.4f} recall={tp/max(tp+fn,1):.4f}")
+    X1 = pdf[FEATURES].to_numpy(dtype=np.float64)
+    X2 = pdf[FEATURES_V2].to_numpy(dtype=np.float64)
 
     os.makedirs(ART, exist_ok=True)
-    art = {
+
+    w1, b1, cm1, p1, r1 = _fit_and_report(X1, y, FEATURES, "clf_v1")
+    art1 = {
         "version": "clf_v1",
         "features": FEATURES,
-        "w": [float(x) for x in w],
-        "b": float(b),
-        "train_stats": {"n": int(len(y)), "tp": tp, "fp": fp, "fn": fn, "tn": tn},
+        "w": [float(x) for x in w1],
+        "b": float(b1),
+        "train_stats": {"n": int(len(y)), **cm1},
     }
     with open(os.path.join(ART, "clf_v1.json"), "w") as f:
-        json.dump(art, f, indent=1)
+        json.dump(art1, f, indent=1)
     print(f"wrote {os.path.join(ART, 'clf_v1.json')}")
+
+    # clf_v2: neighbor-smoothing + TF-IDF (the CRF/ECN + FeatureDefinition
+    # structured-model residue, SURVEY SS7 M5 / VERDICT r1 item 5+9)
+    w2, b2, cm2, p2, r2 = _fit_and_report(X2, y, FEATURES_V2, "clf_v2")
+    art2 = {
+        "version": "clf_v2",
+        "features": FEATURES_V2,
+        "w": [float(x) for x in w2],
+        "b": float(b2),
+        "idf": idf,
+        "idf_oov": idf_oov,
+        "train_stats": {"n": int(len(y)), **cm2},
+    }
+    with open(os.path.join(ART, "clf_v2.json"), "w") as f:
+        json.dump(art2, f, indent=1)
+    print(f"wrote {os.path.join(ART, 'clf_v2.json')}")
+
+    # A3-style quality report: v1 vs v2 delta on the same training corpus
+    report = {
+        "n": int(len(y)),
+        "clf_v1": {**cm1, "precision": p1, "recall": r1},
+        "clf_v2": {**cm2, "precision": p2, "recall": r2},
+        "delta": {"precision": p2 - p1, "recall": r2 - r1,
+                  "errors_v1": cm1["fp"] + cm1["fn"],
+                  "errors_v2": cm2["fp"] + cm2["fn"]},
+    }
+    with open(os.path.join(ART, "clf_v2_report.json"), "w") as f:
+        json.dump(report, f, indent=1)
+    print(f"report: {json.dumps(report['delta'])}")
 
 
 if __name__ == "__main__":

@@ -115,6 +115,7 @@ class _Parser(HTMLParser):
         self.buf_stack = []    # per-open-block: [chunks, link_chunks, n_links]
         self.own_stack = []    # indices into buf_stack: which block owns text now
         self.counter = 0
+        self.part = 0          # SPEC SS2 pagination counter (<hr> increments)
         self.n_skip = 0
         self.n_a = 0
         self.boiler_depth = 0  # open BOILER_TAGS elements
@@ -133,6 +134,8 @@ class _Parser(HTMLParser):
         if is_void:
             if tag == "br":
                 self._text(" ")
+            elif tag == "hr":
+                self.part += 1  # part boundary; nid already consumed above
             return
         if tag == "a":
             self.n_a += 1
@@ -151,7 +154,8 @@ class _Parser(HTMLParser):
             for k, v in attrs:
                 ad.setdefault(k, v if v is not None else "")
             self.attr_stack.append(ad)
-            self.buf_stack.append([[], [], 0])
+            # part_id frozen at open (SPEC SS2), rides in the block buffer
+            self.buf_stack.append([[], [], 0, self.part])
             self.own_stack.append(len(self.buf_stack) - 1)
         else:
             self.attr_stack.append(None)
@@ -160,6 +164,8 @@ class _Parser(HTMLParser):
         if tag in VOID_TAGS:
             if tag == "br":
                 self._text(" ")
+            elif tag == "hr":
+                self.part += 1
             self.counter += 1
             return
         self.handle_starttag(tag, attrs)
@@ -214,7 +220,7 @@ class _Parser(HTMLParser):
         if not is_blk:
             return
         bi = self.own_stack.pop()
-        chunks, link_chunks, n_links = self.buf_stack[bi]
+        chunks, link_chunks, n_links, part_id = self.buf_stack[bi]
         # bi is always the top of buf_stack (blocks close LIFO)
         self.buf_stack.pop()
         text = norm_ws("".join(chunks))
@@ -239,12 +245,15 @@ class _Parser(HTMLParser):
                 n_digit / n,
                 n_caps / n,
                 boil,
+                part_id,  # trailing extra beyond NODE_FIELDS (indices stable)
             )
         )
 
 
 def parse_blocks(html_str):
-    """One document -> list of NODE_FIELDS tuples (finalize order)."""
+    """One document -> list of NODE_FIELDS tuples (finalize order), each with
+    one trailing extra element: part_id (SPEC SS2 pagination). Positional
+    consumers indexing 0..11 are unaffected."""
     p = _Parser()
     try:
         p.feed(html_str)
@@ -288,19 +297,59 @@ def extract_doc(html_bytes, model=None):
 
 
 def _score_blocks(blocks, model):
-    """Rule stage then frozen logistic (SPEC SS4); float64 via math.exp."""
+    """Rule stage then frozen logistic (SPEC SS4); float64 via math.exp.
+
+    Supports clf_v2 derived features (SPEC SS4): nb_mean_<raw> neighbor
+    smoothing over adjacent emitted nodes within the same part (blocks are
+    sorted by node_id by the caller), and tfidf_mean under the artifact's
+    frozen IDF table. Accumulation stays z += w*v in artifact order.
+    """
     import math
 
-    fidx = [NODE_FIELDS.index(f) for f in model["features"]]
+    text_i = NODE_FIELDS.index("text")
+    plan = []  # (kind, index) per feature: raw | nb | tfidf
+    for name in model["features"]:
+        if name.startswith("nb_mean_"):
+            plan.append(("nb", NODE_FIELDS.index(name[len("nb_mean_"):])))
+        elif name == "tfidf_mean":
+            plan.append(("tfidf", -1))
+        else:
+            plan.append(("raw", NODE_FIELDS.index(name)))
     ws = model["w"]
     b0 = model["b"]
+    idf = model.get("idf")
+    oov = model.get("idf_oov")
+    n = len(blocks)
     keep = []
-    for r in blocks:
+    for i, r in enumerate(blocks):
         if not rule_is_content(r[7], r[11]):
             keep.append(False)
             continue
         z = b0
-        for j, w in zip(fidx, ws):
-            z += w * float(r[j])
+        tfidf_v = None
+        for (kind, j), w in zip(plan, ws):
+            if kind == "raw":
+                v = float(r[j])
+            elif kind == "nb":
+                part = r[-1]
+                prev = blocks[i - 1] if i > 0 and blocks[i - 1][-1] == part else None
+                nxt = blocks[i + 1] if i + 1 < n and blocks[i + 1][-1] == part else None
+                if prev is not None and nxt is not None:
+                    v = (float(prev[j]) + float(nxt[j])) / 2
+                elif prev is not None:
+                    v = float(prev[j])
+                elif nxt is not None:
+                    v = float(nxt[j])
+                else:
+                    v = float(r[j])
+            else:
+                if tfidf_v is None:
+                    toks = r[text_i].split(" ")
+                    s = 0.0
+                    for t in toks:
+                        s += idf.get(t, oov)
+                    tfidf_v = s / len(toks)
+                v = tfidf_v
+            z += w * v
         keep.append(1.0 / (1.0 + math.exp(-z)) >= 0.5)
     return keep

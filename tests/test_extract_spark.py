@@ -105,7 +105,7 @@ def test_model_path_fused_and_staged(spark, pages_df):
     from oracle import extract as orc
 
     art = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                       "artifacts", "clf_v1.json")
+                       "artifacts", "clf_v2.json")
     if not os.path.exists(art):
         pytest.skip("artifact not trained")
     model = orc.load_model(art)

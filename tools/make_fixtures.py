@@ -79,7 +79,7 @@ def main() -> None:
         g_spans.append(o["spans"])
         for nd in sorted(o["nodes"], key=lambda d: d["node_id"]):
             n_cols["url"].append(url)
-            n_cols["part_id"].append(0)
+            n_cols["part_id"].append(nd["part_id"])
             n_cols["attrs_json"].append(
                 json.dumps(nd["attrs"], sort_keys=True, ensure_ascii=False)
             )
@@ -265,10 +265,11 @@ def make_edges() -> None:
 
 def make_model_golden() -> None:
     """golden for the model-enabled pipeline (v1.1.0): oracle + frozen
-    artifact; run AFTER jobs/fit_artifacts.py."""
-    art_path = os.path.join(os.path.dirname(OUT), "artifacts", "clf_v1.json")
+    artifact (clf_v2: neighbor smoothing + TF-IDF); run AFTER
+    jobs/fit_artifacts.py."""
+    art_path = os.path.join(os.path.dirname(OUT), "artifacts", "clf_v2.json")
     if not os.path.exists(art_path):
-        print("skip model golden: artifacts/clf_v1.json missing (run fit_artifacts)")
+        print("skip model golden: artifacts/clf_v2.json missing (run fit_artifacts)")
         return
     model = orc.load_model(art_path)
     rows = fixtures.gen_rows(N_PAGES)
