@@ -18,6 +18,8 @@ from __future__ import annotations
 import os
 from typing import Callable
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -578,6 +580,40 @@ def agg_height_pctl(spark, sf_dir):
     )
 
 
+@q(
+    "agg_gini_udaf",
+    f"""WITH r AS (
+          SELECT url, CAST(n_chars AS DOUBLE) AS x,
+                 row_number() OVER (PARTITION BY url ORDER BY n_chars) AS i,
+                 count(*) OVER (PARTITION BY url) AS n,
+                 CAST(sum(n_chars) OVER (PARTITION BY url) AS DOUBLE) AS s
+          FROM read_parquet('{fx("nodes")}'))
+        SELECT url, round(2.0 * sum(i * x) / (n * s) - (n + 1.0) / n, 6) AS gini
+        FROM r GROUP BY url, n, s""",
+)
+def agg_gini_udaf(spark, sf_dir):
+    """D4 — grouped-agg pandas UDAF: Gini coefficient of per-page block
+    sizes (text-mass inequality; boilerplate-heavy layouts skew high).
+    Needs an in-group sort, which no builtin aggregate expresses — the
+    canonical Series->scalar UDAF case [U Model.TestReport layout stats].
+
+    Determinism across engines: n_chars are ints, so every sum is an exact
+    integer in float64 (< 2^53) regardless of accumulation order; the single
+    final division is rounded to 6 dp on both sides."""
+    @F.pandas_udf("double")
+    def gini(s: pd.Series) -> float:
+        x = np.sort(s.to_numpy(np.float64))
+        n = len(x)
+        i = np.arange(1, n + 1, dtype=np.float64)
+        return float(2.0 * np.dot(i, x) / (n * x.sum()) - (n + 1.0) / n)
+
+    return (
+        f(spark, "nodes")
+        .groupBy("url")
+        .agg(R6(gini(F.col("n_chars").cast("double"))).alias("gini"))
+    )
+
+
 # =====================================================================
 # 2.5 windows
 # =====================================================================
@@ -805,6 +841,40 @@ def fn_char_ngrams(spark, sf_dir):
         F.explode(F.sequence(F.lit(1), F.length("tl") - 2)).alias("i"),
         "tl",
     ).select("doc_id", F.substring(F.col("tl"), F.col("i"), 3).alias("ngram")).select("doc_id", "ngram")
+
+
+@q(
+    "fn_udtf_spans",
+    """WITH d AS (SELECT doc_id, text FROM documents
+                  WHERE doc_id < 40 AND length(text) >= 4),
+       e AS (SELECT doc_id, text,
+                    unnest(range(0, length(text) - 3)) AS pos FROM d)
+       SELECT doc_id, pos, substring(text, (pos + 1)::int, 4) AS gram
+       FROM e""",
+)
+def fn_udtf_spans(spark, sf_dir):
+    """D6 — Spark 4 class-based UDTF: positional char 4-gram expander via
+    LATERAL join. Demonstration-scoped (doc_id < 40): the production n-gram
+    path is the JVM sequence+substring form (fn_char_ngrams); the UDTF form
+    exists for operators whose row-expansion logic can't be expressed as
+    Catalyst expressions [U FeatureDefinition custom analyzers]."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: bigint, gram: string")
+    class CharGrams:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i in range(len(text) - 3):
+                yield i, text[i : i + 4]
+
+    spark.udtf.register("sparkdu_char_grams", CharGrams)
+    t(spark, sf_dir, "documents").createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        """SELECT d.doc_id, g.pos, g.gram
+           FROM __udtf_docs d, LATERAL sparkdu_char_grams(d.text) g
+           WHERE d.doc_id < 40 AND length(d.text) >= 4"""
+    )
 
 
 @q("fn_url_salt")  # rows-only: xxhash64 is Spark-specific (checked in pytest)
