@@ -79,7 +79,10 @@ def _one_session(master_cores: int, path: str, runs: int) -> list[float]:
         shuffle_partitions=max(2 * master_cores, 16),
     )
     pages = spark.read.schema(PAGES_SCHEMA).parquet(path)
-    cfg = ExtractConfig(num_partitions=4 * master_cores)
+    # 8x cores: finer task granularity smooths the mega-page straggler tail
+    # (a doc is unsplittable, so the floor is one doc per task; more waves
+    # let normal partitions backfill behind a heavy one)
+    cfg = ExtractConfig(num_partitions=8 * master_cores)
     # prewarm: spawn python workers + JIT/codegen outside the timed window
     extract_pages(spark, pages.limit(512), cfg).write.format("noop").mode(
         "overwrite"
@@ -108,7 +111,9 @@ def time_levels(small: int, big: int, path: str) -> dict[int, float]:
     walls: dict[int, list[float]] = {small: [], big: []}
     for _round in range(4):
         walls[small] += _one_session(small, path, runs=1)
-        walls[big] += _one_session(big, path, runs=2)  # cheap level: 2 samples
+        # big level is cheap per run but higher-variance under host
+        # contention — sample it 3x per round (12 samples total)
+        walls[big] += _one_session(big, path, runs=3)
     return {c: min(v) for c, v in walls.items()}
 
 

@@ -18,6 +18,7 @@ import datetime as _dt
 import random
 
 SEED_BASE = 42 * 10**9
+PART_SEP = '<hr class="page-break">'  # SPEC SS2 pagination boundary marker
 EPOCH = _dt.datetime(2026, 1, 1, 0, 0, 0)
 DUP_FRACTION = 0.02  # trailing duplicate-url rows (exercises J9)
 LANGS = ["en", "de", "fr", "es", "zh"]
@@ -108,7 +109,7 @@ def _gen_page(doc_id: int, mega: bool = False, over_cap: bool = False):
         hr_breaks = set(prng.sample(range(1, n_paras), min(n_parts - 1, n_paras - 1)))
     for i in range(n_paras):
         if i in hr_breaks:
-            parts.append('<hr class="page-break">')
+            parts.append(PART_SEP)
         base = _words(rng, 20, 80)
         if latin1 and i == 0:
             base = rng.choice(_LATIN1_WORDS) + " " + base

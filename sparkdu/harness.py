@@ -459,6 +459,65 @@ def dedup_latest_q(spark, sf_dir):
 
 
 # =====================================================================
+# 2.3b ingest toolchain (SURVEY SS3.3 — MultiPageXml merge/split/validate/
+# format-convert analogues, all pure JVM compositions)
+# =====================================================================
+
+@q(
+    "ingest_merge_parts",
+    f"""SELECT url, string_agg(frag, '<hr class="page-break">' ORDER BY part_seq) AS doc
+        FROM read_parquet('{fx("fragments")}') GROUP BY url""",
+)
+def ingest_merge_parts(spark, sf_dir):
+    """SS3.3 merge — single-part fragments -> one multi-part document
+    [U xml_formats/MultiPageXml merge]; deterministic ordered concat."""
+    from .ingest import merge_parts
+
+    return merge_parts(f(spark, "fragments"))
+
+
+@q(
+    "ingest_split_roundtrip",
+    f"""SELECT url, part_seq, frag FROM read_parquet('{fx("fragments")}')""",
+)
+def ingest_split_roundtrip(spark, sf_dir):
+    """SS3.3 split — split(merge(frags)) must be the identity (round-trip
+    gate) [U xml_formats/MultiPageXml split]."""
+    from .ingest import merge_parts, split_parts
+
+    return split_parts(merge_parts(f(spark, "fragments")))
+
+
+@q(
+    "ingest_validate",
+    f"""SELECT url, count(*) AS n_parts,
+               (min(part_seq) = 0 AND max(part_seq) = count(*) - 1
+                AND count(DISTINCT part_seq) = count(*)) AS valid
+        FROM read_parquet('{fx("fragments")}') GROUP BY url""",
+)
+def ingest_validate(spark, sf_dir):
+    """SS3.3 validation — structural contract report (XSD analogue):
+    part_seq must be exactly 0..n-1 per url."""
+    from .ingest import validate_fragments
+
+    return validate_fragments(f(spark, "fragments"))
+
+
+@q(
+    "ingest_json_roundtrip",
+    f"""SELECT url, node_id, part_id, tag, n_chars
+        FROM read_parquet('{fx("nodes")}')""",
+)
+def ingest_json_roundtrip(spark, sf_dir):
+    """SS3.3 format conversion — columnar -> nested JSON doc -> columnar
+    (Page2DS/DS2PageXml analogue); to_json/from_json round trip must be
+    lossless."""
+    from .ingest import json_to_nodes, nodes_to_json
+
+    return json_to_nodes(nodes_to_json(f(spark, "nodes")))
+
+
+# =====================================================================
 # 2.4 aggregations
 # =====================================================================
 

@@ -92,6 +92,32 @@ def main() -> None:
             n_cols["text_start"].append(nd.get("text_start"))
             n_cols["text_end"].append(nd.get("text_end"))
 
+    # fragments: MultiPageXml-split analogue inputs (SURVEY SS3.3) — each
+    # utf-8 multi-part page split on the SPEC SS2 pagination marker
+    f_url, f_seq, f_frag = [], [], []
+    for url in sorted(latest):
+        b = latest[url]["html"]
+        try:
+            s = b.decode("utf-8")
+        except UnicodeDecodeError:
+            continue
+        if fixtures.PART_SEP not in s:
+            continue
+        for i, frag in enumerate(s.split(fixtures.PART_SEP)):
+            f_url.append(url)
+            f_seq.append(i)
+            f_frag.append(frag)
+    write(
+        "fragments.parquet",
+        pa.table(
+            {
+                "url": f_url,
+                "part_seq": pa.array(f_seq, pa.int64()),
+                "frag": f_frag,
+            }
+        ),
+    )
+
     write(
         "golden_extracted.parquet",
         pa.table(
