@@ -97,6 +97,37 @@ def _one_session(master_cores: int, path: str, runs: int) -> list[float]:
     return walls
 
 
+def _spin_work(n: int) -> int:
+    # module-level so multiprocessing can pickle it
+    import hashlib
+
+    h = 0
+    for i in range(n):
+        h ^= int.from_bytes(hashlib.sha256(str(i).encode()).digest()[:4], "little")
+    return h
+
+
+def host_ceiling(small: int, big: int) -> float:
+    """Same-window control experiment: raw CPU scaling the HOST gives two
+    process counts, measured with pure-python hashing over multiprocessing —
+    no Spark, no shuffle, no coordination. On this shared sandbox the
+    ceiling itself swings 0.6-0.95 with neighbor load; the pipeline cannot
+    scale better than the machine it runs on, so the bench reports the
+    ceiling observed in the same window and the ceiling-normalized pipeline
+    efficiency alongside the raw number."""
+    import multiprocessing as mp
+
+    per = 120_000
+    rates = {}
+    for procs in (small, big):
+        with mp.Pool(procs) as p:
+            t0 = time.time()
+            p.map(_spin_work, [per] * procs * 4)
+            dt = time.time() - t0
+        rates[procs] = procs * 4 * per / dt
+    return (rates[big] / rates[small]) / (big / small)
+
+
 def time_levels(small: int, big: int, path: str) -> dict[int, float]:
     """Interleaved measurement: the sandbox host is shared (≈13% CPU steal
     measured under load, bursts far higher), so each level is sampled in
@@ -109,12 +140,16 @@ def time_levels(small: int, big: int, path: str) -> dict[int, float]:
     with ~13%+ steal). A real 1000-executor cluster is the 4→16 regime —
     executors own their cores."""
     walls: dict[int, list[float]] = {small: [], big: []}
+    ceilings: list[float] = []
     for _round in range(4):
+        ceilings.append(host_ceiling(small, big))
         walls[small] += _one_session(small, path, runs=1)
         # big level is cheap per run but higher-variance under host
         # contention — sample it 3x per round (12 samples total)
         walls[big] += _one_session(big, path, runs=3)
-    return {c: min(v) for c, v in walls.items()}
+    best = {c: min(v) for c, v in walls.items()}
+    best["ceiling"] = max(ceilings)
+    return best
 
 
 def main() -> None:
@@ -157,6 +192,7 @@ def main() -> None:
     n_big = 4 * n_small
     best = time_levels(n_small, n_big, pair_path)
     t_small, t_big = best[n_small], best[n_big]
+    ceiling = best["ceiling"]
     ds_small = PAIR_DOCS / t_small
     ds_big = PAIR_DOCS / t_big
     eff = (ds_big / ds_small) / (n_big / n_small)
@@ -185,6 +221,8 @@ def main() -> None:
         "parallelism_N": n_small,
         "parallelism_4N": n_big,
         "scaling_efficiency": round(eff, 3),
+        "host_ceiling_efficiency": round(ceiling, 3),
+        "scaling_efficiency_normalized": round(eff / ceiling, 3),
         "corpus_gen_sec": round(gen_s, 1),
         "total_bench_sec": round(time.time() - t_all, 1),
     }

@@ -235,6 +235,105 @@ def ann_lsh_topk(emb: DataFrame, n_queries: int = 3, k: int = 10,
 
 
 # ---------------------------------------------------------------------
+# IVF ANN: coarse k-means quantizer + in-cell exact search
+# ---------------------------------------------------------------------
+
+def ivf_fit(emb: DataFrame, dim: int, k: int = 16, iters: int = 3) -> list:
+    """Lloyd's k-means as DataFrame iterations (the IVF coarse quantizer).
+
+    Deterministic: init = the k lowest vec_ids; each iteration is one JVM
+    assignment pass (argmin L2 via k zip_with dot products) + one
+    posexplode/groupBy mean. Centroids live driver-side — they are the
+    frozen artifact of the two-phase rule (at 10^12 scale you fit on a
+    sample, freeze, then assign in one distributed pass). Returns
+    list[list[float]] of k centroids.
+    """
+    init = emb.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+    cents = [[float(x) for x in r["embedding"]] for r in init]
+    for _ in range(iters):
+        assigned = with_ivf_cell(emb, cents).select(
+            "cell", F.posexplode("embedding").alias("pos", "val")
+        )
+        rows = (
+            assigned.groupBy("cell", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .collect()
+        )
+        new = [list(c) for c in cents]  # empty cells keep old centroid
+        by_cell: dict = {}
+        for r in rows:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["m"]
+        for c, pos_map in by_cell.items():
+            for p, m in pos_map.items():
+                new[c][p] = m
+        cents = new
+    return cents
+
+
+def with_ivf_cell(emb: DataFrame, cents: list) -> DataFrame:
+    """Assign each row its nearest centroid id (argmin L2, pure JVM).
+
+    argmin ||x-c||^2 == argmax (x.c - |c|^2/2) — the |x|^2 term is common.
+    """
+    scores = []
+    for c in cents:
+        half_norm = sum(v * v for v in c) / 2.0
+        scores.append(_dot("embedding", c) - F.lit(half_norm))
+    arr = F.array(*scores)
+    cell = (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
+    return emb.withColumn("cell", cell)
+
+
+def ann_ivf_topk(emb: DataFrame, cents: list, n_queries: int = 3,
+                 k: int = 10, nprobe: int = 2) -> DataFrame:
+    """IVF search: probe the query's `nprobe` nearest cells, exact cosine
+    only within them. At scale the table is written partitioned by `cell`
+    (partition pruning turns a probe into a ~1/k-of-data scan); here cells
+    are computed inline. Complements the LSH path (ann_lsh_topk)."""
+    b = with_ivf_cell(emb, cents)
+    # query side: nprobe nearest cells each
+    qscores = []
+    for c in cents:
+        half_norm = sum(v * v for v in c) / 2.0
+        qscores.append(_dot("embedding", c) - F.lit(half_norm))
+    qarr = F.array(*qscores)
+    qv = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            F.explode(
+                F.slice(
+                    # sort (-score, idx) structs ascending -> best cells first
+                    F.transform(
+                        F.array_sort(
+                            F.zip_with(
+                                F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+                                qarr,
+                                lambda i, s: F.struct((-s).alias("negs"), i.alias("idx")),
+                            )
+                        ),
+                        lambda p: p["idx"],
+                    ),
+                    1,
+                    nprobe,
+                )
+            ).alias("q_cell"),
+        )
+    )
+    cand = F.broadcast(qv).join(b, F.col("cell") == F.col("q_cell")).filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    scored = cand.select(
+        "q_id", "vec_id", F.round(cosine("q_emb", "embedding"), 4).alias("cos")
+    ).distinct()
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "vec_id")
+    return scored.withColumn("rk", F.row_number().over(w)).filter(f"rk <= {k}").select(
+        "q_id", "vec_id", "cos"
+    )
+
+
+# ---------------------------------------------------------------------
 # rolling-hash fingerprint (Karp-Rabin)
 # ---------------------------------------------------------------------
 

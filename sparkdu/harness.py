@@ -1334,6 +1334,20 @@ def extract_model_golden(spark, sf_dir):
     )
 
 
+@q("sim_ann_ivf")  # rows-only: k-means cell assignment is Spark-side
+def sim_ann_ivf(spark, sf_dir):
+    """Scale-path ANN #2: IVF — coarse k-means quantizer (Lloyd iterations
+    as DataFrame ops, centroids frozen driver-side per the two-phase rule),
+    then exact cosine within the query's nprobe nearest cells. At scale the
+    table is partitioned by cell -> partition pruning does the probe.
+    Recall vs brute force checked in tests/test_dedup.py."""
+    from .dedup import ann_ivf_topk, ivf_fit
+
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = ivf_fit(e, dim=64, k=8, iters=2)
+    return ann_ivf_topk(e, cents, n_queries=3, k=10, nprobe=3)
+
+
 @q(
     "dedup_embedding_cosine",
     """SELECT a.vec_id AS a_id, b.vec_id AS b_id,

@@ -60,6 +60,33 @@ def test_minhash_lsh_recall(spark, docs_df):
     assert good / max(len(pairs), 1) >= 0.8
 
 
+def test_ann_ivf_recall_vs_brute(spark):
+    import math
+
+    from sparkdu.dedup import ann_ivf_topk, ivf_fit
+
+    rng = random.Random(23)
+    rows = []
+    for i in range(300):
+        v = [rng.gauss(0, 1) for _ in range(16)]
+        n = math.sqrt(sum(x * x for x in v))
+        rows.append((i, [x / n for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    cents = ivf_fit(emb, dim=16, k=8, iters=2)
+    assert len(cents) == 8 and all(len(c) == 16 for c in cents)
+    brute = ann_brute_topk(emb, n_queries=3, k=10).collect()
+    ivf = ann_ivf_topk(emb, cents, n_queries=3, k=10, nprobe=3).collect()
+    bmap = {(r["q_id"], r["vec_id"]): r["cos"] for r in brute}
+    imap = {(r["q_id"], r["vec_id"]): r["cos"] for r in ivf}
+    # exact scoring inside probed cells
+    for key, v in imap.items():
+        if key in bmap:
+            assert abs(v - bmap[key]) < 1e-9
+    # recall of the true top-10 with 3/8 cells probed should be substantial
+    hits = len(set(imap) & set(bmap))
+    assert hits / len(bmap) >= 0.5, (hits, len(bmap))
+
+
 def test_minhash_lsh_bucket_cap_bounds_skew(spark):
     """10k identical docs all land in ONE bucket per band; the per-bucket cap
     must bound pair output at O(cap^2), not O(k^2) (VERDICT r1 item 7), and
