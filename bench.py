@@ -183,16 +183,16 @@ def main() -> None:
         fn = QUERIES.get(name)
         if fn is None:
             continue
-        try:
-            best = None
-            for _attempt in range(2):  # best-of-2: absorb per-query first-run JIT
+        best = None
+        for _attempt in range(2):  # best-of-2: absorb per-query first-run JIT
+            try:
                 t0 = time.time()
                 fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
                 dt = time.time() - t0
                 best = dt if best is None else min(best, dt)
-            queries[name] = round(best, 3)
-        except Exception:
-            queries[name] = -1.0
+            except Exception:
+                pass  # keep a valid sample from the other attempt if any
+        queries[name] = round(best, 3) if best is not None else -1.0
     spark.stop()
 
     # N -> 4N scaling pair (see time_levels docstring for the half-host cap)

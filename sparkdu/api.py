@@ -278,9 +278,14 @@ def parse_nodes_udf(dedup: bool = False):
                     out["doc_truncated"].append(truncated)
                     for c, v in zip(cols, r):
                         out[c].append(v)
-            # object dtype: an all-error/empty batch otherwise yields float64
-            # NaN columns that Arrow refuses to convert to map<string,string>
-            pdf_out = pd.DataFrame(out, dtype=object)
+            # empty batch (all-error/all-null html): inferred dtypes become
+            # float64 NaN columns that Arrow refuses to convert to
+            # map<string,string> — force object there; non-empty batches
+            # keep the fast inferred-dtype construction (hot path)
+            if out["url"]:
+                pdf_out = pd.DataFrame(out)
+            else:
+                pdf_out = pd.DataFrame(out, dtype=object)
             for c, dt in (
                 ("part_id", "int32"), ("node_id", "int32"), ("depth", "int32"),
                 ("n_chars", "int32"), ("n_links", "int32"),

@@ -82,13 +82,16 @@ def minhash_lsh_pairs(
     The band groupBy is the single shuffle; self-join happens only inside
     buckets.
 
-    Skew guard (VERDICT r1 item 7): a crawl with k identical boilerplate
-    pages puts all k in one bucket -> O(k^2) pairs. Each bucket is capped at
-    `max_bucket` members (deterministic keep-set: lowest ids win); a capped
-    bucket's survivors still pair with each other, so the duplicate CLUSTER
-    is still discovered — only redundant intra-cluster pairs are dropped.
-    Pass a pyspark.sql.Observation as `observation` to get the dropped-row
-    count (metric `lsh_bucket_dropped`) after the first action.
+    Skew guard (VERDICT r1 item 7): a crawl with k near-identical
+    boilerplate pages puts all k in one bucket -> O(k^2) pairs. Each bucket
+    is capped at `max_bucket` members for the quadratic self-join
+    (deterministic keep-set: lowest ids win); every OVER-cap member is still
+    paired once with the bucket's minimum id (an O(k) anchor join), so no
+    cluster member ever escapes downstream near-dup removal (curate_job
+    drops the b_id side of every pair) — only redundant intra-cluster pairs
+    are dropped. Total pairs per bucket: O(cap^2 + k). Pass a
+    pyspark.sql.Observation as `observation` to get the count of rows
+    excluded from full pairing (metric `lsh_bucket_dropped`).
     """
     r = n_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n_hashes)
@@ -116,18 +119,22 @@ def minhash_lsh_pairs(
     capped = ranked.filter(F.col("_rn") <= max_bucket).drop("_rn")
     a = capped.alias("a")
     b = capped.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bsig") == F.col("b.bsig"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id")
-        )
-        .distinct()
+    quad = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bsig") == F.col("b.bsig"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id"))
+    # anchor join: over-cap rows each pair once with the bucket's min id
+    # (_rn == 1 has the lowest id by the window order), so capped clusters
+    # stay fully connected for removal at O(k) extra pairs
+    anchors = ranked.filter(F.col("_rn") == 1).select("band", "bsig",
+                                                      F.col(id_col).alias("a_id"))
+    overflow = ranked.filter(F.col("_rn") > max_bucket).select(
+        "band", "bsig", F.col(id_col).alias("b_id")
     )
+    anchored = overflow.join(anchors, ["band", "bsig"]).select("a_id", "b_id")
+    return quad.unionByName(anchored).distinct()
 
 
 def simhash_fingerprints(
@@ -209,13 +216,15 @@ def with_lsh_bucket(emb: DataFrame, dim: int, n_planes: int = 8) -> DataFrame:
 
 
 def ann_lsh_topk(emb: DataFrame, n_queries: int = 3, k: int = 10,
-                 n_planes: int = 6, dim: int = 32) -> DataFrame:
+                 n_planes: int = 6, *, dim: int) -> DataFrame:
     """Scale path: candidates share an LSH bucket -> exact cosine inside.
 
     At 10^12 rows the bucket column becomes the partition key (shuffle once,
     probe within); here buckets are computed inline. `dim` is the embedding
-    dimensionality, taken as a parameter so that building this query runs
-    zero Spark jobs (no head()-probe at plan time; VERDICT r1 item 8).
+    dimensionality — REQUIRED (no default: a wrong dim makes zip_with pad
+    with nulls and silently collapses every bucket to 0, degenerating the
+    join to a cross join), and a parameter rather than a head()-probe so
+    that building this query runs zero Spark jobs (VERDICT r1 item 8).
     """
     b = with_lsh_bucket(emb, dim, n_planes)
     qv = b.filter(F.col("vec_id") < n_queries).select(
@@ -250,6 +259,9 @@ def ivf_fit(emb: DataFrame, dim: int, k: int = 16, iters: int = 3) -> list:
     """
     init = emb.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
     cents = [[float(x) for x in r["embedding"]] for r in init]
+    assert cents and len(cents[0]) == dim, (
+        f"embedding dim {len(cents[0]) if cents else 0} != declared dim {dim}"
+    )
     for _ in range(iters):
         assigned = with_ivf_cell(emb, cents).select(
             "cell", F.posexplode("embedding").alias("pos", "val")
@@ -324,9 +336,11 @@ def ann_ivf_topk(emb: DataFrame, cents: list, n_queries: int = 3,
     cand = F.broadcast(qv).join(b, F.col("cell") == F.col("q_cell")).filter(
         F.col("vec_id") != F.col("q_id")
     )
+    # no distinct needed: each vector has exactly one cell and the probed
+    # q_cells are distinct, so every (q_id, vec_id) pair joins at most once
     scored = cand.select(
         "q_id", "vec_id", F.round(cosine("q_emb", "embedding"), 4).alias("cos")
-    ).distinct()
+    )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "vec_id")
     return scored.withColumn("rk", F.row_number().over(w)).filter(f"rk <= {k}").select(
         "q_id", "vec_id", "cos"

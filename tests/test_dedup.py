@@ -101,15 +101,17 @@ def test_minhash_lsh_bucket_cap_bounds_skew(spark):
     obs = Observation("lsh_skew")
     pairs = minhash_lsh_pairs(
         docs, n_hashes=32, bands=8, max_bucket=cap, observation=obs
-    )
+    ).cache()
     n_pairs = pairs.count()
-    # survivors are the cap lowest ids; pairs among them only
-    assert n_pairs == cap * (cap - 1) // 2
-    # each of the 8 bands drops (k - cap) rows
+    # full pairing among the cap lowest ids + one anchor pair (min id) per
+    # over-cap member: O(cap^2 + k), not O(k^2)
+    assert n_pairs == cap * (cap - 1) // 2 + (k - cap)
+    # each of the 8 bands excludes (k - cap) rows from full pairing
     assert obs.get["lsh_bucket_dropped"] == 8 * (k - cap)
-    # survivors keep the duplicate cluster discoverable: ids 0..cap-1 paired
-    a_ids = {r["a_id"] for r in pairs.select("a_id").distinct().collect()}
-    assert a_ids == set(range(cap - 1))
+    # NO cluster member escapes removal: every id except the survivor (0)
+    # appears as a b_id, so curate-style drop(b_id) removes the whole cluster
+    b_ids = {r["b_id"] for r in pairs.select("b_id").distinct().collect()}
+    assert b_ids == set(range(1, k))
 
 
 def test_simhash_near_dup_hamming(spark, docs_df):
