@@ -1334,6 +1334,29 @@ def extract_model_golden(spark, sf_dir):
     )
 
 
+@q(
+    "emb_quantize_int8",
+    """WITH s AS (
+         SELECT vec_id,
+                CASE WHEN m = 0 THEN 1.0 ELSE m / 127.0 END AS scale, e
+         FROM (SELECT vec_id,
+                      list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS m,
+                      embedding::DOUBLE[] AS e
+               FROM embeddings))
+       SELECT vec_id, scale,
+              list_transform(e, x -> CAST(floor(x / scale + 0.5) AS INT)) AS qvec
+       FROM s""",
+)
+def emb_quantize_int8(spark, sf_dir):
+    """Per-vector symmetric int8 embedding quantization (4x storage cut for
+    the 10^12-scale retrieval tier; exact fp32 re-scoring for survivors).
+    floor(x/scale + 0.5) keeps the map engine-exact (no round-half ties)."""
+    from .dedup import quantize_int8
+
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return quantize_int8(e)
+
+
 @q("sim_ann_ivf")  # rows-only: k-means cell assignment is Spark-side
 def sim_ann_ivf(spark, sf_dir):
     """Scale-path ANN #2: IVF — coarse k-means quantizer (Lloyd iterations

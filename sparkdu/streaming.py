@@ -45,6 +45,21 @@ def streaming_extract(spark: SparkSession, pages_dir: str,
     )
 
 
+def streaming_dedup_pages(spark: SparkSession, pages_dir: str,
+                          watermark: str = "1 hour") -> DataFrame:
+    """J9's streaming analogue: re-crawl rows of the same url arriving
+    within the watermark collapse to the first-seen row, and the dedup
+    state is EVICTED once the watermark passes — memory stays bounded on an
+    unbounded crawl stream (the exact latest-per-url semantics of batch J9
+    remain a periodic compaction concern; this bounds duplicates online).
+    Composes with the fused extractor: dedup -> mapInArrow -> append sink.
+    """
+    stream = spark.readStream.schema(PAGES_SCHEMA).parquet(pages_dir)
+    return stream.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
+        ["url"]
+    )
+
+
 def run_available_now(df: DataFrame, out_dir: str, checkpoint_dir: str,
                       mode: str = "append") -> None:
     """Drain everything currently available, then stop (bounded run)."""

@@ -60,6 +60,32 @@ def test_minhash_lsh_recall(spark, docs_df):
     assert good / max(len(pairs), 1) >= 0.8
 
 
+def test_quantize_dequantize_fidelity(spark):
+    import math
+
+    from sparkdu.dedup import dequantize, quantize_int8
+
+    rng = random.Random(5)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(32)]) for i in range(50)]
+    rows.append((999, [0.0] * 32))  # all-zero guard
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = quantize_int8(emb)
+    # int8 range respected
+    mx = q.select(F.array_max(F.transform("qvec", lambda v: F.abs(v))).alias("m"))
+    assert all(r["m"] <= 127 for r in mx.collect())
+    deq = {r["vec_id"]: r["embedding"] for r in dequantize(q).collect()}
+    orig = dict(rows)
+    for vid, o in orig.items():
+        d = deq[vid]
+        dot = sum(a * b for a, b in zip(o, d))
+        no = math.sqrt(sum(a * a for a in o))
+        nd = math.sqrt(sum(a * a for a in d))
+        if no == 0:
+            assert nd == 0
+            continue
+        assert dot / (no * nd) > 0.995, vid  # cosine fidelity after 4x shrink
+
+
 def test_ann_ivf_recall_vs_brute(spark):
     import math
 

@@ -111,3 +111,24 @@ def test_stateful_sessionize(spark, tmp_path):
     for r in res:
         assert r["n_events"] == 3
         assert r["session_end"] - r["session_start"] == 120
+
+
+def test_streaming_dedup_within_watermark(spark, pages_df, tmp_path):
+    """streaming J9 analogue: same-url rows within the watermark collapse;
+    output urls are unique and state stays bounded (eviction by watermark)."""
+    from sparkdu.streaming import run_available_now, streaming_dedup_pages
+
+    src = str(tmp_path / "dd_src")
+    out = str(tmp_path / "dd_out")
+    cp = str(tmp_path / "dd_cp")
+    pages_df.write.mode("overwrite").parquet(src)
+
+    df = streaming_dedup_pages(spark, src, watermark="2 days")
+    assert df.isStreaming
+    run_available_now(df, out, cp)
+
+    got = spark.read.parquet(out)
+    n_rows = got.count()
+    n_urls = got.select("url").distinct().count()
+    total_urls = pages_df.select("url").distinct().count()
+    assert n_rows == n_urls == total_urls  # one row per url, none lost
