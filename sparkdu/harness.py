@@ -1439,6 +1439,31 @@ def mm_frame_sample(spark, sf_dir):
 
 
 @q(
+    "tpch_q6",
+    """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+         AND l_shipdate < TIMESTAMP '1996-01-01'
+         AND l_discount BETWEEN 0.05 AND 0.07
+         AND l_quantity < 24""",
+)
+def tpch_q6(spark, sf_dir):
+    """Forecasting-revenue filter-agg: every predicate pushed into the
+    parquet scan, single partial+final agg, no shuffle of any width."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"))
+    )
+
+
+@q(
     "tpch_q4ish",
     """SELECT o.o_orderpriority, count(*) AS order_count
        FROM orders o
