@@ -62,17 +62,24 @@ def curate(spark: SparkSession, pages: DataFrame, min_quality: float = 0.35,
     exact_deduped = kept.join(survivors, "url", "left_semi")
 
     # near-dup: MinHash-LSH candidate pairs; drop the lexicographically
-    # larger id of each pair (deterministic survivor choice)
+    # larger id of each pair (deterministic survivor choice). The skew-cap
+    # Observation surfaces how many rows fell back to anchor-only pairing
+    # (still removed, just not fully cross-paired) — a curation health metric.
+    from pyspark.sql import Observation
+
+    lsh_obs = Observation("curate_lsh_skew")
     pairs = minhash_lsh_pairs(
         exact_deduped.select(F.col("url").alias("doc_id"),
                              F.col("extracted_text").alias("text")),
         id_col="doc_id", text_col="text", bands=jaccard_bands,
+        observation=lsh_obs,
     )
     drop = pairs.select(F.col("b_id").alias("url")).distinct()
     curated = exact_deduped.join(drop, "url", "left_anti")
 
     return {"extracted": extracted, "scored": scored, "kept": kept,
-            "exact_deduped": exact_deduped, "curated": curated}
+            "exact_deduped": exact_deduped, "curated": curated,
+            "_lsh_observation": lsh_obs}
 
 
 def main(argv=None) -> None:
@@ -90,12 +97,15 @@ def main(argv=None) -> None:
     pages = spark.read.schema(PAGES_SCHEMA).parquet(args.input)
     t0 = time.time()
     stages = curate(spark, pages, min_quality=args.min_quality)
+    lsh_obs = stages.pop("_lsh_observation")
     stages["curated"].write.mode("overwrite").parquet(os.path.join(args.output, "curated"))
     counts = {k: v.count() for k, v in stages.items()}
+    lsh_dropped = lsh_obs.get.get("lsh_bucket_dropped", 0)
     print(
         f"curate: in={pages.count()} extracted={counts['extracted']} "
         f"kept={counts['kept']} exact_deduped={counts['exact_deduped']} "
-        f"curated={counts['curated']} wall={time.time()-t0:.1f}s"
+        f"curated={counts['curated']} lsh_anchor_fallback_rows={lsh_dropped} "
+        f"wall={time.time()-t0:.1f}s"
     )
     spark.stop()
 

@@ -44,7 +44,10 @@ def get_spark(
     # cluster manager; this only applies in-sandbox.
     local_dir = os.environ.get("SPARKDU_LOCAL_DIR")
     if local_dir is None and os.access("/dev/shm", os.W_OK):
-        local_dir = "/dev/shm/spark-local"
+        # per-process subdir: concurrent sessions (bench + tests) must not
+        # share shuffle roots — one JVM's shutdown cleanup can race another's
+        # live temp_shuffle files
+        local_dir = f"/dev/shm/spark-local/{os.getpid()}"
     if local_dir:
         b = b.config("spark.local.dir", local_dir)
     return b.getOrCreate()

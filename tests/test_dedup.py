@@ -212,7 +212,9 @@ def test_curate_pipeline(spark, pages_df):
     from sparkdu.jobs.curate_job import curate
 
     stages = curate(spark, pages_df, min_quality=0.2, min_chars=50)
+    obs = stages.pop("_lsh_observation")
     c = {k: v.count() for k, v in stages.items()}
+    assert obs.get.get("lsh_bucket_dropped", 0) == 0  # no skewed buckets here
     n_urls = pages_df.select("url").distinct().count()
     assert c["extracted"] == n_urls
     assert c["extracted"] >= c["kept"] >= c["exact_deduped"] >= c["curated"]
