@@ -74,7 +74,11 @@ def curate(spark: SparkSession, pages: DataFrame, min_quality: float = 0.35,
         id_col="doc_id", text_col="text", bands=jaccard_bands,
         observation=lsh_obs,
     )
-    drop = pairs.select(F.col("b_id").alias("url")).distinct()
+    # cache the (small) drop list: every downstream action would otherwise
+    # re-execute the observed LSH subtree — Observation supports exactly one
+    # execution, and re-runs of a CollectMetrics plan proved flaky (transient
+    # temp_shuffle task failures). With the cache the observed plan runs once.
+    drop = pairs.select(F.col("b_id").alias("url")).distinct().cache()
     curated = exact_deduped.join(drop, "url", "left_anti")
 
     return {"extracted": extracted, "scored": scored, "kept": kept,
