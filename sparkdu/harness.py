@@ -517,6 +517,31 @@ def ingest_json_roundtrip(spark, sf_dir):
     return json_to_nodes(nodes_to_json(f(spark, "nodes")))
 
 
+@q(
+    "ingest_extract_e2e",
+    f"""SELECT g.url, decode(g.extracted_text) AS extracted_text, g.n_blocks
+        FROM read_parquet('{fx("golden_extracted")}') g
+        WHERE g.url IN (SELECT DISTINCT url FROM read_parquet('{fx("fragments")}'))""",
+)
+def ingest_extract_e2e(spark, sf_dir):
+    """SS3.3 -> flagship, end to end: fragments merged back into documents
+    feed extract_pages, and the result must be byte-identical to the golden
+    for those urls (merge is lossless, so the parser sees the original
+    bytes). Ingest -> pagination -> extraction in ONE checked chain."""
+    from .api import ExtractConfig, extract_pages
+    from .ingest import merge_parts
+
+    docs = merge_parts(f(spark, "fragments"))
+    pages = docs.select(
+        "url",
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.col("doc").cast("binary").alias("html"),
+    )
+    return extract_pages(spark, pages, ExtractConfig(dedup=False)).select(
+        "url", "extracted_text", F.col("n_blocks").cast("int").alias("n_blocks")
+    )
+
+
 # =====================================================================
 # 2.4 aggregations
 # =====================================================================
