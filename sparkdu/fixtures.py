@@ -191,3 +191,45 @@ def gen_rows_range(start: int, stop: int, n_total: int, bench_skew: bool = False
     """Range shard for distributed generation (doc_id-addressable)."""
     n_main = n_total - int(n_total * DUP_FRACTION)
     return [gen_row(i, n_main, bench_skew) for i in range(start, stop)]
+
+
+def synth_image_bytes(img_id: int) -> tuple:
+    """Deterministic synthetic image payload with REAL header structure.
+
+    Returns (payload: bytes, fmt: str, width: int, height: int). The headers
+    are structurally valid (PNG signature+IHDR, JPEG APP0+SOF0 marker chain,
+    GIF89a logical screen descriptor) so a header parser exercises the same
+    code path as on real crawl data; pixel data/CRCs are filler (no codec
+    libraries exist in this environment to produce full images).
+    """
+    rng = random.Random(SEED_BASE + 555_000_000 + img_id)
+    w = rng.randint(1, 4000)
+    h = rng.randint(1, 3000)
+    fmt = ("png", "jpeg", "gif")[img_id % 3]
+    filler = bytes(rng.randrange(256) for _ in range(rng.randint(8, 64)))
+    if fmt == "png":
+        ihdr = (
+            w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, 6, 0, 0, 0])  # bit depth 8, RGBA
+        )
+        payload = (
+            b"\x89PNG\r\n\x1a\n"
+            + (13).to_bytes(4, "big") + b"IHDR" + ihdr + b"\x00\x00\x00\x00"
+            + filler
+        )
+    elif fmt == "jpeg":
+        app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00\x01\x01\x00" + b"\x00" * 6
+        # a COM segment before SOF0 exercises the marker-skip loop
+        com = b"\xff\xfe" + (2 + len(filler)).to_bytes(2, "big") + filler
+        sof0 = (
+            b"\xff\xc0" + (17).to_bytes(2, "big") + bytes([8])
+            + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([3])
+            + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+        )
+        payload = b"\xff\xd8" + app0 + com + sof0 + b"\xff\xd9"
+    else:
+        payload = (
+            b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+            + bytes([0xF7, 0, 0]) + filler
+        )
+    return payload, fmt, w, h

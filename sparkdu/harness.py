@@ -1464,6 +1464,21 @@ def mm_frame_sample(spark, sf_dir):
 
 
 @q(
+    "mm_image_dims",
+    f"""SELECT img_id, fmt AS format, w AS width, h AS height
+        FROM read_parquet('{fx("images")}')""",
+)
+def mm_image_dims(spark, sf_dir):
+    """Multimodal metadata extraction, NOT stubbed: PNG/JPEG/GIF dimensions
+    parsed from container headers by the operator; the oracle reads the
+    generator-truth columns stored beside the payloads — an independent
+    cross-check of the byte-level parser."""
+    from .multimodal import image_meta
+
+    return image_meta(f(spark, "images").select("img_id", "payload"))
+
+
+@q(
     "tpch_q6",
     """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
        FROM lineitem

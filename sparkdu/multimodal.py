@@ -132,3 +132,82 @@ def frame_sample(df: DataFrame, payload_col: str = "html",
             )
 
     return df.mapInPandas(fn, schema=FRAME_SCHEMA)
+
+
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("img_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+_JPEG_SOF = frozenset(
+    range(0xC0, 0xD0)
+) - {0xC4, 0xC8, 0xCC}  # SOF0-15 minus DHT/JPG/DAC
+
+
+def parse_image_header(b: bytes):
+    """REAL (not stubbed) metadata extraction from image container headers —
+    no codec library needed: PNG IHDR, JPEG SOF marker scan, GIF logical
+    screen descriptor. Returns (format, width, height) or
+    ('unknown', None, None)."""
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24 and b[12:16] == b"IHDR":
+        return ("png", int.from_bytes(b[16:20], "big"), int.from_bytes(b[20:24], "big"))
+    if b[:2] == b"\xff\xd8":
+        i = 2
+        n = len(b)
+        while i + 9 < n:
+            if b[i] != 0xFF:
+                break
+            marker = b[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker in _JPEG_SOF:
+                return (
+                    "jpeg",
+                    int.from_bytes(b[i + 7 : i + 9], "big"),
+                    int.from_bytes(b[i + 5 : i + 7], "big"),
+                )
+            if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seg = int.from_bytes(b[i + 2 : i + 4], "big")
+            if seg < 2:
+                break
+            i += 2 + seg
+        return ("jpeg", None, None)
+    if b[:6] in (b"GIF89a", b"GIF87a") and len(b) >= 10:
+        return ("gif", int.from_bytes(b[6:8], "little"), int.from_bytes(b[8:10], "little"))
+    return ("unknown", None, None)
+
+
+def image_meta(df: DataFrame, payload_col: str = "payload",
+               id_col: str = "img_id") -> DataFrame:
+    """mapInPandas image-metadata extraction: the non-stubbed multimodal
+    operator (header parsing needs no codec). Same batch shape as the
+    decode scaffold; runs at Arrow speed with a few hundred bytes read per
+    row regardless of payload size."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fmts, ws, hs = [], [], [], []
+            for iid, b in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(b) if b is not None else b""
+                fmt, w, h = parse_image_header(b)
+                ids.append(iid)
+                fmts.append(fmt)
+                ws.append(w)
+                hs.append(h)
+            yield pd.DataFrame(
+                {
+                    "img_id": pd.array(ids, dtype="int64"),
+                    "format": fmts,
+                    "width": pd.array(ws, dtype="int32"),
+                    "height": pd.array(hs, dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(fn, schema=IMAGE_META_SCHEMA)

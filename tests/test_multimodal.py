@@ -1,0 +1,59 @@
+"""Multimodal operators: real header parsing + scaffold plumbing edges."""
+
+import pytest
+
+from sparkdu.fixtures import synth_image_bytes
+from sparkdu.multimodal import parse_image_header, sniff_format
+
+
+def test_header_parser_recovers_generator_truth():
+    for i in range(120):
+        payload, fmt, w, h = synth_image_bytes(i)
+        got_fmt, got_w, got_h = parse_image_header(payload)
+        assert (got_fmt, got_w, got_h) == (fmt, w, h), i
+
+
+@pytest.mark.parametrize(
+    "b, expect",
+    [
+        (b"", ("unknown", None, None)),
+        (b"\x89PNG\r\n\x1a\n", ("unknown", None, None)),  # truncated: no IHDR
+        (b"\xff\xd8\xff\xd9", ("jpeg", None, None)),      # no SOF before EOI
+        (b"GIF89a\x10\x00\x20\x00", ("gif", 16, 32)),
+        (b"GIF87a\x01\x00\x01\x00", ("gif", 1, 1)),
+        (b"\x00\x01\x02\x03junk", ("unknown", None, None)),
+        # JPEG with fill bytes (FF FF) before SOF0 for a 2x3 image
+        (
+            b"\xff\xd8\xff\xff\xff\xc0\x00\x11\x08\x00\x03\x00\x02\x03"
+            b"\x01\x22\x00\x02\x11\x01\x03\x11\x01",
+            ("jpeg", 2, 3),
+        ),
+        # JPEG whose segment length lies (< 2): parser must stop, not loop
+        (b"\xff\xd8\xff\xe0\x00\x01", ("jpeg", None, None)),
+    ],
+)
+def test_header_parser_edges(b, expect):
+    assert parse_image_header(b) == expect
+
+
+def test_image_meta_spark_roundtrip(spark):
+    rows = []
+    for i in range(60):
+        payload, fmt, w, h = synth_image_bytes(i)
+        rows.append((i, bytearray(payload), fmt, w, h))
+    df = spark.createDataFrame(
+        rows, "img_id long, payload binary, fmt string, w int, h int"
+    )
+    from sparkdu.multimodal import image_meta
+
+    got = {r["img_id"]: (r["format"], r["width"], r["height"])
+           for r in image_meta(df.select("img_id", "payload")).collect()}
+    for i, _, fmt, w, h in rows:
+        assert got[i] == (fmt, w, h)
+
+
+def test_sniff_format_magic():
+    assert sniff_format(b"\x89PNG\r\n\x1a\n") == "png"
+    assert sniff_format(b"\xff\xd8\xff\xe0") == "jpeg"
+    assert sniff_format(b"GIF89a") == "gif"
+    assert sniff_format(b"zzzz") == "unknown"

@@ -118,6 +118,29 @@ def main() -> None:
         ),
     )
 
+    # images: synthetic multimodal payloads with generator-truth columns —
+    # the operator parses headers independently; the oracle reads the truth
+    img = {"img_id": [], "payload": [], "fmt": [], "w": [], "h": []}
+    for i in range(300):
+        payload, fmt_, w_, h_ = fixtures.synth_image_bytes(i)
+        img["img_id"].append(i)
+        img["payload"].append(payload)
+        img["fmt"].append(fmt_)
+        img["w"].append(w_)
+        img["h"].append(h_)
+    write(
+        "images.parquet",
+        pa.table(
+            {
+                "img_id": pa.array(img["img_id"], pa.int64()),
+                "payload": pa.array(img["payload"], pa.binary()),
+                "fmt": img["fmt"],
+                "w": pa.array(img["w"], pa.int32()),
+                "h": pa.array(img["h"], pa.int32()),
+            }
+        ),
+    )
+
     write(
         "golden_extracted.parquet",
         pa.table(
