@@ -80,3 +80,40 @@ def test_interval_join_uses_sort_merge_not_cartesian(spark):
     # equi keys (url, part_id) carry the join; no CartesianProduct anywhere
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_q6_predicates_pushed_to_scan(spark, sf_dir):
+    from sparkdu.harness import tpch_q6
+
+    plan = _plan(tpch_q6(spark, sf_dir))
+    pushed = plan.split("PushedFilters")[1][:400]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+    # partial+final agg only: exactly one exchange (the single-row gather)
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_ingest_merge_single_exchange(spark, sf_dir):
+    import re
+
+    from sparkdu.harness import ingest_merge_parts, ingest_split_roundtrip
+
+    plan = _plan(ingest_merge_parts(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    # split(merge(x)) reuses merge's partitioning: still exactly one exchange
+    plan2 = _plan(ingest_split_roundtrip(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", plan2)) == 1, plan2
+
+
+def test_quantize_is_pure_map(spark, sf_dir):
+    import re
+
+    from sparkdu.harness import emb_quantize_int8
+
+    plan = _plan(emb_quantize_int8(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan
+    # JVM-only: higher-order transform() exprs are interpreted-Project (not
+    # whole-stage-codegen'd — known Spark behavior) but never cross to Python
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    assert "transform(embedding" in plan  # the map really is the builtin HOF
