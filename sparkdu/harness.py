@@ -464,6 +464,28 @@ def dedup_latest_q(spark, sf_dir):
 # =====================================================================
 
 @q(
+    "scan_warcish",
+    f"""SELECT url, strftime(warc_ts, '%Y-%m-%d %H:%M:%S') AS ts,
+               hex(html) AS html_hex
+        FROM read_parquet('{fx("pages")}')""",
+)
+def scan_warcish(spark, sf_dir):
+    """S1' — custom Spark 4 Python DataSource (sparkdu/sources.py): the
+    WARC-style record container read through spark.read.format('warcish'),
+    cross-checked byte-for-byte against the parquet truth of the same rows.
+    One InputPartition per shard file — the WARC unit of parallelism."""
+    from .sources import WarcishDataSource
+
+    spark.dataSource.register(WarcishDataSource)
+    df = spark.read.format("warcish").load(os.path.join(FIX, "pages_warcish"))
+    return df.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.hex("html").alias("html_hex"),
+    )
+
+
+@q(
     "ingest_merge_parts",
     f"""SELECT url, string_agg(frag, '<hr class="page-break">' ORDER BY part_seq) AS doc
         FROM read_parquet('{fx("fragments")}') GROUP BY url""",

@@ -10,6 +10,7 @@ Run: python tools/make_fixtures.py  (from repo root)
 
 from __future__ import annotations
 
+import glob
 import hashlib
 import json
 import os
@@ -117,6 +118,26 @@ def main() -> None:
             }
         ),
     )
+
+    # warcish shards: the same pages rows in the custom record-container
+    # format (sparkdu/sources.py) — scan_warcish cross-checks the Python
+    # DataSource against the parquet truth
+    from sparkdu.sources import write_shard
+
+    wdir = os.path.join(OUT, "pages_warcish")
+    os.makedirs(wdir, exist_ok=True)
+    for old in glob.glob(os.path.join(wdir, "*.warcish")):
+        os.remove(old)
+    n_shards = 4
+    per = (len(rows) + n_shards - 1) // n_shards
+    total = 0
+    for s in range(n_shards):
+        chunk = rows[s * per : (s + 1) * per]
+        total += write_shard(
+            os.path.join(wdir, f"shard-{s:04d}.warcish"),
+            ((r["url"], r["warc_ts"], r["html"]) for r in chunk),
+        )
+    print(f"wrote pages_warcish/: {total} records in {n_shards} shards")
 
     # images: synthetic multimodal payloads with generator-truth columns —
     # the operator parses headers independently; the oracle reads the truth
