@@ -34,7 +34,13 @@ import glob
 import os
 from typing import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 MAGIC = b"WARCISH1 "
 
@@ -103,6 +109,56 @@ class WarcishReader(DataSourceReader):
         yield from read_shard(partition.path)
 
 
+class _ShardCommit(WriterCommitMessage):
+    def __init__(self, path: str, n: int):
+        self.path = path
+        self.n = n
+
+
+class WarcishWriter(DataSourceWriter):
+    """Sink twin (S3'): one shard per task, two-phase commit.
+
+    Tasks write to `.inprogress` files and report them in commit messages;
+    only the driver-side commit() renames them into place and stamps
+    _SUCCESS — a failed/speculative task's output is never visible, the
+    same visibility contract Spark's file committers give parquet."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("warcish: path option required")
+
+    def write(self, iterator) -> _ShardCommit:
+        import uuid
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(
+            self.path,
+            f"part-{ctx.partitionId():05d}-{uuid.uuid4().hex}.warcish.inprogress",
+        )
+        n = write_shard(tmp, ((r["url"], r["warc_ts"], r["html"]) for r in iterator))
+        return _ShardCommit(tmp, n)
+
+    def commit(self, messages) -> None:
+        total = 0
+        for m in messages:
+            final = m.path[: -len(".inprogress")]
+            os.replace(m.path, final)
+            total += m.n
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            f.write(str(total))
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            try:
+                os.remove(m.path)
+            except OSError:
+                pass
+
+
 class WarcishDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -113,3 +169,6 @@ class WarcishDataSource(DataSource):
 
     def reader(self, schema) -> WarcishReader:
         return WarcishReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> WarcishWriter:
+        return WarcishWriter(self.options)

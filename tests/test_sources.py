@@ -54,3 +54,20 @@ def test_datasource_extraction_matches_golden(spark, pages_rows, latest_rows, tm
     for url, r in list(latest_rows.items())[:40]:
         o = orc.extract_page(url, r["html"])
         assert out[url].encode() == o["extracted_text"].encode(), url
+
+
+def test_datasource_write_then_read_roundtrip(spark, pages_df, tmp_path):
+    """S3' sink: df.write.format('warcish') -> read back -> identical rows
+    (two-phase commit: shards land atomically with _SUCCESS)."""
+    import os
+
+    spark.dataSource.register(WarcishDataSource)
+    out = str(tmp_path / "wout")
+    src = pages_df.limit(200).select("url", "warc_ts", "html")
+    src.repartition(5).write.format("warcish").option("path", out).mode("append").save()
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    assert not [f for f in os.listdir(out) if f.endswith(".inprogress")]
+    back = spark.read.format("warcish").load(out)
+    a = src.selectExpr("url", "cast(warc_ts as string) ts", "hex(html) h")
+    b = back.selectExpr("url", "cast(warc_ts as string) ts", "hex(html) h")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
