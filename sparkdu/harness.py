@@ -1526,6 +1526,38 @@ def tpch_q6(spark, sf_dir):
 
 
 @q(
+    "tpch_q14ish",
+    """SELECT round(100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                                     THEN l.l_extendedprice * (1 - l.l_discount)
+                                     ELSE 0 END)
+                    / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct
+       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+       WHERE l.l_shipdate >= TIMESTAMP '1995-09-01'
+         AND l.l_shipdate < TIMESTAMP '1995-10-01'""",
+)
+def tpch_q14ish(spark, sf_dir):
+    """Promotion-revenue ratio: fact filtered at the scan, part dim joined
+    (broadcast at this SF; sort-merge + AQE at scale), conditional agg."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp"))
+    )
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct")
+        )
+    )
+
+
+@q(
     "tpch_q4ish",
     """SELECT o.o_orderpriority, count(*) AS order_count
        FROM orders o
