@@ -57,3 +57,51 @@ def test_fuzz_raw_bytes_never_crash_and_agree(b):
     o = orc.extract_page("u", b)
     t, nb, spans, _ = sp.extract_doc(b)
     assert o["extracted_text"].encode("utf-8") == t.encode("utf-8")
+
+
+# ---------------------------------------------------------------------
+# r2 roundtrip properties: warcish container and ingest merge/split are
+# exact inverses on arbitrary inputs (no Spark needed — pure functions)
+# ---------------------------------------------------------------------
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(min_size=1, max_size=40).filter(lambda s: "\x00" not in s),
+            st.integers(0, 2**50),          # epoch_us
+            st.binary(min_size=0, max_size=2000),
+        ),
+        min_size=0,
+        max_size=12,
+    )
+)
+def test_warcish_shard_roundtrip_property(rows):
+    import datetime
+
+    from sparkdu.sources import read_shard, write_shard
+
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "s.warcish")
+        write_shard(p, rows)
+        got = list(read_shard(p))
+    assert len(got) == len(rows)
+    for (url, epoch_us, html), (gu, gts, gh) in zip(rows, got):
+        assert gu == url and gh == html
+        want = datetime.datetime.fromtimestamp(
+            epoch_us / 1_000_000, datetime.timezone.utc
+        ).replace(tzinfo=None)
+        assert gts == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.text(max_size=80), min_size=1, max_size=8))
+def test_part_sep_split_merge_identity_property(frags):
+    """merge/split on PART_SEP are inverses iff no fragment contains the
+    separator — same precondition the generator guarantees."""
+    from sparkdu.fixtures import PART_SEP
+
+    frags = [f for f in frags if PART_SEP not in f] or [""]
+    doc = PART_SEP.join(frags)
+    assert doc.split(PART_SEP) == frags
