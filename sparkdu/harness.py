@@ -1040,6 +1040,51 @@ def fn_array_spans(spark, sf_dir):
 
 
 @q(
+    "fn_url_parse",
+    f"""SELECT url,
+               regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+               CAST(length(regexp_replace(regexp_extract(url, '^https?://[^/]*(/[^?#]*)', 1),
+                                          '[^/]', '', 'g')) AS INT) AS path_depth,
+               (url LIKE '%?%') AS has_query
+        FROM read_parquet('{fx("pages")}')""",
+)
+def fn_url_parse(spark, sf_dir):
+    """F13 — crawl-side URL structure ops (host grouping for politeness /
+    per-site stats, path depth as a quality prior): identical regexes on
+    both engines, pure JVM on the Spark side."""
+    p = f(spark, "pages")
+    path = F.regexp_extract("url", r"^https?://[^/]*(/[^?#]*)", 1)
+    return p.select(
+        "url",
+        F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("host"),
+        F.length(F.regexp_replace(path, r"[^/]", "")).cast("int").alias("path_depth"),
+        F.col("url").contains("?").alias("has_query"),
+    )
+
+
+@q("text_compress_ratio")  # rows-only: zlib is engine-side (pytest-gated)
+def text_compress_ratio(spark, sf_dir):
+    """Compressibility quality signal (C4/Gopher family): zlib-compressed
+    size over raw size per document — highly repetitive boilerplate
+    compresses far below prose. Arrow-batched pandas UDF; deterministic
+    (zlib level pinned)."""
+    import zlib
+
+    @F.pandas_udf("double")
+    def compress_ratio(s: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None or len(t) == 0:
+                return None
+            raw = t.encode("utf-8")
+            return len(zlib.compress(raw, 6)) / len(raw)
+
+        return s.map(one)
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.select("doc_id", F.round(compress_ratio("text"), 6).alias("compress_ratio"))
+
+
+@q(
     "fn_attr_map",
     f"""SELECT url, node_id, json_extract_string(attrs_json, '$.class') AS class_attr
         FROM read_parquet('{fx("nodes")}') WHERE attrs_json != '{{}}'""",

@@ -222,3 +222,25 @@ def test_curate_pipeline(spark, pages_df):
     # curated rows carry the quality score and text
     row = stages["curated"].select("url", "quality", "extracted_text").first()
     assert 0.0 <= row["quality"] <= 1.1 and len(row["extracted_text"]) >= 50
+
+
+def test_compress_ratio_separates_repetitive_from_random(spark):
+    """boilerplate-style repetition compresses well below high-entropy prose."""
+    import random as _r
+
+    rng = _r.Random(3)
+    prose = " ".join(
+        "".join(chr(rng.randrange(97, 123)) for _ in range(rng.randint(3, 9)))
+        for _ in range(300)
+    )
+    rows = [(1, "click here | home | about | " * 100), (2, prose), (3, None), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from sparkdu.harness import QUERIES
+    import os, tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        out = {r["doc_id"]: r["compress_ratio"]
+               for r in QUERIES["text_compress_ratio"](spark, d).collect()}
+    assert out[1] < 0.1 < out[2]
+    assert out[3] is None and out[4] is None
