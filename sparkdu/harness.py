@@ -827,6 +827,79 @@ def win_spans(spark, sf_dir):
 
 
 # =====================================================================
+# 2.5b event sessionization / diagnostics / sampling
+# =====================================================================
+
+@q(
+    "win_event_sessions",
+    """SELECT event_id, user_id,
+              cast(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS session_id
+       FROM (
+         SELECT event_id, user_id, ts,
+                CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                          IS NULL
+                      OR date_diff('second',
+                           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                           ts) > 600
+                     THEN 1 ELSE 0 END AS brk
+         FROM events)""",
+)
+def win_event_sessions(spark, sf_dir):
+    """W2' — gap sessionization generalized to the events table (600 s
+    idle gap): lag -> break flag -> running sum, the batch twin of the
+    streaming applyInPandasWithState sessionizer."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    brk = F.when(
+        prev.isNull()
+        | ((F.unix_timestamp("ts") - F.unix_timestamp(prev)) > 600),
+        1,
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        e.withColumn("brk", brk)
+        .select(
+            "event_id", "user_id",
+            F.sum("brk").over(run).cast("long").alias("session_id"),
+        )
+    )
+
+
+@q(
+    "agg_corr_features",
+    f"""SELECT round(corr(link_density, punct_ratio), 6) AS corr_ld_punct,
+               round(corr(n_chars, n_links), 6) AS corr_chars_links
+        FROM read_parquet('{fx("nodes")}')""",
+)
+def agg_corr_features(spark, sf_dir):
+    """A8 — feature correlation scan (fit-time diagnostics for the
+    classifier feature set); builtin corr on both engines, rounded."""
+    n = f(spark, "nodes")
+    return n.agg(
+        R6(F.corr("link_density", "punct_ratio")).alias("corr_ld_punct"),
+        R6(F.corr(F.col("n_chars").cast("double"), F.col("n_links").cast("double"))).alias(
+            "corr_chars_links"
+        ),
+    )
+
+
+@q("sample_stratified")  # rows-only: seeded Bernoulli sampling is engine-specific
+def sample_stratified(spark, sf_dir):
+    """Training-data subsampling: per-language stratified sample (sampleBy,
+    seeded). At 10^12 scale this is the op that cuts a balanced training
+    slice without a shuffle — each row is kept/dropped locally. Proportions
+    are pytest-gated (engine-specific RNG has no SQL oracle)."""
+    d = t(spark, sf_dir, "documents")
+    fracs = {"en": 0.5, "de": 0.5, "fr": 0.25, "es": 0.25, "zh": 0.1}
+    return d.sampleBy("lang", fractions=fracs, seed=42).select("doc_id", "lang")
+
+
+# =====================================================================
 # 2.6 sorts / limits / top-k   2.7 set ops
 # =====================================================================
 

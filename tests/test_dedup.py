@@ -244,3 +244,25 @@ def test_compress_ratio_separates_repetitive_from_random(spark):
                for r in QUERIES["text_compress_ratio"](spark, d).collect()}
     assert out[1] < 0.1 < out[2]
     assert out[3] is None and out[4] is None
+
+
+def test_stratified_sample_proportions(spark):
+    """sampleBy keeps ~the requested fraction per stratum, deterministically
+    for a fixed seed."""
+    from sparkdu.harness import QUERIES
+
+    sf_dir = "/root/testdata/sf0.01"
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    totals = {r["lang"]: r["n"] for r in
+              base.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got1 = QUERIES["sample_stratified"](spark, sf_dir)
+    counts = {r["lang"]: r["n"] for r in
+              got1.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    fracs = {"en": 0.5, "de": 0.5, "fr": 0.25, "es": 0.25, "zh": 0.1}
+    for lang, frac in fracs.items():
+        obs = counts.get(lang, 0) / totals[lang]
+        assert abs(obs - frac) < 0.15, (lang, obs, frac)
+    # determinism for a fixed seed
+    a = {r["doc_id"] for r in got1.collect()}
+    b = {r["doc_id"] for r in QUERIES["sample_stratified"](spark, sf_dir).collect()}
+    assert a == b
