@@ -165,7 +165,11 @@ class WarcishDataSource(DataSource):
         return "warcish"
 
     def schema(self) -> str:
-        return "url string, warc_ts timestamp, html binary"
+        # timestamp_ntz: record timestamps are UTC wall-clock fields by
+        # convention; NTZ keeps them session-TZ-independent end to end (a
+        # plain `timestamp` column is ingested as UTC by the Python data
+        # source but rendered in session TZ — an 8h shift on a PST driver)
+        return "url string, warc_ts timestamp_ntz, html binary"
 
     def reader(self, schema) -> WarcishReader:
         return WarcishReader(self.options)
