@@ -5,6 +5,12 @@ the same sf dir, then compares row count, column-name set, and
 order-insensitive values. Usage:
 
     python tools/check_harness.py [sf_dir] [query ...]
+
+Env:
+    SPARKDU_CHECK_PLAIN_TZ=<tz>  build a PLAIN SparkSession (no sparkdu
+        tuned defaults) pinned to <tz> instead of get_spark's UTC session —
+        simulates the driver environment; non-UTC values (e.g.
+        America/Los_Angeles) flush out session-TZ-dependent queries.
 """
 
 from __future__ import annotations
@@ -111,9 +117,24 @@ def main():
     only = set(sys.argv[2:])
 
     from sparkdu.harness import ORACLES, QUERIES
-    from sparkdu.session import get_spark
 
-    spark = get_spark(app="harness-check", master="local[8]", shuffle_partitions=16)
+    plain_tz = os.environ.get("SPARKDU_CHECK_PLAIN_TZ")
+    if plain_tz:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("harness-check-plain")
+            .master("local[8]")
+            .config("spark.sql.session.timeZone", plain_tz)
+            .config("spark.sql.shuffle.partitions", "16")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        print(f"[plain-session mode, session TZ = {plain_tz}]")
+    else:
+        from sparkdu.session import get_spark
+
+        spark = get_spark(app="harness-check", master="local[8]", shuffle_partitions=16)
     con = duckdb.connect()
     for t in DRIVER_TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
