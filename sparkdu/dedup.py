@@ -31,7 +31,8 @@ _MH_A = [_rng.randrange(1, _M31) for _ in range(32)]
 _MH_B = [_rng.randrange(0, _M31) for _ in range(32)]
 
 
-def _shingles(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFrame:
+def _shingles(df: DataFrame, id_col: str, text_col: str, k: int = 5,
+              max_chars: Optional[int] = None, mode: str = "char") -> DataFrame:
     """Distinct k-char shingles of lowercased text.
 
     Docs shorter than k chars yield NO shingles — they get no minhash
@@ -39,8 +40,33 @@ def _shingles(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFram
     out of scope for shingle-based similarity by construction (exact dedup
     still catches byte-identical ones); callers needing them should lower
     `shingle_k` or route short docs to exact dedup.
+
+    `max_chars` caps the shingled prefix: signatures over the first few KB
+    discriminate near-dups just as well while cutting the shingle explosion
+    ~|text|/max_chars-fold — the difference between feasible and not at
+    10^12 x 10KB docs.
+
+    `mode="word"` switches to w-shingling over whitespace tokens (Broder):
+    k consecutive WORDS per shingle. For natural-language documents this is
+    both cheaper (~n_words shingles, not ~n_chars) and far more
+    discriminative — char k-grams over a narrow vocabulary overlap heavily
+    between unrelated documents, inflating Jaccard.
     """
     tl = F.lower(F.col(text_col))
+    if max_chars is not None:
+        tl = F.substring(tl, 1, max_chars)
+    if mode == "word":
+        toks = F.split(tl, " ")
+        shingles = F.expr(
+            f"transform(sequence(1, greatest(size(_toks) - {k - 1}, 0)),"
+            f" i -> concat_ws(' ', slice(_toks, i, {k})))"
+        )
+        return (
+            df.select(id_col, toks.alias("_toks"))
+            .filter(F.size("_toks") >= k)
+            .select(id_col, F.explode(shingles).alias("shingle"))
+            .distinct()
+        )
     return (
         df.select(id_col, tl.alias("_tl"))
         .filter(F.length("_tl") >= k)
@@ -56,10 +82,12 @@ def _shingles(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFram
 
 def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    n_hashes: int = 32, shingle_k: int = 5,
+    n_hashes: int = 32, shingle_k: int = 5, max_text_chars: Optional[int] = None,
+    shingle_mode: str = "char",
 ) -> DataFrame:
     """(id, sig array<bigint>[n_hashes]) — one JVM-only aggregation."""
-    sh = _shingles(df, id_col, text_col, shingle_k)
+    sh = _shingles(df, id_col, text_col, shingle_k, max_chars=max_text_chars,
+                   mode=shingle_mode)
     h31 = F.pmod(F.xxhash64("shingle"), F.lit(_M31))  # < 2^31
     mins = [
         F.min(
@@ -71,9 +99,50 @@ def minhash_signatures(
     return agg.select(id_col, F.array(*[f"mh{i}" for i in range(n_hashes)]).alias("sig"))
 
 
+def _banded(sig: DataFrame, id_col: str, bands: int, r: int) -> DataFrame:
+    """(id, band, bsig): one row per (doc, band) with the band signature."""
+    return sig.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(*[F.col("sig")[b * r + j] for j in range(r)]).alias("bsig"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bsig")
+
+
+def minhash_lsh_bucket_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    n_hashes: int = 32, bands: int = 8, max_bucket: int = 512,
+    max_text_chars: Optional[int] = None, shingle_k: int = 5,
+    shingle_mode: str = "char",
+) -> DataFrame:
+    """1-row skew report for the LSH banding: bucket count, max bucket
+    size, and rows beyond the per-bucket cap (= anchor-fallback rows per
+    band). A plain aggregation — use this for job metrics; the Observation
+    hook on minhash_lsh_pairs only survives single-action plans."""
+    r = n_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n_hashes,
+                             shingle_k=shingle_k,
+                             max_text_chars=max_text_chars,
+                             shingle_mode=shingle_mode)
+    sizes = _banded(sig, id_col, bands, r).groupBy("band", "bsig").count()
+    return sizes.agg(
+        F.count("*").alias("n_buckets"),
+        F.max("count").alias("max_bucket_size"),
+        F.sum(F.greatest(F.col("count") - max_bucket, F.lit(0))).alias("rows_over_cap"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     n_hashes: int = 32, bands: int = 8, max_bucket: int = 512,
+    max_text_chars: Optional[int] = None, shingle_k: int = 5,
+    shingle_mode: str = "char",
     observation: Optional["object"] = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: same band signature in any of `bands` bands.
@@ -94,19 +163,11 @@ def minhash_lsh_pairs(
     excluded from full pairing (metric `lsh_bucket_dropped`).
     """
     r = n_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n_hashes)
-    banded = sig.select(
-        id_col,
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.xxhash64(*[F.col("sig")[b * r + j] for j in range(r)]).alias("bsig"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bsig")
+    sig = minhash_signatures(df, id_col, text_col, n_hashes,
+                             shingle_k=shingle_k,
+                             max_text_chars=max_text_chars,
+                             shingle_mode=shingle_mode)
+    banded = _banded(sig, id_col, bands, r)
     w = Window.partitionBy("band", "bsig").orderBy(F.col(id_col).asc())
     ranked = banded.withColumn("_rn", F.row_number().over(w))
     if observation is not None:

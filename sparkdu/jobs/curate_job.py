@@ -32,8 +32,14 @@ def curate(spark: SparkSession, pages: DataFrame, min_quality: float = 0.35,
     from sparkdu.api import ExtractConfig, extract_pages
     from sparkdu.dedup import minhash_lsh_pairs
 
-    extracted = extract_pages(spark, pages, ExtractConfig()).select(
-        "url", "warc_ts", "extracted_text", "n_blocks"
+    # cache the one expensive Python crossing: every downstream stage and
+    # every stage-count action reuses the extraction output instead of
+    # re-parsing the corpus (at 100 TB this is "write the extracted table
+    # once, then curate from it" — the cache is the in-sandbox stand-in)
+    extracted = (
+        extract_pages(spark, pages, ExtractConfig())
+        .select("url", "warc_ts", "extracted_text", "n_blocks")
+        .cache()
     )
 
     n = F.length("extracted_text")
@@ -62,18 +68,23 @@ def curate(spark: SparkSession, pages: DataFrame, min_quality: float = 0.35,
     exact_deduped = kept.join(survivors, "url", "left_semi")
 
     # near-dup: MinHash-LSH candidate pairs; drop the lexicographically
-    # larger id of each pair (deterministic survivor choice). The skew-cap
-    # Observation surfaces how many rows fell back to anchor-only pairing
-    # (still removed, just not fully cross-paired) — a curation health metric.
-    from pyspark.sql import Observation
-
-    lsh_obs = Observation("curate_lsh_skew")
-    pairs = minhash_lsh_pairs(
-        exact_deduped.select(F.col("url").alias("doc_id"),
-                             F.col("extracted_text").alias("text")),
-        id_col="doc_id", text_col="text", bands=jaccard_bands,
-        observation=lsh_obs,
+    # larger id of each pair (deterministic survivor choice)
+    lsh_docs = exact_deduped.select(
+        F.col("url").alias("doc_id"), F.col("extracted_text").alias("text")
     )
+    lsh_kw = dict(
+        id_col="doc_id", text_col="text", bands=jaccard_bands,
+        max_text_chars=4000,  # signature over the first 4 KB prefix
+        shingle_k=3, shingle_mode="word",  # Broder w-shingling: 3-word
+        # shingles discriminate documents (char 5-grams over natural-language
+        # vocabulary overlap heavily between unrelated docs)
+    )
+    pairs = minhash_lsh_pairs(lsh_docs, **lsh_kw)
+    # skew health report as a plain aggregation (an Observation does not
+    # survive the multi-action + cache plan shapes this job uses)
+    from sparkdu.dedup import minhash_lsh_bucket_stats
+
+    lsh_stats = minhash_lsh_bucket_stats(lsh_docs, **lsh_kw)
     # cache the (small) drop list: every downstream action would otherwise
     # re-execute the observed LSH subtree — Observation supports exactly one
     # execution, and re-runs of a CollectMetrics plan proved flaky (transient
@@ -83,7 +94,7 @@ def curate(spark: SparkSession, pages: DataFrame, min_quality: float = 0.35,
 
     return {"extracted": extracted, "scored": scored, "kept": kept,
             "exact_deduped": exact_deduped, "curated": curated,
-            "_lsh_observation": lsh_obs}
+            "_lsh_stats": lsh_stats}
 
 
 def main(argv=None) -> None:
@@ -101,14 +112,16 @@ def main(argv=None) -> None:
     pages = spark.read.schema(PAGES_SCHEMA).parquet(args.input)
     t0 = time.time()
     stages = curate(spark, pages, min_quality=args.min_quality)
-    lsh_obs = stages.pop("_lsh_observation")
+    lsh_stats = stages.pop("_lsh_stats")
     stages["curated"].write.mode("overwrite").parquet(os.path.join(args.output, "curated"))
     counts = {k: v.count() for k, v in stages.items()}
-    lsh_dropped = lsh_obs.get.get("lsh_bucket_dropped", 0)
+    st = lsh_stats.first()
     print(
         f"curate: in={pages.count()} extracted={counts['extracted']} "
         f"kept={counts['kept']} exact_deduped={counts['exact_deduped']} "
-        f"curated={counts['curated']} lsh_anchor_fallback_rows={lsh_dropped} "
+        f"curated={counts['curated']} lsh_buckets={st['n_buckets']} "
+        f"lsh_max_bucket={st['max_bucket_size']} "
+        f"lsh_rows_over_cap={st['rows_over_cap'] or 0} "
         f"wall={time.time()-t0:.1f}s"
     )
     spark.stop()

@@ -212,9 +212,10 @@ def test_curate_pipeline(spark, pages_df):
     from sparkdu.jobs.curate_job import curate
 
     stages = curate(spark, pages_df, min_quality=0.2, min_chars=50)
-    obs = stages.pop("_lsh_observation")
+    st = stages.pop("_lsh_stats").first()
+    assert (st["rows_over_cap"] or 0) == 0  # no skewed buckets here
+    assert st["n_buckets"] > 0
     c = {k: v.count() for k, v in stages.items()}
-    assert obs.get.get("lsh_bucket_dropped", 0) == 0  # no skewed buckets here
     n_urls = pages_df.select("url").distinct().count()
     assert c["extracted"] == n_urls
     assert c["extracted"] >= c["kept"] >= c["exact_deduped"] >= c["curated"]
@@ -266,3 +267,20 @@ def test_stratified_sample_proportions(spark):
     a = {r["doc_id"] for r in got1.collect()}
     b = {r["doc_id"] for r in QUERIES["sample_stratified"](spark, sf_dir).collect()}
     assert a == b
+
+
+def test_minhash_word_shingles_discriminate(spark, docs_df):
+    """Broder w-shingling (3-word): one-word-changed copies are caught,
+    while independent word-soup docs (high CHAR-5-gram overlap by
+    construction) produce no false candidate pairs."""
+    pairs = {
+        (r["a_id"], r["b_id"])
+        for r in minhash_lsh_pairs(
+            docs_df, shingle_k=3, shingle_mode="word"
+        ).collect()
+    }
+    truth = {(j, 1000 + j) for j in range(15)}
+    assert len(truth & pairs) / len(truth) >= 0.9
+    # every candidate involves a generated near-dup copy (id >= 1000):
+    # no pair between two independent base docs
+    assert all(b >= 1000 for _, b in pairs), sorted(pairs)[:5]
