@@ -7,11 +7,14 @@ Commands:
     fit       train + freeze classifier artifacts (jobs/fit_artifacts)
 
 Each command forwards its remaining arguments to the job's own argparse;
-`python -m sparkdu extract --help` shows the job's options. Also works
-under spark-submit:
+`python -m sparkdu extract --help` shows the job's options. Under
+spark-submit, pass this module file (spark-submit takes a primary resource
+file, not -m):
 
-    spark-submit --py-files dist/sparkdu.zip -m sparkdu ...   # or call the
-    job file directly as before — both paths share the same main()s.
+    spark-submit --py-files dist/sparkdu.zip sparkdu/__main__.py extract ...
+
+or call the job file directly as before — both paths share the same
+main()s.
 """
 
 from __future__ import annotations

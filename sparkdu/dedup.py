@@ -56,13 +56,16 @@ def _shingles(df: DataFrame, id_col: str, text_col: str, k: int = 5,
     if max_chars is not None:
         tl = F.substring(tl, 1, max_chars)
     if mode == "word":
-        toks = F.split(tl, " ")
+        # split on runs of ANY whitespace (extracted_text joins blocks with
+        # \n) and drop empties, so whitespace variants shingle identically
+        toks = F.expr("filter(split(_tl, '\\\\s+'), t -> t != '')")
         shingles = F.expr(
             f"transform(sequence(1, greatest(size(_toks) - {k - 1}, 0)),"
             f" i -> concat_ws(' ', slice(_toks, i, {k})))"
         )
         return (
-            df.select(id_col, toks.alias("_toks"))
+            df.select(id_col, tl.alias("_tl"))
+            .select(id_col, toks.alias("_toks"))
             .filter(F.size("_toks") >= k)
             .select(id_col, F.explode(shingles).alias("shingle"))
             .distinct()
@@ -115,22 +118,40 @@ def _banded(sig: DataFrame, id_col: str, bands: int, r: int) -> DataFrame:
     ).select(id_col, "bb.band", "bb.bsig")
 
 
-def minhash_lsh_bucket_stats(
+def minhash_banded(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    n_hashes: int = 32, bands: int = 8, max_bucket: int = 512,
+    n_hashes: int = 32, bands: int = 8,
     max_text_chars: Optional[int] = None, shingle_k: int = 5,
     shingle_mode: str = "char",
 ) -> DataFrame:
-    """1-row skew report for the LSH banding: bucket count, max bucket
-    size, and rows beyond the per-bucket cap (= anchor-fallback rows per
-    band). A plain aggregation — use this for job metrics; the Observation
-    hook on minhash_lsh_pairs only survives single-action plans."""
+    """(id, band, bsig) banding — the shared heavy stage (shingles + minhash
+    aggregation). Compute (and optionally cache) ONCE, then feed the same
+    DataFrame to minhash_lsh_pairs(banded=...) and
+    minhash_lsh_bucket_stats(banded=...)."""
     r = n_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n_hashes,
                              shingle_k=shingle_k,
                              max_text_chars=max_text_chars,
                              shingle_mode=shingle_mode)
-    sizes = _banded(sig, id_col, bands, r).groupBy("band", "bsig").count()
+    return _banded(sig, id_col, bands, r)
+
+
+def minhash_lsh_bucket_stats(
+    df: Optional[DataFrame] = None, id_col: str = "doc_id", text_col: str = "text",
+    n_hashes: int = 32, bands: int = 8, max_bucket: int = 512,
+    max_text_chars: Optional[int] = None, shingle_k: int = 5,
+    shingle_mode: str = "char", banded: Optional[DataFrame] = None,
+) -> DataFrame:
+    """1-row skew report for the LSH banding: bucket count, max bucket
+    size, and rows beyond the per-bucket cap (= anchor-fallback rows per
+    band). A plain aggregation — use this for job metrics; the Observation
+    hook on minhash_lsh_pairs only survives single-action plans. Pass
+    `banded` (from minhash_banded) to reuse the signature stage instead of
+    recomputing it."""
+    if banded is None:
+        banded = minhash_banded(df, id_col, text_col, n_hashes, bands,
+                                max_text_chars, shingle_k, shingle_mode)
+    sizes = banded.groupBy("band", "bsig").count()
     return sizes.agg(
         F.count("*").alias("n_buckets"),
         F.max("count").alias("max_bucket_size"),
@@ -142,7 +163,7 @@ def minhash_lsh_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     n_hashes: int = 32, bands: int = 8, max_bucket: int = 512,
     max_text_chars: Optional[int] = None, shingle_k: int = 5,
-    shingle_mode: str = "char",
+    shingle_mode: str = "char", banded: Optional[DataFrame] = None,
     observation: Optional["object"] = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: same band signature in any of `bands` bands.
@@ -162,12 +183,9 @@ def minhash_lsh_pairs(
     pyspark.sql.Observation as `observation` to get the count of rows
     excluded from full pairing (metric `lsh_bucket_dropped`).
     """
-    r = n_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n_hashes,
-                             shingle_k=shingle_k,
-                             max_text_chars=max_text_chars,
-                             shingle_mode=shingle_mode)
-    banded = _banded(sig, id_col, bands, r)
+    if banded is None:
+        banded = minhash_banded(df, id_col, text_col, n_hashes, bands,
+                                max_text_chars, shingle_k, shingle_mode)
     w = Window.partitionBy("band", "bsig").orderBy(F.col(id_col).asc())
     ranked = banded.withColumn("_rn", F.row_number().over(w))
     if observation is not None:

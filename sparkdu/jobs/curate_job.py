@@ -72,19 +72,21 @@ def curate(spark: SparkSession, pages: DataFrame, min_quality: float = 0.35,
     lsh_docs = exact_deduped.select(
         F.col("url").alias("doc_id"), F.col("extracted_text").alias("text")
     )
-    lsh_kw = dict(
-        id_col="doc_id", text_col="text", bands=jaccard_bands,
+    from sparkdu.dedup import minhash_banded, minhash_lsh_bucket_stats
+
+    # the banding (shingles + 32-hash min aggregation) is the heavy stage —
+    # compute it once, cache, and share between the pair join and the skew
+    # report (an Observation does not survive the multi-action + cache plan
+    # shapes this job uses, so the report is a plain aggregation)
+    banded = minhash_banded(
+        lsh_docs, id_col="doc_id", text_col="text", bands=jaccard_bands,
         max_text_chars=4000,  # signature over the first 4 KB prefix
         shingle_k=3, shingle_mode="word",  # Broder w-shingling: 3-word
         # shingles discriminate documents (char 5-grams over natural-language
         # vocabulary overlap heavily between unrelated docs)
-    )
-    pairs = minhash_lsh_pairs(lsh_docs, **lsh_kw)
-    # skew health report as a plain aggregation (an Observation does not
-    # survive the multi-action + cache plan shapes this job uses)
-    from sparkdu.dedup import minhash_lsh_bucket_stats
-
-    lsh_stats = minhash_lsh_bucket_stats(lsh_docs, **lsh_kw)
+    ).cache()
+    pairs = minhash_lsh_pairs(lsh_docs, id_col="doc_id", banded=banded)
+    lsh_stats = minhash_lsh_bucket_stats(banded=banded)
     # cache the (small) drop list: every downstream action would otherwise
     # re-execute the observed LSH subtree — Observation supports exactly one
     # execution, and re-runs of a CollectMetrics plan proved flaky (transient
@@ -94,7 +96,11 @@ def curate(spark: SparkSession, pages: DataFrame, min_quality: float = 0.35,
 
     return {"extracted": extracted, "scored": scored, "kept": kept,
             "exact_deduped": exact_deduped, "curated": curated,
-            "_lsh_stats": lsh_stats}
+            "_lsh_stats": lsh_stats,
+            # cached intermediates — callers should unpersist() these when
+            # done (long-lived sessions calling curate() repeatedly would
+            # otherwise pin every run's extraction output in storage)
+            "_cached": [extracted, drop, banded]}
 
 
 def main(argv=None) -> None:
@@ -113,9 +119,12 @@ def main(argv=None) -> None:
     t0 = time.time()
     stages = curate(spark, pages, min_quality=args.min_quality)
     lsh_stats = stages.pop("_lsh_stats")
+    cached = stages.pop("_cached")
     stages["curated"].write.mode("overwrite").parquet(os.path.join(args.output, "curated"))
     counts = {k: v.count() for k, v in stages.items()}
     st = lsh_stats.first()
+    for c in cached:
+        c.unpersist()
     print(
         f"curate: in={pages.count()} extracted={counts['extracted']} "
         f"kept={counts['kept']} exact_deduped={counts['exact_deduped']} "

@@ -205,8 +205,11 @@ def image_meta(df: DataFrame, payload_col: str = "payload",
                 {
                     "img_id": pd.array(ids, dtype="int64"),
                     "format": fmts,
-                    "width": pd.array(ws, dtype="int32"),
-                    "height": pd.array(hs, dtype="int32"),
+                    # nullable Int32: unparseable payloads yield None dims
+                    # ('unknown' format, SOF-less JPEG) and must not kill
+                    # the batch
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
                 }
             )
 

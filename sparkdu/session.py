@@ -7,6 +7,29 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _reap_stale_local_dirs(root: str) -> None:
+    """Best-effort cleanup of tmpfs shuffle dirs left by dead processes.
+
+    Dirs are named by owning pid; a crashed/OOM-killed run never removes
+    its own, and tmpfs is RAM — so each new session sweeps siblings whose
+    pid no longer exists."""
+    import shutil
+
+    try:
+        entries = os.listdir(root)
+    except OSError:
+        return
+    for name in entries:
+        if not name.isdigit() or int(name) == os.getpid():
+            continue
+        try:
+            os.kill(int(name), 0)  # raises if the pid is gone
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+        except OSError:
+            pass  # pid exists but not ours to signal — leave it
+
+
 def get_spark(
     app: str = "sparkdu",
     master: str | None = None,
@@ -47,6 +70,7 @@ def get_spark(
         # per-process subdir: concurrent sessions (bench + tests) must not
         # share shuffle roots — one JVM's shutdown cleanup can race another's
         # live temp_shuffle files
+        _reap_stale_local_dirs("/dev/shm/spark-local")
         local_dir = f"/dev/shm/spark-local/{os.getpid()}"
     if local_dir:
         b = b.config("spark.local.dir", local_dir)

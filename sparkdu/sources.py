@@ -123,10 +123,11 @@ class WarcishWriter(DataSourceWriter):
     _SUCCESS — a failed/speculative task's output is never visible, the
     same visibility contract Spark's file committers give parquet."""
 
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, overwrite: bool = False):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("warcish: path option required")
+        self.overwrite = overwrite
 
     def write(self, iterator) -> _ShardCommit:
         import uuid
@@ -143,6 +144,12 @@ class WarcishWriter(DataSourceWriter):
         return _ShardCommit(tmp, n)
 
     def commit(self, messages) -> None:
+        if self.overwrite:
+            # replace-visibility only at commit: old shards removed right
+            # before the new ones are renamed in, never before the tasks
+            # have all succeeded
+            for old in glob.glob(os.path.join(self.path, "*.warcish")):
+                os.remove(old)
         total = 0
         for m in messages:
             final = m.path[: -len(".inprogress")]
@@ -152,7 +159,10 @@ class WarcishWriter(DataSourceWriter):
             f.write(str(total))
 
     def abort(self, messages) -> None:
+        # failed tasks report None commit messages (DataSourceWriter contract)
         for m in messages:
+            if m is None:
+                continue
             try:
                 os.remove(m.path)
             except OSError:
@@ -175,4 +185,4 @@ class WarcishDataSource(DataSource):
         return WarcishReader(self.options)
 
     def writer(self, schema, overwrite: bool) -> WarcishWriter:
-        return WarcishWriter(self.options)
+        return WarcishWriter(self.options, overwrite=overwrite)

@@ -213,9 +213,12 @@ def test_curate_pipeline(spark, pages_df):
 
     stages = curate(spark, pages_df, min_quality=0.2, min_chars=50)
     st = stages.pop("_lsh_stats").first()
+    cached = stages.pop("_cached")
     assert (st["rows_over_cap"] or 0) == 0  # no skewed buckets here
     assert st["n_buckets"] > 0
     c = {k: v.count() for k, v in stages.items()}
+    for df_ in cached:
+        df_.unpersist()
     n_urls = pages_df.select("url").distinct().count()
     assert c["extracted"] == n_urls
     assert c["extracted"] >= c["kept"] >= c["exact_deduped"] >= c["curated"]
@@ -284,3 +287,14 @@ def test_minhash_word_shingles_discriminate(spark, docs_df):
     # every candidate involves a generated near-dup copy (id >= 1000):
     # no pair between two independent base docs
     assert all(b >= 1000 for _, b in pairs), sorted(pairs)[:5]
+
+
+def test_word_shingles_whitespace_invariant(spark):
+    """extracted_text joins blocks with \\n — word shingling must treat any
+    whitespace run as one boundary or near-dups across block boundaries
+    are silently missed."""
+    rows = [(1, "hello world foo bar baz qux"),
+            (2, "hello world\nfoo  bar\tbaz qux")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_lsh_pairs(df, shingle_k=3, shingle_mode="word").collect()
+    assert [(r["a_id"], r["b_id"]) for r in pairs] == [(1, 2)]

@@ -57,3 +57,20 @@ def test_sniff_format_magic():
     assert sniff_format(b"\xff\xd8\xff\xe0") == "jpeg"
     assert sniff_format(b"GIF89a") == "gif"
     assert sniff_format(b"zzzz") == "unknown"
+
+
+def test_image_meta_survives_corrupt_payloads(spark):
+    """a batch mixing valid and unparseable payloads must not crash the
+    Arrow conversion (None dims -> nullable Int32)."""
+    from sparkdu.multimodal import image_meta
+
+    p0, f0, w0, h0 = synth_image_bytes(0)
+    rows = [(0, bytearray(p0)), (1, bytearray(b"")),
+            (2, bytearray(b"\xff\xd8\xff\xd9")), (3, None)]
+    df = spark.createDataFrame(rows, "img_id long, payload binary")
+    got = {r["img_id"]: (r["format"], r["width"], r["height"])
+           for r in image_meta(df).collect()}
+    assert got[0] == (f0, w0, h0)
+    assert got[1] == ("unknown", None, None)
+    assert got[2] == ("jpeg", None, None)
+    assert got[3] == ("unknown", None, None)

@@ -71,3 +71,19 @@ def test_datasource_write_then_read_roundtrip(spark, pages_df, tmp_path):
     a = src.selectExpr("url", "cast(warc_ts as string) ts", "hex(html) h")
     b = back.selectExpr("url", "cast(warc_ts as string) ts", "hex(html) h")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_datasource_overwrite_replaces(spark, pages_df, tmp_path):
+    from sparkdu.sources import WarcishWriter
+
+    spark.dataSource.register(WarcishDataSource)
+    out = str(tmp_path / "ow")
+    src = pages_df.limit(50).select("url", "warc_ts", "html")
+    src.write.format("warcish").option("path", out).mode("append").save()
+    n1 = spark.read.format("warcish").load(out).count()
+    # overwrite must REPLACE, not append beside the old shards
+    src.limit(20).write.format("warcish").option("path", out).mode("overwrite").save()
+    n2 = spark.read.format("warcish").load(out).count()
+    assert (n1, n2) == (50, 20)
+    # abort with None commit messages (failed tasks) must not raise
+    WarcishWriter({"path": out}).abort([None, None])
