@@ -31,12 +31,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from sparkdu.harness import QUERIES
+    import sparkdu.staging  # noqa: F401  (registers round-3 keys)
+    from sparkdu.harness import QUERIES, ordered
 
-    return dict(QUERIES)
+    return ordered(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    from sparkdu.harness import ORACLES
+    import sparkdu.staging  # noqa: F401  (registers round-3 keys)
+    from sparkdu.harness import ORACLES, ordered
 
-    return dict(ORACLES)
+    return ordered(ORACLES)

@@ -22,6 +22,13 @@ from html.parser import HTMLParser
 MAX_HTML_BYTES = 8 * 2**20
 PIPELINE_VERSION_RULE = "1.0.0"
 PIPELINE_VERSION_MODEL = "1.1.0"
+PIPELINE_VERSION_MP = "1.2.0"
+
+
+def model_version(model) -> str:
+    if model is None:
+        return PIPELINE_VERSION_RULE
+    return PIPELINE_VERSION_MP if model.get("mp") else PIPELINE_VERSION_MODEL
 TRUNCATION_MARKER = "…[truncated]"
 
 VOID_TAGS = frozenset(
@@ -253,11 +260,55 @@ def load_model(path: str) -> dict:
     return art
 
 
-def _model_score(nd: dict, model: dict) -> float:
+def _model_z(nd: dict, model: dict) -> float:
     z = model["b"]
     for name, w in zip(model["features"], model["w"]):
         z += w * float(nd[name])
-    return 1.0 / (1.0 + math.exp(-z))
+    return z
+
+
+def _model_score(nd: dict, model: dict) -> float:
+    return 1.0 / (1.0 + math.exp(-_model_z(nd, model)))
+
+
+def _mp_neighbors(order: list[dict]) -> list[list[int]]:
+    """clf_v3 graph (SPEC §4): J1∪J2 edges under the §6 synthetic layout,
+    which reduce to consecutive same-depth nodes within (part_id). Indices
+    into `order` (node_id-ascending), each list ascending."""
+    nbrs: list[list[int]] = [[] for _ in order]
+    last_at: dict[tuple, int] = {}
+    for i, nd in enumerate(order):
+        key = (nd["part_id"], nd["depth"])
+        j = last_at.get(key)
+        if j is not None:
+            nbrs[j].append(i)
+            nbrs[i].append(j)
+        last_at[key] = i
+    return nbrs
+
+
+def _mp_scores(order: list[dict], model: dict) -> list[float]:
+    """SPEC §4 clf_v3 recipe: T rounds of score message passing, scalar
+    float64, neighbor sums in ascending node_id order."""
+    mp = model["mp"]
+    T, alpha = int(mp["T"]), float(mp["alpha"])
+    nbrs = _mp_neighbors(order)
+    z0 = [_model_z(nd, model) for nd in order]
+    s = [1.0 / (1.0 + math.exp(-z)) for z in z0]
+    for _ in range(T):
+        new = []
+        for i in range(len(order)):
+            if nbrs[i]:
+                acc = 0.0
+                for j in nbrs[i]:
+                    acc += s[j]
+                m = acc / len(nbrs[i])
+            else:
+                m = s[i]
+            z = z0[i] + alpha * (2.0 * m - 1.0)
+            new.append(1.0 / (1.0 + math.exp(-z)))
+        s = new
+    return s
 
 
 def _add_derived_features(nodes: list[dict], model: dict) -> None:
@@ -296,6 +347,13 @@ def classify(nodes: list[dict], model: dict | None = None) -> None:
     """SPEC.md SS4: set is_content per node, in place."""
     if model is not None and nodes:
         _add_derived_features(nodes, model)
+    if model is not None and model.get("mp") and nodes:
+        order = sorted(nodes, key=lambda d: d["node_id"])
+        s = _mp_scores(order, model)
+        for i, nd in enumerate(order):
+            ok = (not nd["anc_boiler"]) and nd["link_density"] <= 0.5
+            nd["is_content"] = ok and s[i] >= 0.5
+        return
     for nd in nodes:
         ok = (not nd["anc_boiler"]) and nd["link_density"] <= 0.5
         if ok and model is not None:
@@ -333,8 +391,6 @@ def extract_page(url: str, html: bytes | None, model: dict | None = None) -> dic
     classify(nodes, model)
     out = assemble(nodes, truncated)
     out["url"] = url
-    out["pipeline_version"] = (
-        PIPELINE_VERSION_MODEL if model is not None else PIPELINE_VERSION_RULE
-    )
+    out["pipeline_version"] = model_version(model)
     out["nodes"] = nodes
     return out

@@ -182,8 +182,7 @@ def fused_extract_udf(cfg: ExtractConfig):
                     t, nb, sp, ver = P.extract_doc(html.as_py(), model)
                 except Exception:
                     t, nb, sp = "", 0, []
-                    ver = (P.PIPELINE_VERSION_MODEL if model is not None
-                           else P.PIPELINE_VERSION_RULE)
+                    ver = P.model_version(model)
                 texts.append(t)
                 n_blocks.append(nb)
                 versions.append(ver)

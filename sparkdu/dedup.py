@@ -59,8 +59,11 @@ def _shingles(df: DataFrame, id_col: str, text_col: str, k: int = 5,
         # split on runs of ANY whitespace (extracted_text joins blocks with
         # \n) and drop empties, so whitespace variants shingle identically
         toks = F.expr("filter(split(_tl, '\\\\s+'), t -> t != '')")
+        # NOTE: the size >= k filter below is the REAL guard — sequence(1, n)
+        # with n < 1 descends and slice(_, 0, k) throws, so this expression
+        # is only evaluated on rows with size(_toks) >= k.
         shingles = F.expr(
-            f"transform(sequence(1, greatest(size(_toks) - {k - 1}, 0)),"
+            f"transform(sequence(1, size(_toks) - {k - 1}),"
             f" i -> concat_ws(' ', slice(_toks, i, {k})))"
         )
         return (
@@ -179,9 +182,17 @@ def minhash_lsh_pairs(
     paired once with the bucket's minimum id (an O(k) anchor join), so no
     cluster member ever escapes downstream near-dup removal (curate_job
     drops the b_id side of every pair) — only redundant intra-cluster pairs
-    are dropped. Total pairs per bucket: O(cap^2 + k). Pass a
-    pyspark.sql.Observation as `observation` to get the count of rows
-    excluded from full pairing (metric `lsh_bucket_dropped`).
+    are dropped. Total pairs per bucket: O(cap^2 + k).
+
+    `observation` (DEPRECATED — prefer minhash_lsh_bucket_stats): attaches a
+    pyspark.sql.Observation counting rows excluded from full pairing
+    (metric `lsh_bucket_dropped`). CAVEAT: the observed subtree (`ranked`)
+    appears FOUR times in the output plan (both self-join sides, anchors,
+    overflow); the pinned value relies on Spark's exchange/subtree reuse
+    executing it once, and can double-count if the plan shape changes (AQE
+    off, a cache inserted, multi-action reuse). minhash_lsh_bucket_stats is
+    a plain aggregation with none of these hazards, and is what curate_job
+    uses.
     """
     if banded is None:
         banded = minhash_banded(df, id_col, text_col, n_hashes, bands,
@@ -371,10 +382,11 @@ def ivf_fit(emb: DataFrame, dim: int, k: int = 16, iters: int = 3) -> list:
     sample, freeze, then assign in one distributed pass). Returns
     list[list[float]] of k centroids.
     """
-    init = emb.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+    init = emb.orderBy("vec_id").limit(k).collect()
     cents = [[float(x) for x in r["embedding"]] for r in init]
-    assert cents and len(cents[0]) == dim, (
-        f"embedding dim {len(cents[0]) if cents else 0} != declared dim {dim}"
+    assert len(cents) == k, f"need >= {k} vectors to seed {k} centroids, got {len(cents)}"
+    assert len(cents[0]) == dim, (
+        f"embedding dim {len(cents[0])} != declared dim {dim}"
     )
     for _ in range(iters):
         assigned = with_ivf_cell(emb, cents).select(

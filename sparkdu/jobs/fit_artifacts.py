@@ -22,6 +22,7 @@ import os
 import sys
 
 import numpy as np
+import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
 
@@ -88,6 +89,33 @@ def _fit_and_report(X: np.ndarray, y: np.ndarray, names: list, tag: str):
     return w, b, cm, prec, rec
 
 
+def _mp_eval(pdf, w: np.ndarray, b: float, T: int, alpha: float) -> np.ndarray:
+    """Vectorized SPEC §4 clf_v3 recipe over the whole training frame.
+
+    pdf must be sorted by (url, node_id) and carry FEATURES_V2 + url,
+    part_id, depth. Returns the final per-node score s_T (float64). Used
+    only to SELECT hyperparameters at fit time — the frozen artifact is
+    what scoring paths consume.
+    """
+    X = pdf[FEATURES_V2].to_numpy(dtype=np.float64)
+    z0 = X @ w + b
+    s = 1.0 / (1.0 + np.exp(-z0))
+    idx = pd.Series(np.arange(len(pdf)), index=pdf.index)
+    g = idx.groupby([pdf["url"], pdf["part_id"], pdf["depth"]], sort=False)
+    prev = g.shift(1).to_numpy()
+    nxt = g.shift(-1).to_numpy()
+    has_p, has_n = ~np.isnan(prev), ~np.isnan(nxt)
+    pi = np.where(has_p, prev, 0).astype(np.int64)
+    ni = np.where(has_n, nxt, 0).astype(np.int64)
+    for _ in range(T):
+        sp = np.where(has_p, s[pi], 0.0)
+        sn = np.where(has_n, s[ni], 0.0)
+        m = np.where(has_p & has_n, (sp + sn) / 2,
+                     np.where(has_p, sp, np.where(has_n, sn, s)))
+        s = 1.0 / (1.0 + np.exp(-(z0 + alpha * (2.0 * m - 1.0))))
+    return s
+
+
 def main() -> None:
     from sparkdu.harness import fx
     from sparkdu.session import get_spark
@@ -128,6 +156,15 @@ def main() -> None:
         .select(*FEATURES_V2, (F.col("gt_label") == "content").cast("int").alias("y"))
     )
     pdf = df.toPandas()
+
+    # all emitted nodes (labels left-joined): clf_v3 message passing runs
+    # over the full graph, so hyperparameter evaluation needs every node,
+    # not just the rule-accepted labeled ones
+    df_all = nodes_d.join(labels, ["url", "node_id"], "left").select(
+        "url", "part_id", "node_id", "anc_boiler", *FEATURES_V2,
+        (F.col("gt_label") == "content").cast("int").alias("y"),
+    )
+    pdf_all = df_all.toPandas()
     spark.stop()
 
     y = pdf["y"].to_numpy(dtype=np.float64)
@@ -163,6 +200,79 @@ def main() -> None:
     with open(os.path.join(ART, "clf_v2.json"), "w") as f:
         json.dump(art2, f, indent=1)
     print(f"wrote {os.path.join(ART, 'clf_v2.json')}")
+
+    # clf_v3: same frozen weights + iterated message passing (SPEC SS4 mp);
+    # grid-search (T, alpha) on the training corpus, deterministic tie-break
+    # (first grid entry wins at equal error count)
+    pdf_all = pdf_all.sort_values(["url", "node_id"]).reset_index(drop=True)
+    rule_all = (~pdf_all["anc_boiler"].to_numpy()) & (
+        pdf_all["link_density"].to_numpy(dtype=np.float64) <= 0.5
+    )
+    lab = pdf_all["y"].notna().to_numpy() & rule_all
+    y_all = pdf_all["y"].to_numpy(dtype=np.float64)
+    X_all = pdf_all[FEATURES_V2].to_numpy(dtype=np.float64)
+    s_v2 = 1.0 / (1.0 + np.exp(-(X_all @ w2 + b2)))
+    pred_v2_all = rule_all & (s_v2 >= 0.5)
+    best = None
+    for T in (2, 3):
+        for alpha in (0.25, 0.5, 0.75, 1.0, 1.5, 2.0):
+            s = _mp_eval(pdf_all, w2, b2, T, alpha)
+            pred_all = rule_all & (s >= 0.5)
+            cm = _confusion(pred_all[lab].astype(int), y_all[lab])
+            errs = cm["fp"] + cm["fn"]
+            # among minimal-error grid points, prefer the one whose full-
+            # corpus decisions differ MOST from clf_v2: the frozen golden
+            # then discriminates the mp implementation (a buggy message
+            # pass can't coincide with plain clf_v2 output)
+            flips = int((pred_all != pred_v2_all).sum())
+            if best is None or (errs, -flips) < (best[0], -best[4]):
+                best = (errs, T, alpha, cm, flips)
+    errs3, T3, alpha3, cm3, flips3 = best
+    print(f"clf_v3 decision flips vs clf_v2 over all nodes: {flips3}")
+    p3 = cm3["tp"] / max(cm3["tp"] + cm3["fp"], 1)
+    r3 = cm3["tp"] / max(cm3["tp"] + cm3["fn"], 1)
+    print(f"clf_v3: T={T3} alpha={alpha3} {cm3} precision={p3:.4f} recall={r3:.4f}")
+    art3 = {
+        "version": "clf_v3",
+        "features": FEATURES_V2,
+        "w": [float(x) for x in w2],
+        "b": float(b2),
+        "idf": idf,
+        "idf_oov": idf_oov,
+        "mp": {"T": int(T3), "alpha": float(alpha3)},
+        "train_stats": {"n": int(lab.sum()), **cm3},
+    }
+    with open(os.path.join(ART, "clf_v3.json"), "w") as f:
+        json.dump(art3, f, indent=1)
+    print(f"wrote {os.path.join(ART, 'clf_v3.json')}")
+
+    # clf_v3_hi: high-alpha variant frozen ONLY so the golden fixture
+    # discriminates the mp stage — the fixture corpus is so separable
+    # (median |z0| ~ 4.3) that quality-optimal alphas flip no decision vs
+    # clf_v2, which would let a buggy message pass coincide with v2 output.
+    # Not a production artifact; extract_model_v3 + tests use it for
+    # byte-identity, score-level exactness is tested on clf_v3 itself.
+    art3h = dict(art3)
+    art3h["version"] = "clf_v3_hi"
+    art3h["mp"] = {"T": 3, "alpha": 8.0}
+    s_hi = _mp_eval(pdf_all, w2, b2, 3, 8.0)
+    flips_hi = int(((rule_all & (s_hi >= 0.5)) != pred_v2_all).sum())
+    art3h["train_stats"] = {"n": int(lab.sum()), "decision_flips_vs_v2": flips_hi}
+    with open(os.path.join(ART, "clf_v3_hi.json"), "w") as f:
+        json.dump(art3h, f, indent=1)
+    print(f"wrote clf_v3_hi.json (flips vs v2: {flips_hi})")
+
+    report3 = {
+        "n": int(lab.sum()),
+        "clf_v2": {**cm2, "precision": p2, "recall": r2},
+        "clf_v3": {**cm3, "precision": p3, "recall": r3, "T": int(T3),
+                   "alpha": float(alpha3), "decision_flips_vs_v2": flips3},
+        "delta": {"precision": p3 - p2, "recall": r3 - r2,
+                  "errors_v2": cm2["fp"] + cm2["fn"], "errors_v3": errs3},
+    }
+    with open(os.path.join(ART, "clf_v3_report.json"), "w") as f:
+        json.dump(report3, f, indent=1)
+    print(f"v3 report: {json.dumps(report3['delta'])}")
 
     # A3-style quality report: v1 vs v2 delta on the same training corpus
     report = {

@@ -74,10 +74,9 @@ def _extract_doc_metrics(html, model):
     n_nodes = len(blocks)
     if model is not None:
         keep = P._score_blocks(blocks, model)
-        ver = P.PIPELINE_VERSION_MODEL
     else:
         keep = [P.rule_is_content(r[7], r[11]) for r in blocks]
-        ver = P.PIPELINE_VERSION_RULE
+    ver = P.model_version(model)
     parts, spans, off = [], [], 0
     for r, k in zip(blocks, keep):
         if not k:
@@ -110,8 +109,7 @@ def lineage_extract_udf(model_path: Optional[str], dedup: bool = True):
                     txt, nb, sp, ver, nn, err = _extract_doc_metrics(html, model)
                 except Exception:
                     txt, nb, sp, nn, err = "", 0, [], 0, 1
-                    ver = (P.PIPELINE_VERSION_MODEL if model is not None
-                           else P.PIPELINE_VERSION_RULE)
+                    ver = P.model_version(model)
                 out["extracted_text"].append(txt)
                 out["n_blocks"].append(nb)
                 out["spans"].append(sp)
@@ -225,10 +223,28 @@ def run_extract_job(spark: SparkSession, pages: DataFrame, cfg: ExtractJobConfig
                 total["n_errors"] += int(s["n_errors"])
         from .tables import CHECKPOINTS_SCHEMA
 
+        # table-format commit (sparkdu.snapshots) BEFORE the checkpoint
+        # append: resume keys off checkpoints, so a crash between the two
+        # re-runs the wave and re-commits the same partition keys
+        # (idempotent replace). Order data -> snapshot -> lineage means no
+        # state where checkpointed data is invisible to snapshot readers.
+        from .snapshots import commit_wave_snapshot
+
+        total["snapshot_id"] = commit_wave_snapshot(
+            cfg.out_dir, cfg.run_id, wi, [int(x) for x in wave_keys]
+        )
         spark.createDataFrame(cp_rows, CHECKPOINTS_SCHEMA).coalesce(1).write.mode(
             "append"
         ).parquet(cp_dir)
         wave_df.unpersist()
         total["waves_run"] += 1
-        total.setdefault("observed", []).append(obs.get)
+        # an all-empty wave (every key filtered to 0 rows) can leave the
+        # CollectMetrics node unexecuted — Observation.get then raises
+        # instead of returning zeros; a skewed real corpus can hit this
+        try:
+            total.setdefault("observed", []).append(obs.get)
+        except Exception:
+            total.setdefault("observed", []).append(
+                {"rows_out": 0, "errors": 0, "bytes_in": 0}
+            )
     return total

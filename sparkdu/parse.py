@@ -23,6 +23,14 @@ from html.parser import HTMLParser
 MAX_HTML_BYTES = 8 * 2**20
 PIPELINE_VERSION_RULE = "1.0.0"
 PIPELINE_VERSION_MODEL = "1.1.0"
+PIPELINE_VERSION_MP = "1.2.0"
+
+
+def model_version(model) -> str:
+    """SPEC §7: 1.0.0 rule-only, 1.1.0 +frozen model, 1.2.0 +message passing."""
+    if model is None:
+        return PIPELINE_VERSION_RULE
+    return PIPELINE_VERSION_MP if model.get("mp") else PIPELINE_VERSION_MODEL
 TRUNCATION_MARKER = "…[truncated]"
 
 VOID_TAGS = frozenset(
@@ -292,8 +300,7 @@ def extract_doc(html_bytes, model=None):
         off += n + 1
     if truncated:
         parts.append(TRUNCATION_MARKER)
-    version = PIPELINE_VERSION_MODEL if model is not None else PIPELINE_VERSION_RULE
-    return "\n".join(parts), len(spans), spans, version
+    return "\n".join(parts), len(spans), spans, model_version(model)
 
 
 def _score_blocks(blocks, model):
@@ -320,11 +327,8 @@ def _score_blocks(blocks, model):
     idf = model.get("idf")
     oov = model.get("idf_oov")
     n = len(blocks)
-    keep = []
-    for i, r in enumerate(blocks):
-        if not rule_is_content(r[7], r[11]):
-            keep.append(False)
-            continue
+
+    def block_z(i, r):
         z = b0
         tfidf_v = None
         for (kind, j), w in zip(plan, ws):
@@ -351,5 +355,45 @@ def _score_blocks(blocks, model):
                     tfidf_v = s / len(toks)
                 v = tfidf_v
             z += w * v
-        keep.append(1.0 / (1.0 + math.exp(-z)) >= 0.5)
-    return keep
+        return z
+
+    mp = model.get("mp")
+    if mp is None:
+        keep = []
+        for i, r in enumerate(blocks):
+            if not rule_is_content(r[7], r[11]):
+                keep.append(False)
+                continue
+            keep.append(1.0 / (1.0 + math.exp(-block_z(i, r))) >= 0.5)
+        return keep
+
+    # clf_v3 (SPEC SS4, pipeline >= 1.2.0): T rounds of score message
+    # passing over consecutive same-depth nodes per part (the J1∪J2 graph
+    # under SS6 synthetic geometry); z0 is computed over ALL emitted blocks,
+    # the rule gates only the final decision.
+    T, alpha = int(mp["T"]), float(mp["alpha"])
+    depth_i = NODE_FIELDS.index("depth")
+    nbrs = [[] for _ in range(n)]
+    last_at = {}
+    for i, r in enumerate(blocks):
+        key = (r[-1], r[depth_i])
+        j = last_at.get(key)
+        if j is not None:
+            nbrs[j].append(i)
+            nbrs[i].append(j)
+        last_at[key] = i
+    z0 = [block_z(i, r) for i, r in enumerate(blocks)]
+    s = [1.0 / (1.0 + math.exp(-z)) for z in z0]
+    for _ in range(T):
+        new = []
+        for i in range(n):
+            if nbrs[i]:
+                acc = 0.0
+                for j in nbrs[i]:
+                    acc += s[j]
+                m = acc / len(nbrs[i])
+            else:
+                m = s[i]
+            new.append(1.0 / (1.0 + math.exp(-(z0[i] + alpha * (2.0 * m - 1.0)))))
+        s = new
+    return [rule_is_content(r[7], r[11]) and s[i] >= 0.5 for i, r in enumerate(blocks)]

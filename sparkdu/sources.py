@@ -82,7 +82,10 @@ def read_shard(path: str) -> Iterator[tuple]:
             if not head.startswith(MAGIC):
                 raise ValueError(f"{path}: bad record header {head[:40]!r}")
             ul, bl, epoch_us = (int(x) for x in head[len(MAGIC):].split())
-            url = f.read(ul).decode("utf-8")
+            url_b = f.read(ul)
+            if len(url_b) != ul:
+                raise ValueError(f"{path}: truncated record url ({len(url_b)}/{ul} bytes)")
+            url = url_b.decode("utf-8")
             html = f.read(bl)
             if len(html) != bl:
                 raise ValueError(f"{path}: truncated record for {url}")
@@ -144,7 +147,15 @@ class WarcishWriter(DataSourceWriter):
         return _ShardCommit(tmp, n)
 
     def commit(self, messages) -> None:
+        success = os.path.join(self.path, "_SUCCESS")
         if self.overwrite:
+            # Invalidate FIRST: a crash anywhere in this commit must never
+            # leave a _SUCCESS-stamped directory with partial data.  The new
+            # _SUCCESS is written only after every rename has completed.
+            try:
+                os.remove(success)
+            except FileNotFoundError:
+                pass
             # replace-visibility only at commit: old shards removed right
             # before the new ones are renamed in, never before the tasks
             # have all succeeded
@@ -155,7 +166,7 @@ class WarcishWriter(DataSourceWriter):
             final = m.path[: -len(".inprogress")]
             os.replace(m.path, final)
             total += m.n
-        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+        with open(success, "w") as f:
             f.write(str(total))
 
     def abort(self, messages) -> None:

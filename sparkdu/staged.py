@@ -148,5 +148,10 @@ def extract_pages_staged(
     else:
         nodes = classify_rule(with_layout(nodes))
     content = with_spans(with_reading_order(nodes))
-    version = P.PIPELINE_VERSION_MODEL if cfg.model_path else P.PIPELINE_VERSION_RULE
+    if cfg.model_path:
+        from .classify import load_artifact
+
+        version = P.model_version(load_artifact(cfg.model_path))
+    else:
+        version = P.PIPELINE_VERSION_RULE
     return assemble(spark, deduped, content, version)

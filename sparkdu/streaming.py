@@ -75,14 +75,21 @@ def run_available_now(df: DataFrame, out_dir: str, checkpoint_dir: str,
 
 
 def sessionize_events(spark: SparkSession, src_dir: str, schema,
-                      gap_seconds: int = 600) -> DataFrame:
+                      gap_seconds: int = 600,
+                      idle_timeout: bool = True) -> DataFrame:
     """Custom stateful streaming operator (D-series surface): gap-based
     sessionization per user via ``applyInPandasWithState``.
 
     State = (session_start_epoch, last_seen_epoch, n_events); a new event
     further than `gap_seconds` from last_seen closes the running session and
-    emits it. Timeout closes idle sessions. This is the streaming analogue
-    of the batch W2 paragraph-merge sessionization (staged.with_paragraphs).
+    emits it. With ``idle_timeout`` a processing-time timeout additionally
+    closes idle sessions — note that pending timeouts keep an
+    ``availableNow`` query ALIVE until they fire, so bounded drains that
+    must self-terminate (the harness key, batch-style backfills) pass
+    ``idle_timeout=False``: data-driven closures still emit, open sessions
+    stay in state, and the query stops once the files are drained. This is
+    the streaming analogue of the batch W2 paragraph-merge sessionization
+    (staged.with_paragraphs).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -122,7 +129,8 @@ def sessionize_events(spark: SparkSession, src_dir: str, schema,
                 start = t if start is None else start
                 last, n = t, n + 1
         state.update((start, last, n))
-        state.setTimeoutDuration(gap_seconds * 1000)
+        if idle_timeout:
+            state.setTimeoutDuration(gap_seconds * 1000)
         if closed:
             yield pd.DataFrame(
                 [{"user_id": user_id, "session_start": s, "session_end": e,
@@ -130,8 +138,8 @@ def sessionize_events(spark: SparkSession, src_dir: str, schema,
             )
 
     stream = spark.readStream.schema(schema).parquet(src_dir)
-    return (
-        stream.groupBy("user_id")
-        .applyInPandasWithState(fn, out_t, state_t, "append",
-                                GroupStateTimeout.ProcessingTimeTimeout)
+    mode = (GroupStateTimeout.ProcessingTimeTimeout if idle_timeout
+            else GroupStateTimeout.NoTimeout)
+    return stream.groupBy("user_id").applyInPandasWithState(
+        fn, out_t, state_t, "append", mode
     )

@@ -298,3 +298,38 @@ def test_word_shingles_whitespace_invariant(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     pairs = minhash_lsh_pairs(df, shingle_k=3, shingle_mode="word").collect()
     assert [(r["a_id"], r["b_id"]) for r in pairs] == [(1, 2)]
+
+
+def test_curate_short_doc_fallback(spark):
+    """VERDICT r2 item 8: near-identical docs below the shingle threshold
+    (< SHINGLE_K words) cannot reach LSH — the curate pipeline must still
+    collapse their whitespace/case variants via token-normalized exact
+    dedup, while distinct short docs all survive."""
+    import datetime as dt
+
+    from sparkdu.jobs.curate_job import SHINGLE_K, curate
+    from sparkdu.tables import PAGES_SCHEMA
+
+    assert SHINGLE_K == 3
+    word = "a" * 150  # long enough that two words clear min_chars
+    variants = [
+        f"{word} {word}",          # canonical two-word doc
+        f"{word}  {word}",         # extra internal whitespace (normalizes same)
+        f"{word.upper()} {word}",  # case variant (normalizes same)
+    ]
+    distinct_short = [f"{word}x {word}", f"{word}y {word}"]
+    ts = dt.datetime(2026, 1, 1)
+    rows = []
+    for i, txt in enumerate(variants + distinct_short):
+        html = f"<html><body><p>{txt}</p></body></html>".encode()
+        rows.append((f"http://short{i}/", ts, html, None, None))
+    pages = spark.createDataFrame(rows, PAGES_SCHEMA)
+    stages = curate(spark, pages, min_quality=0.0, min_chars=10)
+    curated = {r["url"] for r in stages["curated"].select("url").collect()}
+    for c in stages["_cached"]:
+        c.unpersist()
+    # exact dedup keeps variants[0] twice? no — byte-distinct, so the
+    # short path must do it: exactly one of the three variants survives,
+    # both distinct docs survive
+    assert len(curated & {"http://short0/", "http://short1/", "http://short2/"}) == 1
+    assert {"http://short3/", "http://short4/"} <= curated

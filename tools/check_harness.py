@@ -116,7 +116,13 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    from sparkdu.harness import ORACLES, QUERIES
+    # Go through the driver entry point so staging keys and the frozen
+    # DRIVER_PRIORITY ordering are exercised exactly as the driver sees them.
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as _entry
+
+    QUERIES = _entry.queries()
+    ORACLES = _entry.oracle_sql()
 
     plain_tz = os.environ.get("SPARKDU_CHECK_PLAIN_TZ")
     if plain_tz:

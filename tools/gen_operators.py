@@ -31,7 +31,11 @@ TAIL_MARK = "## Non-harness operators"
 
 
 def main() -> None:
-    from sparkdu.harness import ORACLES, QUERIES
+    import sparkdu.staging  # noqa: F401  (registers round-3 staged keys)
+    from sparkdu.harness import ORACLES, QUERIES, ordered
+
+    QUERIES = ordered(QUERIES)
+    ORACLES = ordered(ORACLES)
 
     rows = []
     for name, fn in QUERIES.items():

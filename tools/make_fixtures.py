@@ -333,13 +333,15 @@ def make_edges() -> None:
     print(f"wrote edges.parquet: {n} rows")
 
 
-def make_model_golden() -> None:
-    """golden for the model-enabled pipeline (v1.1.0): oracle + frozen
-    artifact (clf_v2: neighbor smoothing + TF-IDF); run AFTER
-    jobs/fit_artifacts.py."""
-    art_path = os.path.join(os.path.dirname(OUT), "artifacts", "clf_v2.json")
+def make_model_golden(artifact: str = "clf_v2.json",
+                      out_name: str = "golden_extracted_model.parquet") -> None:
+    """golden for the model-enabled pipeline: oracle + frozen artifact; run
+    AFTER jobs/fit_artifacts.py. clf_v2 -> v1.1.0 golden; clf_v3_hi ->
+    v1.2.0 golden (high-alpha mp variant whose decisions DIFFER from v2,
+    so the golden discriminates the message-passing stage)."""
+    art_path = os.path.join(os.path.dirname(OUT), "artifacts", artifact)
     if not os.path.exists(art_path):
-        print("skip model golden: artifacts/clf_v2.json missing (run fit_artifacts)")
+        print(f"skip model golden: artifacts/{artifact} missing (run fit_artifacts)")
         return
     model = orc.load_model(art_path)
     rows = fixtures.gen_rows(N_PAGES)
@@ -354,7 +356,7 @@ def make_model_golden() -> None:
         texts.append(o["extracted_text"].encode("utf-8"))
         nbs.append(o["n_blocks"])
     write(
-        "golden_extracted_model.parquet",
+        out_name,
         pa.table(
             {
                 "url": urls,
@@ -365,7 +367,33 @@ def make_model_golden() -> None:
     )
 
 
+def make_idf_table() -> None:
+    """idf.parquet: the clf_v2 frozen IDF table as (token, idf) — the
+    broadcast-join side for fn_tfidf_vec and its DuckDB oracle."""
+    art_path = os.path.join(os.path.dirname(OUT), "artifacts", "clf_v2.json")
+    if not os.path.exists(art_path):
+        print("skip idf table: artifacts/clf_v2.json missing")
+        return
+    import json
+
+    with open(art_path) as f:
+        art = json.load(f)
+    toks = sorted(art["idf"])
+    write(
+        "idf.parquet",
+        pa.table(
+            {
+                "token": pa.array(toks, pa.string()),
+                "idf": pa.array([float(art["idf"][t]) for t in toks], pa.float64()),
+            }
+        ),
+    )
+    print(f"wrote idf.parquet: {len(toks)} tokens (idf_oov={art['idf_oov']})")
+
+
 if __name__ == "__main__":
     main()
     make_edges()
     make_model_golden()
+    make_model_golden("clf_v3_hi.json", "golden_extracted_model_v3.parquet")
+    make_idf_table()
