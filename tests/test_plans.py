@@ -117,3 +117,42 @@ def test_quantize_is_pure_map(spark, sf_dir):
     # whole-stage-codegen'd — known Spark behavior) but never cross to Python
     assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
     assert "transform(embedding" in plan  # the map really is the builtin HOF
+
+
+def test_tfidf_vec_broadcasts_idf(spark):
+    """fn_tfidf_vec: the frozen IDF table must be the broadcast side — at
+    scale tokens (10^12 x ~500) never shuffle for the join."""
+    import os
+
+    from sparkdu.harness import fx
+
+    if not os.path.exists(fx("idf")):
+        pytest.skip("idf fixture missing")
+    from sparkdu.classify import tfidf_mean_vec
+
+    nodes = spark.read.parquet(fx("nodes")).select("url", "node_id", "text")
+    idf = spark.read.parquet(fx("idf"))
+    p = _plan(tfidf_mean_vec(nodes, idf, 1.0))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_clf_v3_staged_is_grouped_map(spark):
+    """clf_v3 staged path: message passing is ONE grouped-map stage over
+    (url, part_id) — no join, no cartesian, exactly one extra exchange on
+    the group key beyond the feature windows."""
+    import os
+
+    from sparkdu.classify import classify_model
+    from sparkdu.harness import fx
+
+    art = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "artifacts", "clf_v3.json")
+    if not os.path.exists(art):
+        pytest.skip("artifact not trained")
+    from sparkdu.staged import with_layout
+
+    nodes = spark.read.parquet(fx("nodes"))
+    p = _plan(classify_model(with_layout(nodes), art))
+    assert "FlatMapGroupsInPandas" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
