@@ -2,9 +2,10 @@
 reference's task-runner entry points [U tasks/DU_Task --trn/--tst/--run].
 
 Commands:
-    extract   resumable wave-committed extraction run (jobs/extract_job)
-    curate    full training-data curation pipeline (jobs/curate_job)
-    fit       train + freeze classifier artifacts (jobs/fit_artifacts)
+    extract    resumable wave-committed extraction run (jobs/extract_job)
+    curate     full training-data curation pipeline (jobs/curate_job)
+    fit        train + freeze classifier artifacts (jobs/fit_artifacts)
+    snapshots  snapshot history / expiry / time-travel read (jobs/snapshot_tool)
 
 Each command forwards its remaining arguments to the job's own argparse;
 `python -m sparkdu extract --help` shows the job's options. Under
@@ -25,6 +26,7 @@ _COMMANDS = {
     "extract": ("sparkdu.jobs.extract_job", "resumable extraction run"),
     "curate": ("sparkdu.jobs.curate_job", "training-data curation pipeline"),
     "fit": ("sparkdu.jobs.fit_artifacts", "train + freeze classifier artifacts"),
+    "snapshots": ("sparkdu.jobs.snapshot_tool", "snapshot history / expiry / read"),
 }
 
 

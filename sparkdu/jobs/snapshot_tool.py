@@ -1,0 +1,50 @@
+"""Snapshot inspection + maintenance CLI (sparkdu.snapshots front end).
+
+    python -m sparkdu snapshots --dir /path/to/run            # history
+    python -m sparkdu snapshots --dir ... --expire-keep 2     # expiry
+    python -m sparkdu snapshots --dir ... --read 3            # row count
+                                                              # at snap 3
+
+No Spark session unless --read is given.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(prog="sparkdu snapshots")
+    ap.add_argument("--dir", required=True, help="extract-job output dir")
+    ap.add_argument("--expire-keep", type=int, default=None,
+                    help="expire all but the newest N snapshots")
+    ap.add_argument("--read", type=int, default=None,
+                    help="read this snapshot id and print its row count")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    from sparkdu import snapshots as S
+
+    cur = S.current_snapshot_id(args.dir)
+    for m in S.snapshot_history(args.dir):
+        n_files = sum(len(v) for v in m["partition_keys"].values())
+        mark = " <- current" if m["snapshot_id"] == cur else ""
+        print(f"snap {m['snapshot_id']:>4}  run={m['run_id']} wave={m['wave']} "
+              f"parts={len(m['partition_keys'])} files={n_files} "
+              f"ts={m['created_ts']}{mark}")
+
+    if args.expire_keep is not None:
+        res = S.expire_snapshots(args.dir, keep_last=args.expire_keep)
+        print(f"expired={res['expired']} deleted_files={res['deleted_files']}")
+
+    if args.read is not None:
+        from sparkdu.session import get_spark
+
+        spark = get_spark(app="snapshot-read", master=args.master)
+        df = S.read_snapshot(spark, args.dir, snapshot_id=args.read)
+        print(f"snapshot {args.read}: rows={df.count()}")
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

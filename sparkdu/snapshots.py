@@ -31,6 +31,16 @@ manifest-list tree and the pointer a catalog CAS — the commit semantics
 (replace-by-partition, atomic pointer swap, snapshot time travel) are the
 same; only the metadata container changes. Listing cost here is O(files in
 the wave), not O(table).
+
+Time-travel bound (writer-dependent, documented honestly): the local wave
+writer uses Spark's dynamic partition OVERWRITE, which physically removes
+a partition's replaced files at write time — so a historical snapshot
+stays readable exactly until one of its partitions is rewritten (within a
+normal run waves touch disjoint keys, so every snapshot of the run remains
+readable; a re-run into the same table invalidates the prior run's
+manifests). A true Iceberg writer appends new files and never deletes, at
+which point expire_snapshots' file GC becomes the mechanism that reclaims
+space; under the overwrite writer it collects only crash orphans.
 """
 
 from __future__ import annotations
@@ -114,6 +124,40 @@ def commit_wave_snapshot(out_dir: str, run_id: str, wave: int,
     _atomic_write(_snap_path(out_dir, sid), json.dumps(manifest, indent=1))
     _atomic_write(os.path.join(_snap_dir(out_dir), "_current"), str(sid))
     return sid
+
+
+def expire_snapshots(out_dir: str, keep_last: int = 2) -> dict:
+    """Maintenance job (Iceberg expire_snapshots analogue): drop all but the
+    newest `keep_last` manifests, then delete data files referenced by NO
+    surviving manifest. Two-phase and crash-safe in that order — manifests
+    vanish first (atomic unlink each), so a crash mid-way only leaves
+    harmless orphan data files for the next expiry to collect; a reader can
+    never resolve a manifest whose files are gone. The current snapshot is
+    always kept. Returns {"expired": n_manifests, "deleted_files": n}."""
+    hist = snapshot_history(out_dir)
+    if not hist:
+        return {"expired": 0, "deleted_files": 0}
+    cur = current_snapshot_id(out_dir)
+    keep_ids = {m["snapshot_id"] for m in hist[-max(keep_last, 1):]} | {cur}
+    expired = [m for m in hist if m["snapshot_id"] not in keep_ids]
+    live_files = {
+        f for m in hist if m["snapshot_id"] in keep_ids
+        for fl in m["partition_keys"].values() for f in fl
+    }
+    dead_files = {
+        f for m in expired
+        for fl in m["partition_keys"].values() for f in fl
+    } - live_files
+    for m in expired:
+        os.unlink(_snap_path(out_dir, m["snapshot_id"]))
+    n_deleted = 0
+    for rel in sorted(dead_files):
+        try:
+            os.unlink(os.path.join(out_dir, rel))
+            n_deleted += 1
+        except FileNotFoundError:
+            pass
+    return {"expired": len(expired), "deleted_files": n_deleted}
 
 
 def read_snapshot(spark: SparkSession, out_dir: str,

@@ -136,3 +136,85 @@ def test_snapshot_commit_and_time_travel(spark, pages_df, tmp_path):
 
     # a wave re-commit replaces, not duplicates: no url appears twice
     assert final.groupBy("url").count().filter("count > 1").count() == 0
+
+
+def test_expire_snapshots(spark, pages_df, tmp_path):
+    """Iceberg expire_snapshots analogue: old manifests drop, data files
+    referenced by no surviving manifest are deleted, every kept snapshot
+    still reads consistently, and re-expiry is a no-op."""
+    import glob
+
+    from sparkdu import snapshots as S
+
+    d = str(tmp_path / "exp")
+    run_extract_job(spark, pages_df, ExtractJobConfig(
+        run_id="e1", out_dir=d, num_partitions=16, waves=4))
+    hist = S.snapshot_history(d)
+    assert len(hist) == 4
+    n_files_before = len(glob.glob(os.path.join(d, "extracted", "*", "*.parquet")))
+    final_rows = {r["url"] for r in S.read_snapshot(spark, d).select("url").collect()}
+
+    res = S.expire_snapshots(d, keep_last=2)
+    assert res["expired"] == 2
+    hist2 = S.snapshot_history(d)
+    assert [m["snapshot_id"] for m in hist2] == [3, 4]
+    # wave overwrites replace whole partitions, so snapshots 1-2 reference
+    # only files that snapshots 3-4 also reference (same partitions never
+    # rewritten here) — nothing dead yet unless a partition was replaced;
+    # with disjoint wave keys, 0 deletions is the correct answer
+    assert res["deleted_files"] == 0
+    assert len(glob.glob(os.path.join(d, "extracted", "*", "*.parquet"))) == n_files_before
+
+    # re-run into the same table without resume: dynamic overwrite replaces
+    # every partition's files AT WRITE TIME (the documented time-travel
+    # bound), so expiry finds the old manifests but their files are already
+    # gone — deleted_files stays 0 under this writer
+    run_extract_job(spark, pages_df, ExtractJobConfig(
+        run_id="e2", out_dir=d, num_partitions=16, waves=4))
+    res2 = S.expire_snapshots(d, keep_last=1)
+    assert res2["expired"] >= 1
+    assert res2["deleted_files"] == 0
+    cur = S.read_snapshot(spark, d)
+    assert {r["url"] for r in cur.select("url").collect()} == final_rows
+    # every file the current manifest references still exists
+    m = S.load_manifest(d)
+    for fl in m["partition_keys"].values():
+        for f in fl:
+            assert os.path.exists(os.path.join(d, f)), f
+    # expiring again changes nothing
+    assert S.expire_snapshots(d, keep_last=1)["expired"] == 0
+
+
+def test_expire_snapshots_gc_unit(tmp_path):
+    """The GC half of expire_snapshots, exercised directly with hand-built
+    manifests (an append-only writer produces this state: a file referenced
+    only by expired manifests must be deleted; shared files survive)."""
+    import json
+
+    from sparkdu import snapshots as S
+
+    d = str(tmp_path / "gcu")
+    part = os.path.join(d, "extracted", "partition_key=0")
+    os.makedirs(part)
+    os.makedirs(os.path.join(d, "snapshots"))
+    for name in ("a.parquet", "b.parquet", "shared.parquet"):
+        with open(os.path.join(part, name), "w") as f:
+            f.write("x")
+    rel = lambda n: os.path.join("extracted", "partition_key=0", n)  # noqa: E731
+
+    def manifest(sid, files):
+        m = {"snapshot_id": sid, "parent_id": sid - 1 if sid > 1 else None,
+             "run_id": "gc", "wave": sid - 1, "created_ts": "t",
+             "partition_keys": {"0": [rel(f) for f in files]}}
+        S._atomic_write(S._snap_path(d, sid), json.dumps(m))
+
+    manifest(1, ["a.parquet", "shared.parquet"])
+    manifest(2, ["b.parquet", "shared.parquet"])
+    S._atomic_write(os.path.join(d, "snapshots", "_current"), "2")
+
+    res = S.expire_snapshots(d, keep_last=1)
+    assert res == {"expired": 1, "deleted_files": 1}
+    assert not os.path.exists(os.path.join(part, "a.parquet"))
+    assert os.path.exists(os.path.join(part, "b.parquet"))
+    assert os.path.exists(os.path.join(part, "shared.parquet"))
+    assert [m["snapshot_id"] for m in S.snapshot_history(d)] == [2]
