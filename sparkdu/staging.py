@@ -14,7 +14,7 @@ import os
 
 from pyspark.sql import functions as F
 
-from sparkdu.harness import FIX, f, fx, q
+from sparkdu.harness import FIX, f, fx, q, t
 
 _ART = os.path.join(os.path.dirname(FIX), "artifacts")
 
@@ -176,3 +176,121 @@ def curate_pipeline(spark, sf_dir):
     for c in cached:
         c.unpersist()
     return spark.createDataFrame(rows, "stage string, n_rows long")
+
+
+# =====================================================================
+# Post-freeze additions (register after the r3 driver window; SQL-checked
+# by the local gate this round, enter the driver window next round)
+# =====================================================================
+
+def _word_grams(col: str, k: int):
+    """Non-distinct word k-grams of a single-spaced text column (JVM HOFs).
+    Callers must filter size(split) >= k — sequence() descends below 1."""
+    return F.expr(
+        f"transform(sequence(1, size(split({col}, ' ')) - {k - 1}),"
+        f" i -> concat_ws(' ', slice(split({col}, ' '), i, {k})))"
+    )
+
+
+@q(
+    "text_repetition",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       grams AS (SELECT doc_id,
+                        list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' ')) AS gs
+                 FROM toks WHERE len(t) >= 2)
+       SELECT doc_id,
+              round(1.0 - len(list_distinct(gs)) * 1.0 / len(gs), 6) AS rep_bigram
+       FROM grams""",
+)
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition signal: fraction of duplicate word bigrams
+    per document (1 - distinct/total). High-repetition docs are boilerplate
+    / spam candidates in a training-data pipeline. Pure JVM HOFs, pure map
+    — no shuffle, scales as a scan."""
+    docs = t(spark, sf_dir, "documents").filter(
+        F.size(F.split("text", " ")) >= 2
+    )
+    gs = _word_grams("text", 2)
+    return docs.select(
+        "doc_id",
+        F.round(
+            1.0 - F.size(F.array_distinct(gs)) * 1.0 / F.size(gs), 6
+        ).alias("rep_bigram"),
+    )
+
+
+@q(
+    "dedup_contamination",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       grams AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 3),
+                   i -> array_to_string(t[i:i+4], ' '))) AS g
+                 FROM toks WHERE len(t) >= 5)
+       SELECT DISTINCT a.doc_id FROM grams a
+       JOIN grams b ON a.g = b.g AND b.doc_id < 5
+       WHERE a.doc_id >= 5""",
+)
+def dedup_contamination(spark, sf_dir):
+    """Eval-set decontamination: training docs sharing any 5-word shingle
+    with the (held-out) eval docs — doc_id < 5 stands in for the eval set.
+    The standard pre-training contamination check, shaped for scale: the
+    eval side's distinct shingles are tiny and broadcast; training shingles
+    stream through a left-semi join, no pair blowup."""
+    docs = t(spark, sf_dir, "documents").filter(
+        F.size(F.split("text", " ")) >= 5
+    )
+    gs = docs.select("doc_id", F.explode(_word_grams("text", 5)).alias("g"))
+    ev = gs.filter(F.col("doc_id") < 5).select("g").distinct()
+    return (
+        gs.filter(F.col("doc_id") >= 5)
+        .join(F.broadcast(ev), "g", "left_semi")
+        .select("doc_id").distinct()
+    )
+
+
+@q(
+    "agg_ngram_topk",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       grams AS (SELECT unnest(list_transform(range(1, len(t)),
+                   i -> array_to_string(t[i:i+1], ' '))) AS gram
+                 FROM toks WHERE len(t) >= 2)
+       SELECT gram, cast(count(*) AS BIGINT) AS n FROM grams
+       GROUP BY gram ORDER BY n DESC, gram ASC LIMIT 50""",
+)
+def agg_ngram_topk(spark, sf_dir):
+    """Corpus-level top-50 word bigrams (vocabulary/n-gram statistics for
+    tokenizer and quality work). Map-side partial agg then a 50-row
+    TakeOrdered — the full gram set never collects. Ties broken by gram
+    ascending for a deterministic result."""
+    docs = t(spark, sf_dir, "documents").filter(
+        F.size(F.split("text", " ")) >= 2
+    )
+    return (
+        docs.select(F.explode(_word_grams("text", 2)).alias("gram"))
+        .groupBy("gram").agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("gram").asc())
+        .limit(50)
+    )
+
+
+@q(
+    "agg_domain_stats",
+    f"""SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS domain,
+               cast(count(*) AS BIGINT) AS n_pages,
+               cast(sum(octet_length(html)) AS BIGINT) AS total_bytes,
+               max(warc_ts) AS latest_crawl
+        FROM read_parquet('{fx("pages")}')
+        GROUP BY domain""",
+)
+def agg_domain_stats(spark, sf_dir):
+    """Per-domain crawl statistics (page count, raw bytes, latest crawl) —
+    the partitioning/prioritization signal of a crawl pipeline. Host
+    extraction stays a simple RE2-compatible regexp so Spark and DuckDB
+    agree byte-for-byte."""
+    pages = f(spark, "pages")
+    return pages.groupBy(
+        F.regexp_extract("url", r"^https?://([^/]+)/", 1).alias("domain")
+    ).agg(
+        F.count("*").alias("n_pages"),
+        F.sum(F.octet_length("html")).alias("total_bytes"),
+        F.max("warc_ts").alias("latest_crawl"),
+    )

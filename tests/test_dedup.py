@@ -333,3 +333,31 @@ def test_curate_short_doc_fallback(spark):
     # both distinct docs survive
     assert len(curated & {"http://short0/", "http://short1/", "http://short2/"}) == 1
     assert {"http://short3/", "http://short4/"} <= curated
+
+
+def test_contamination_planted(spark):
+    """dedup_contamination semantics on a crafted corpus: a train doc
+    embedding an exact 5-word eval span is flagged; one sharing only
+    4-word spans is not."""
+    from sparkdu.staging import _word_grams
+    from pyspark.sql import functions as F
+
+    eval_text = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (0, eval_text),                                   # eval doc
+        (10, "x y " + "alpha beta gamma delta epsilon"),  # 5-word overlap -> hit
+        (11, "alpha beta gamma delta QQQ epsilon zeta"),  # max 4-word overlap
+        (12, "totally unrelated words only here found"),  # no overlap
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").filter(
+        F.size(F.split("text", " ")) >= 5
+    )
+    gs = docs.select("doc_id", F.explode(_word_grams("text", 5)).alias("g"))
+    ev = gs.filter(F.col("doc_id") < 5).select("g").distinct()
+    hits = {
+        r["doc_id"]
+        for r in gs.filter(F.col("doc_id") >= 5)
+        .join(F.broadcast(ev), "g", "left_semi")
+        .select("doc_id").distinct().collect()
+    }
+    assert hits == {10}
