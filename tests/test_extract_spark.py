@@ -237,3 +237,49 @@ def test_tfidf_vec_twin(spark):
     for r in rows:
         want = _tfidf_mean_py(r["text"], idf_map, oov)
         assert abs(got[(r["url"], r["node_id"])] - want) < 1e-12, r["url"]
+
+
+def test_mp_corrects_noisy_node(spark, tmp_path):
+    """Why clf_v3 exists: a borderline node whose base score falls just
+    below threshold is pulled back by confident same-depth neighbors —
+    message passing recovers content a one-shot classifier drops. Uses a
+    hand-made artifact (features [n_chars], weights chosen so the short
+    middle sibling scores ~0.45 alone) and asserts fused == staged == the
+    v2-style no-mp decision everywhere EXCEPT the rescued node."""
+    import datetime as dt
+    import json
+
+    from sparkdu.tables import PAGES_SCHEMA
+
+    # three same-depth <p> siblings: long, short (borderline), long
+    html = ("<html><body>"
+            "<p>" + "long content word " * 8 + "</p>"
+            "<p>tiny</p>"
+            "<p>" + "more long content " * 8 + "</p>"
+            "</body></html>").encode()
+    pages = spark.createDataFrame(
+        [("http://mp/", dt.datetime(2026, 1, 1), html, None, None)], PAGES_SCHEMA
+    )
+    # sigmoid(b + w*n_chars): tiny (4 chars) -> z = -0.2 (score 0.45, drops);
+    # long (~100+ chars) -> z >> 0 (score ~1). alpha=1: rescued node gets
+    # z + 1*(2*~1-1) ~ +0.8 -> kept.
+    base = {"features": ["n_chars"], "w": [0.05], "b": -0.4}
+    art_v2 = dict(base, version="t_v2")
+    art_v3 = dict(base, version="t_v3", mp={"T": 2, "alpha": 1.0})
+    p2, p3 = str(tmp_path / "v2.json"), str(tmp_path / "v3.json")
+    json.dump(art_v2, open(p2, "w"))
+    json.dump(art_v3, open(p3, "w"))
+
+    out2 = _by_url(extract_pages(spark, pages, ExtractConfig(model_path=p2)))
+    out3f = _by_url(extract_pages(spark, pages, ExtractConfig(model_path=p3)))
+    out3s = _by_url(extract_pages_staged(spark, pages, ExtractConfig(model_path=p3)))
+
+    assert "tiny" not in out2["http://mp/"]["extracted_text"]
+    assert "tiny" in out3f["http://mp/"]["extracted_text"]  # rescued by mp
+    assert out3f["http://mp/"]["extracted_text"] == out3s["http://mp/"]["extracted_text"]
+    assert out3f["http://mp/"]["n_blocks"] == out2["http://mp/"]["n_blocks"] + 1
+
+    from oracle import extract as orc
+
+    o = orc.extract_page("http://mp/", html, orc.load_model(p3))
+    assert out3f["http://mp/"]["extracted_text"].encode() == o["extracted_text"].encode()
