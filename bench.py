@@ -169,8 +169,16 @@ def time_levels(small: int, big: int, path: str) -> dict[int, float]:
         # dirty big window (or vice versa) does not. Measured same-minute
         # host ceilings swing 0.56-1.04, so up to 7 rounds are sampled,
         # stopping early once a clean window is observed.
-        pairings.append(min(w_small) / ((big / small) * min(w_big)))
-        if pairings[-1] >= 0.85:
+        # Max-statistic guard (r3 review): a burst hitting ONLY the small
+        # run inflates that round's pairing (w_small is the numerator).
+        # Clamp the numerator to 1.2x the best small wall seen so far, and
+        # never early-exit on the very first round — one round cannot
+        # certify itself.
+        best_small = min(walls[small])
+        pairings.append(
+            min(min(w_small), 1.2 * best_small) / ((big / small) * min(w_big))
+        )
+        if len(pairings) >= 2 and pairings[-1] >= 0.85:
             break
     best = {c: min(v) for c, v in walls.items()}
     ceilings.sort()
@@ -227,7 +235,7 @@ def main() -> None:
     # one contention window; the max over rounds is the least-contaminated
     # observation of the uncontended ratio. The cross-window best-wall
     # ratio is reported alongside, as is the full pairing distribution.
-    eff = max(best["pairings"])
+    eff = min(max(best["pairings"]), 1.0)  # >1 is noise, not superlinearity
     eff_bestwall = (ds_big / ds_small) / (n_big / n_small)
 
     # full-width throughput at local[CPUS] (the headline latency metric);

@@ -31,6 +31,20 @@ _MH_A = [_rng.randrange(1, _M31) for _ in range(32)]
 _MH_B = [_rng.randrange(0, _M31) for _ in range(32)]
 
 
+def word_tokens(text_col: str, max_chars: Optional[int] = None):
+    """The normative word tokenizer: lowercased (optionally prefix-capped)
+    text split on whitespace runs, empties dropped. Shared by word-mode
+    shingling AND curate's short-doc routing — a doc is LSH-eligible iff it
+    has >= shingle_k of THESE tokens over the SAME prefix, so the two paths
+    partition the corpus with no doc escaping both (the code-review finding
+    this helper exists to prevent: routing on a different tokenizer or a
+    different prefix silently reopens the gap)."""
+    tl = F.lower(F.col(text_col))
+    if max_chars is not None:
+        tl = F.substring(tl, 1, max_chars)
+    return F.filter(F.split(tl, r"\s+"), lambda t: t != F.lit(""))
+
+
 def _shingles(df: DataFrame, id_col: str, text_col: str, k: int = 5,
               max_chars: Optional[int] = None, mode: str = "char") -> DataFrame:
     """Distinct k-char shingles of lowercased text.
@@ -56,9 +70,9 @@ def _shingles(df: DataFrame, id_col: str, text_col: str, k: int = 5,
     if max_chars is not None:
         tl = F.substring(tl, 1, max_chars)
     if mode == "word":
-        # split on runs of ANY whitespace (extracted_text joins blocks with
-        # \n) and drop empties, so whitespace variants shingle identically
-        toks = F.expr("filter(split(_tl, '\\\\s+'), t -> t != '')")
+        # word_tokens: whitespace-run split, empties dropped — whitespace
+        # variants shingle identically, and curate routes on the SAME
+        # expression so short docs never escape both paths
         # NOTE: the size >= k filter below is the REAL guard — sequence(1, n)
         # with n < 1 descends and slice(_, 0, k) throws, so this expression
         # is only evaluated on rows with size(_toks) >= k.
@@ -67,8 +81,7 @@ def _shingles(df: DataFrame, id_col: str, text_col: str, k: int = 5,
             f" i -> concat_ws(' ', slice(_toks, i, {k})))"
         )
         return (
-            df.select(id_col, tl.alias("_tl"))
-            .select(id_col, toks.alias("_toks"))
+            df.select(id_col, word_tokens(text_col, max_chars).alias("_toks"))
             .filter(F.size("_toks") >= k)
             .select(id_col, F.explode(shingles).alias("shingle"))
             .distinct()

@@ -27,7 +27,8 @@ from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 
-SHINGLE_K = 3  # words per shingle; docs below this go to the short-doc path
+SHINGLE_K = 3      # words per shingle; docs below this go to the short-doc path
+MAX_TEXT_CHARS = 4000  # LSH signature prefix — routing MUST use the same value
 
 
 def curate(spark: SparkSession, pages: DataFrame, min_quality: float = 0.35,
@@ -77,25 +78,28 @@ def curate(spark: SparkSession, pages: DataFrame, min_quality: float = 0.35,
     )
     exact_deduped = kept.join(survivors, "url", "left_semi")
 
-    # short-doc fallback (VERDICT r2 item 8): docs with < SHINGLE_K words
-    # yield NO shingles, so they can never appear in LSH candidate pairs.
-    # Route them to token-normalized exact dedup instead: whitespace/case
-    # variants of the same short text collapse to one survivor (min url).
-    # The cheap word count splits the stream; the (costlier) lowercased
-    # normalization hash is computed only on the short slice.
-    toks = F.expr(
-        "filter(split(lower(extracted_text), '\\\\s+'), t -> t != '')"
-    )
-    n_words = F.size(F.expr("filter(split(extracted_text, '\\\\s+'), t -> t != '')"))
-    short = exact_deduped.filter(n_words < SHINGLE_K).withColumn(
-        "_norm_hash", F.md5(F.concat_ws(" ", toks).cast("binary"))
+    # short-doc fallback (VERDICT r2 item 8): docs that would yield NO
+    # shingles can never appear in LSH candidate pairs. Route them to
+    # token-normalized exact dedup instead: whitespace/case variants of the
+    # same short text collapse to one survivor (min url). The router uses
+    # THE SAME tokenizer and THE SAME signature prefix as the shingler
+    # (dedup.word_tokens with MAX_TEXT_CHARS), so "short path" and "LSH
+    # path" exactly partition the corpus — a doc with enough words overall
+    # but too few inside the signature prefix is routed short, never
+    # silently unshingled.
+    from sparkdu.dedup import word_tokens
+
+    n_sig_words = F.size(word_tokens("extracted_text", MAX_TEXT_CHARS))
+    short = exact_deduped.filter(n_sig_words < SHINGLE_K).withColumn(
+        "_norm_hash",
+        F.md5(F.concat_ws(" ", word_tokens("extracted_text")).cast("binary")),
     )
     short_survivors = (
         short.groupBy("_norm_hash").agg(F.min("url").alias("url")).select("url")
     )
     short_kept = short.join(short_survivors, "url", "left_semi").drop("_norm_hash")
     short = short.drop("_norm_hash")
-    long_docs = exact_deduped.filter(n_words >= SHINGLE_K)
+    long_docs = exact_deduped.filter(n_sig_words >= SHINGLE_K)
 
     # near-dup: MinHash-LSH candidate pairs; drop the lexicographically
     # larger id of each pair (deterministic survivor choice)
@@ -110,7 +114,7 @@ def curate(spark: SparkSession, pages: DataFrame, min_quality: float = 0.35,
     # shapes this job uses, so the report is a plain aggregation)
     banded = minhash_banded(
         lsh_docs, id_col="doc_id", text_col="text", bands=jaccard_bands,
-        max_text_chars=4000,  # signature over the first 4 KB prefix
+        max_text_chars=MAX_TEXT_CHARS,  # signature over the first 4 KB prefix
         shingle_k=SHINGLE_K, shingle_mode="word",  # Broder w-shingling:
         # 3-word shingles discriminate documents (char 5-grams over
         # natural-language vocabulary overlap heavily between unrelated docs)

@@ -89,17 +89,10 @@ def _fit_and_report(X: np.ndarray, y: np.ndarray, names: list, tag: str):
     return w, b, cm, prec, rec
 
 
-def _mp_eval(pdf, w: np.ndarray, b: float, T: int, alpha: float) -> np.ndarray:
-    """Vectorized SPEC §4 clf_v3 recipe over the whole training frame.
-
-    pdf must be sorted by (url, node_id) and carry FEATURES_V2 + url,
-    part_id, depth. Returns the final per-node score s_T (float64). Used
-    only to SELECT hyperparameters at fit time — the frozen artifact is
-    what scoring paths consume.
-    """
-    X = pdf[FEATURES_V2].to_numpy(dtype=np.float64)
-    z0 = X @ w + b
-    s = 1.0 / (1.0 + np.exp(-z0))
+def _mp_graph(pdf) -> tuple:
+    """Grid-invariant neighbor structure for _mp_eval: prev/next gather
+    indices per (url, part_id, depth) chain. Computed ONCE — only the
+    (T, alpha) sigmoid updates depend on the grid point."""
     idx = pd.Series(np.arange(len(pdf)), index=pdf.index)
     g = idx.groupby([pdf["url"], pdf["part_id"], pdf["depth"]], sort=False)
     prev = g.shift(1).to_numpy()
@@ -107,6 +100,17 @@ def _mp_eval(pdf, w: np.ndarray, b: float, T: int, alpha: float) -> np.ndarray:
     has_p, has_n = ~np.isnan(prev), ~np.isnan(nxt)
     pi = np.where(has_p, prev, 0).astype(np.int64)
     ni = np.where(has_n, nxt, 0).astype(np.int64)
+    return pi, ni, has_p, has_n
+
+
+def _mp_eval(z0: np.ndarray, graph: tuple, T: int, alpha: float) -> np.ndarray:
+    """Vectorized SPEC §4 clf_v3 recipe over the whole training frame,
+    given the precomputed base scores z0 and _mp_graph structure. Returns
+    the final per-node score s_T (float64). Used only to SELECT
+    hyperparameters at fit time — the frozen artifact is what scoring
+    paths consume."""
+    pi, ni, has_p, has_n = graph
+    s = 1.0 / (1.0 + np.exp(-z0))
     for _ in range(T):
         sp = np.where(has_p, s[pi], 0.0)
         sn = np.where(has_n, s[ni], 0.0)
@@ -211,12 +215,14 @@ def main() -> None:
     lab = pdf_all["y"].notna().to_numpy() & rule_all
     y_all = pdf_all["y"].to_numpy(dtype=np.float64)
     X_all = pdf_all[FEATURES_V2].to_numpy(dtype=np.float64)
-    s_v2 = 1.0 / (1.0 + np.exp(-(X_all @ w2 + b2)))
+    z0_all = X_all @ w2 + b2
+    graph = _mp_graph(pdf_all)
+    s_v2 = 1.0 / (1.0 + np.exp(-z0_all))
     pred_v2_all = rule_all & (s_v2 >= 0.5)
     best = None
     for T in (2, 3):
         for alpha in (0.25, 0.5, 0.75, 1.0, 1.5, 2.0):
-            s = _mp_eval(pdf_all, w2, b2, T, alpha)
+            s = _mp_eval(z0_all, graph, T, alpha)
             pred_all = rule_all & (s >= 0.5)
             cm = _confusion(pred_all[lab].astype(int), y_all[lab])
             errs = cm["fp"] + cm["fn"]
@@ -255,7 +261,7 @@ def main() -> None:
     art3h = dict(art3)
     art3h["version"] = "clf_v3_hi"
     art3h["mp"] = {"T": 3, "alpha": 8.0}
-    s_hi = _mp_eval(pdf_all, w2, b2, 3, 8.0)
+    s_hi = _mp_eval(z0_all, graph, 3, 8.0)
     flips_hi = int(((rule_all & (s_hi >= 0.5)) != pred_v2_all).sum())
     art3h["train_stats"] = {"n": int(lab.sum()), "decision_flips_vs_v2": flips_hi}
     with open(os.path.join(ART, "clf_v3_hi.json"), "w") as f:

@@ -33,10 +33,8 @@ def main(argv=None) -> None:
               f"parts={len(m['partition_keys'])} files={n_files} "
               f"ts={m['created_ts']}{mark}")
 
-    if args.expire_keep is not None:
-        res = S.expire_snapshots(args.dir, keep_last=args.expire_keep)
-        print(f"expired={res['expired']} deleted_files={res['deleted_files']}")
-
+    # read BEFORE expiry: --read N --expire-keep M in one command must not
+    # expire the snapshot it was asked to read
     if args.read is not None:
         from sparkdu.session import get_spark
 
@@ -44,6 +42,13 @@ def main(argv=None) -> None:
         df = S.read_snapshot(spark, args.dir, snapshot_id=args.read)
         print(f"snapshot {args.read}: rows={df.count()}")
         spark.stop()
+
+    if args.expire_keep is not None:
+        res = S.expire_snapshots(args.dir, keep_last=args.expire_keep)
+        print(f"expired={res['expired']} deleted_files={res['deleted_files']}")
+        print("history after expiry:")
+        for m in S.snapshot_history(args.dir):
+            print(f"  snap {m['snapshot_id']}")
 
 
 if __name__ == "__main__":

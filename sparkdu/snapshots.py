@@ -22,9 +22,15 @@ Commit protocol per wave (run_extract_job): data files written first
 wave's partition keys REPLACED by the freshly listed files, written to a
 temp name and os.replace'd into place, then `_current` repointed. A crash
 at any point leaves either the old snapshot fully readable (manifest /
-pointer not yet swapped) or the new one (both swapped) — never a torn view.
-Wave retry after resume re-lists and re-replaces the same keys, so the
-protocol is idempotent.
+pointer not yet swapped) or the new one (both swapped) — never a torn view
+AT REST. Wave retry after resume re-lists and re-replaces the same keys, so
+the protocol is idempotent — with one overwrite-writer caveat: a crash in
+the window between the snapshot commit and the checkpoint append makes
+resume re-run that wave, and the dynamic overwrite deletes the files the
+crash-committed snapshot referenced (that snapshot id stays in history but
+becomes unreadable, and `_current` is briefly torn until the re-commit
+lands, seconds later in the same process). An append-only writer (real
+Iceberg) has no such window; see the time-travel bound below.
 
 Scale note: at 10^12 docs the flat JSON file list becomes Iceberg's
 manifest-list tree and the pointer a catalog CAS — the commit semantics
@@ -161,20 +167,29 @@ def expire_snapshots(out_dir: str, keep_last: int = 2) -> dict:
 
 
 def read_snapshot(spark: SparkSession, out_dir: str,
-                  snapshot_id: Optional[int] = None) -> DataFrame:
+                  snapshot_id: Optional[int] = None,
+                  schema=None) -> DataFrame:
     """Read exactly the files of one snapshot (default: current).
 
     basePath keeps partition_key discoverable even though only explicit
     files are read; stray/in-flight files in the same directories are
-    invisible by construction."""
+    invisible by construction. A legitimately committed all-empty snapshot
+    (every wave partition filtered to zero rows) has no files to infer a
+    schema from — pass `schema` to get an empty DataFrame instead of an
+    error in that case."""
     m = load_manifest(out_dir, snapshot_id)
     if m is None:
         raise ValueError(f"no committed snapshot under {out_dir}")
     files = [os.path.join(out_dir, f)
              for fl in m["partition_keys"].values() for f in fl]
     if not files:
-        raise ValueError(f"snapshot {m['snapshot_id']} is empty")
-    return (
-        spark.read.option("basePath", os.path.join(out_dir, "extracted"))
-        .parquet(*files)
-    )
+        if schema is not None:
+            return spark.createDataFrame([], schema)
+        raise ValueError(
+            f"snapshot {m['snapshot_id']} has no data files; pass schema= "
+            "to read it as an empty DataFrame"
+        )
+    reader = spark.read.option("basePath", os.path.join(out_dir, "extracted"))
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(*files)

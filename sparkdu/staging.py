@@ -93,13 +93,21 @@ def snapshot_read(spark, sf_dir):
         .filter(F.pmod(F.xxhash64(F.concat(F.col("url"), F.lit("s"))), F.lit(4)) == 0)
     )
     d = tempfile.mkdtemp(prefix="sparkdu_snap_")
-    run_extract_job(spark, pages, ExtractJobConfig(
-        run_id="harness", out_dir=d, num_partitions=8, waves=2))
-    rows = []
-    for m in S.snapshot_history(d):
-        df = S.read_snapshot(spark, d, snapshot_id=m["snapshot_id"])
-        rows.append((m["snapshot_id"], df.count(),
-                     len([k for k, v in m["partition_keys"].items() if v])))
+    try:
+        run_extract_job(spark, pages, ExtractJobConfig(
+            run_id="harness", out_dir=d, num_partitions=8, waves=2))
+        rows = []
+        for m in S.snapshot_history(d):
+            df = S.read_snapshot(spark, d, snapshot_id=m["snapshot_id"])
+            rows.append((m["snapshot_id"], df.count(),
+                         len([k for k, v in m["partition_keys"].items() if v])))
+    finally:
+        # rows are materialized driver-side — the working dir can go before
+        # the returned DataFrame is consumed (repeat harness runs would
+        # otherwise leak a full extract-job output per invocation)
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
     return spark.createDataFrame(
         rows, "snapshot_id int, n_rows long, n_partition_keys int"
     ).orderBy("snapshot_id")
@@ -129,10 +137,15 @@ def stream_sessionize_once(spark, sf_dir):
     # on its own; data-driven session closures still emit
     sess = sessionize_events(spark, src, schema, gap_seconds=600,
                              idle_timeout=False)
-    run_available_now(sess, os.path.join(d, "out"), os.path.join(d, "ckpt"))
-    return (
-        spark.read.parquet(os.path.join(d, "out"))
-        .orderBy("user_id", "session_start")
+    try:
+        run_available_now(sess, os.path.join(d, "out"), os.path.join(d, "ckpt"))
+        out = spark.read.parquet(os.path.join(d, "out"))
+        out_schema = out.schema
+        rows = out.collect()  # materialize so the tmp dir can be removed
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, out_schema).orderBy(
+        "user_id", "session_start"
     )
 
 
@@ -152,9 +165,16 @@ def stream_dedup_once(spark, sf_dir):
     os.makedirs(src)
     shutil.copy(fx("pages"), os.path.join(src, "pages.parquet"))
     deduped = streaming_dedup_pages(spark, src, watermark="2 days")
-    run_available_now(deduped.select("url", "warc_ts"),
-                      os.path.join(d, "out"), os.path.join(d, "ckpt"))
-    return spark.read.parquet(os.path.join(d, "out")).select("url").orderBy("url")
+    try:
+        run_available_now(deduped.select("url", "warc_ts"),
+                          os.path.join(d, "out"), os.path.join(d, "ckpt"))
+        rows = [
+            (r["url"],)
+            for r in spark.read.parquet(os.path.join(d, "out")).select("url").collect()
+        ]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, "url string").orderBy("url")
 
 
 @q("curate_pipeline")  # rows-only: composite job; stage logic pytest-gated

@@ -361,3 +361,31 @@ def test_contamination_planted(spark):
         .select("doc_id").distinct().collect()
     }
     assert hits == {10}
+
+
+def test_curate_prefix_routing_no_escape(spark):
+    """Coverage invariant (r3 review finding): a doc with >= SHINGLE_K words
+    overall but < SHINGLE_K tokens inside the LSH signature prefix must be
+    routed to the short path (same tokenizer, same prefix), not silently
+    escape both near-dup paths. Case variants of such a doc collapse."""
+    import datetime as dt
+
+    from sparkdu.jobs.curate_job import MAX_TEXT_CHARS, curate
+    from sparkdu.tables import PAGES_SCHEMA
+
+    blob = "x" * (MAX_TEXT_CHARS + 500)  # one unbroken token spanning the prefix
+    rows = []
+    ts = dt.datetime(2026, 1, 1)
+    for i, tail in enumerate([" foo bar", " FOO bar"]):  # same normalized tokens
+        html = f"<html><body><p>{blob}{tail}</p></body></html>".encode()
+        rows.append((f"http://prefix{i}/", ts, html, None, None))
+    pages = spark.createDataFrame(rows, PAGES_SCHEMA)
+    stages = curate(spark, pages, min_quality=0.0, min_chars=10)
+    short_urls = {r["url"] for r in stages["short_docs"].select("url").collect()}
+    curated = {r["url"] for r in stages["curated"].select("url").collect()}
+    for c in stages["_cached"]:
+        c.unpersist()
+    # both routed short (3 words overall, but only 1 token in the prefix)
+    assert short_urls == {"http://prefix0/", "http://prefix1/"}
+    # and the case variants collapse to one survivor
+    assert len(curated) == 1
