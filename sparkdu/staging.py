@@ -314,3 +314,158 @@ def agg_domain_stats(spark, sf_dir):
         F.sum(F.octet_length("html")).alias("total_bytes"),
         F.max("warc_ts").alias("latest_crawl"),
     )
+
+
+@q(
+    "tpch_q7ish",
+    """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+              CAST(year(l.l_shipdate) AS INT) AS l_year,
+              round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+       FROM lineitem l
+       JOIN supplier s ON s.s_suppkey = l.l_suppkey
+       JOIN orders o ON o.o_orderkey = l.l_orderkey
+       JOIN customer c ON c.c_custkey = o.o_custkey
+       JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+       JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+       WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+          OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+       GROUP BY supp_nation, cust_nation, l_year""",
+)
+def tpch_q7ish(spark, sf_dir):
+    """Volume-shipping: bidirectional nation-pair revenue by year. Both
+    nation dims broadcast (tiny); the fact side shuffles once for the
+    group-by; the OR pair predicate prunes after the broadcast joins."""
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sn = n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))
+    cn = n.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation"))
+    # only nation is broadcast BY HINT (25 rows at any SF); supplier and
+    # customer scale with the corpus, so their join strategy is left to
+    # AQE — broadcast at test SF, sort-merge at 100 TB
+    df = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sk"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("ck"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return df.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(F.round(F.sum(rev), 4).alias("revenue"))
+
+
+@q(
+    "tpch_q10ish",
+    """SELECT c.c_custkey, c.c_name, n.n_name,
+              round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+       FROM customer c
+       JOIN orders o ON o.o_custkey = c.c_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       JOIN nation n ON n.n_nationkey = c.c_nationkey
+       WHERE l.l_returnflag = 'R'
+         AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o.o_orderdate < TIMESTAMP '1996-07-01'
+       GROUP BY c.c_custkey, c.c_name, n.n_name
+       ORDER BY revenue DESC, c.c_custkey ASC LIMIT 20""",
+)
+def tpch_q10ish(spark, sf_dir):
+    """Returned-item reporting: top-20 customers by lost revenue. Fact
+    filters (returnflag, date window) push to the scans; nation is
+    hint-broadcast, customer's strategy is AQE's call (it scales with SF);
+    the final top-20 is a TakeOrdered, never a full sort.
+    Deterministic tie-break on c_custkey."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # customer scales with SF -> AQE decides; nation is hint-broadcast
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(rev), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@q(
+    "tpch_q18ish",
+    """SELECT c.c_custkey, c.c_name, o.o_orderkey,
+              CAST(o.o_totalprice AS DOUBLE) AS o_totalprice, sums.qty
+       FROM (SELECT l_orderkey, sum(l_quantity) AS qty FROM lineitem
+             GROUP BY l_orderkey HAVING sum(l_quantity) > 150) sums
+       JOIN orders o ON o.o_orderkey = sums.l_orderkey
+       JOIN customer c ON c.c_custkey = o.o_custkey""",
+)
+def tpch_q18ish(spark, sf_dir):
+    """Large-volume customers: orders whose total lineitem quantity exceeds
+    a threshold (group-agg + HAVING), joined back to orders + customer. The
+    HAVING survivor set is tiny -> broadcast into the joins."""
+    li = t(spark, sf_dir, "lineitem")
+    sums = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 150)
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    # the HAVING survivor set is genuinely tiny at any SF -> keep its
+    # broadcast hint; customer scales -> AQE decides
+    return (
+        o.join(F.broadcast(sums), o.o_orderkey == sums.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"), "qty",
+        )
+    )
+
+
+@q(
+    "tpch_q19ish",
+    """SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+       FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+       WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15
+              AND l.l_quantity BETWEEN 1 AND 20)
+          OR (p.p_brand = 'Brand#22' AND p.p_size BETWEEN 10 AND 30
+              AND l.l_quantity BETWEEN 10 AND 35)""",
+)
+def tpch_q19ish(spark, sf_dir):
+    """Discounted-revenue with OR-of-AND predicates spanning both join
+    sides: the part-only conjuncts (brand, size) are pushed below the join
+    as a derived OR filter on the broadcast side; the mixed quantity
+    conjuncts evaluate post-join."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size").filter(
+        ((F.col("p_brand") == "Brand#11") & F.col("p_size").between(1, 15))
+        | ((F.col("p_brand") == "Brand#22") & F.col("p_size").between(10, 30))
+    )
+    cond = (
+        (F.col("p_brand") == "Brand#11") & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#22") & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 35)
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(F.round(F.sum(rev), 4).alias("revenue"))
+    )
