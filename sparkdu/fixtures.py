@@ -233,3 +233,45 @@ def synth_image_bytes(img_id: int) -> tuple:
             + bytes([0xF7, 0, 0]) + filler
         )
     return payload, fmt, w, h
+
+
+def synth_wav_bytes(audio_id: int) -> tuple:
+    """Deterministic synthetic WAV payload with generator-truth features.
+
+    Returns (payload, sample_rate, n_samples, rms, zcr) — truth fields are
+    None for the deliberately truncated payloads (every 11th). Unlike the
+    image fixtures this is a FULLY decodable asset: WAV/PCM needs no codec
+    library, so the decode operator is real end-to-end, and the truth
+    features are computed from the exact quantized samples written into the
+    container (round-trip exact by construction).
+    """
+    import io
+    import wave
+
+    import numpy as np
+
+    rng = random.Random(SEED_BASE + 777_000_000 + audio_id)
+    rate = rng.choice([8000, 16000, 22050])
+    dur_ms = rng.randrange(50, 400)
+    n = max(rate * dur_ms // 1000, 16)
+    t = np.arange(n, dtype=np.float64) / rate
+    sig = np.zeros(n, dtype=np.float64)
+    for _ in range(rng.randint(1, 3)):  # a few deterministic partials
+        sig += rng.uniform(0.05, 0.45) * np.sin(
+            2 * np.pi * rng.choice([110.0, 220.0, 440.0, 880.0, 1760.0]) * t
+            + rng.uniform(0, 6.28)
+        )
+    pcm = np.clip(np.rint(sig * 32767.0), -32768, 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm.tobytes())
+    payload = buf.getvalue()
+    if audio_id % 11 == 0:  # truncated mid-data: decode must fail cleanly
+        return payload[: max(50, len(payload) // 3)], None, None, None, None
+    samples = pcm.astype(np.float64) / 32768.0
+    rms = round(float(np.sqrt(np.mean(samples * samples))), 9)
+    zcr = int(np.sum((samples[:-1] * samples[1:]) < 0))
+    return payload, rate, n, rms, zcr

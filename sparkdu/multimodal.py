@@ -14,6 +14,7 @@ from __future__ import annotations
 import hashlib
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
@@ -214,3 +215,82 @@ def image_meta(df: DataFrame, payload_col: str = "payload",
             )
 
     return df.mapInPandas(fn, schema=IMAGE_META_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("audio_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zcr", T.LongType()),
+        T.StructField("decode_status", T.StringType()),  # ok | error
+    ]
+)
+
+
+def parse_wav(b: bytes):
+    """REAL audio decode — WAV/PCM needs no codec library (stdlib `wave`).
+
+    Normative success rule: the container parses, is mono 16-bit PCM, and
+    the data chunk actually holds the declared frame count (a truncated
+    payload declares more frames than it carries). Returns
+    (sample_rate, int16 sample array) or None.
+    """
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(bytes(b)), "rb") as w:
+            nch, sw = w.getnchannels(), w.getsampwidth()
+            rate, nf = w.getframerate(), w.getnframes()
+            frames = w.readframes(nf)
+    except Exception:
+        return None
+    if nch != 1 or sw != 2 or nf == 0 or len(frames) != nf * sw * nch:
+        return None
+    return rate, np.frombuffer(frames, dtype="<i2")
+
+
+def audio_features(df: DataFrame, payload_col: str = "payload",
+                   id_col: str = "audio_id") -> DataFrame:
+    """mapInPandas REAL audio decode + feature extraction (duration via
+    n_samples, RMS energy, zero-crossing count) — the de-stubbed audio
+    slice of the multimodal scaffold: every byte of PCM is decoded and the
+    features are computed from the samples, not from headers. Corrupt
+    payloads yield null features with decode_status='error' and never kill
+    the batch. Scale shape: pure map over Arrow batches, no shuffle; at
+    100 TB the payload column streams through executors once."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, rates, ns, rmss, zcs, status = [], [], [], [], [], []
+            for aid, b in zip(pdf[id_col], pdf[payload_col]):
+                ids.append(aid)
+                dec = parse_wav(b if b is not None else b"")
+                if dec is None:
+                    rates.append(None)
+                    ns.append(None)
+                    rmss.append(None)
+                    zcs.append(None)
+                    status.append("error")
+                    continue
+                rate, pcm = dec
+                samples = pcm.astype(np.float64) / 32768.0
+                rates.append(rate)
+                ns.append(len(samples))
+                rmss.append(round(float(np.sqrt(np.mean(samples * samples))), 9))
+                zcs.append(int(np.sum((samples[:-1] * samples[1:]) < 0)))
+                status.append("ok")
+            yield pd.DataFrame(
+                {
+                    "audio_id": pd.array(ids, dtype="int64"),
+                    "sample_rate": pd.array(rates, dtype="Int32"),
+                    "n_samples": pd.array(ns, dtype="Int64"),
+                    "rms": pd.array(rmss, dtype="Float64"),
+                    "zcr": pd.array(zcs, dtype="Int64"),
+                    "decode_status": status,
+                }
+            )
+
+    return df.mapInPandas(fn, schema=AUDIO_FEATURES_SCHEMA)

@@ -469,3 +469,24 @@ def tpch_q19ish(spark, sf_dir):
         .filter(cond)
         .agg(F.round(F.sum(rev), 4).alias("revenue"))
     )
+
+
+@q(
+    "mm_audio_features",
+    f"""SELECT audio_id, sample_rate, n_samples, rms, zcr
+        FROM read_parquet('{fx("audio")}')""",
+)
+def mm_audio_features(spark, sf_dir):
+    """REAL multimodal audio decode, truth-checked: every PCM byte of the
+    WAV payloads is decoded (stdlib wave + numpy — no codec library needed,
+    unlike image/video pixel data) and duration/RMS/zero-crossings are
+    computed from the samples, then compared against the generator-truth
+    columns written alongside the payloads. Truncated payloads (every 11th)
+    must come back all-null. This de-stubs the audio slice of the
+    multimodal scaffold end-to-end."""
+    from .multimodal import audio_features
+
+    audio = f(spark, "audio").select("audio_id", "payload")
+    return audio_features(audio).select(
+        "audio_id", "sample_rate", "n_samples", "rms", "zcr"
+    )

@@ -74,3 +74,37 @@ def test_image_meta_survives_corrupt_payloads(spark):
     assert got[1] == ("unknown", None, None)
     assert got[2] == ("jpeg", None, None)
     assert got[3] == ("unknown", None, None)
+
+
+def test_audio_decode_roundtrip_exact(spark):
+    """REAL WAV decode: features computed from decoded PCM must equal the
+    generator-truth columns exactly (same quantized samples), truncated
+    payloads come back all-null with decode_status='error'."""
+    import os
+
+    from sparkdu.harness import fx
+    from sparkdu.multimodal import audio_features
+
+    if not os.path.exists(fx("audio")):
+        import pytest
+
+        pytest.skip("audio fixture missing")
+    audio = spark.read.parquet(fx("audio"))
+    got = {r["audio_id"]: r for r in audio_features(
+        audio.select("audio_id", "payload")).collect()}
+    truth = {r["audio_id"]: r for r in audio.collect()}
+    assert len(got) == len(truth) > 0
+    n_err = 0
+    for aid, tr in truth.items():
+        g = got[aid]
+        if tr["sample_rate"] is None:
+            n_err += 1
+            assert g["decode_status"] == "error"
+            assert g["rms"] is None and g["n_samples"] is None
+        else:
+            assert g["decode_status"] == "ok"
+            assert g["sample_rate"] == tr["sample_rate"]
+            assert g["n_samples"] == tr["n_samples"]
+            assert g["rms"] == tr["rms"]  # bit-exact: same bytes, same math
+            assert g["zcr"] == tr["zcr"]
+    assert n_err >= 5  # the truncated tail is actually exercised

@@ -333,6 +333,36 @@ def make_edges() -> None:
     print(f"wrote edges.parquet: {n} rows")
 
 
+def make_audio() -> None:
+    """audio.parquet: deterministic WAV payloads with generator-truth
+    features (computed from the exact quantized samples written into the
+    container). Every 11th payload is truncated with null truth — the
+    decode operator must fail those cleanly."""
+    a = {"audio_id": [], "payload": [], "sample_rate": [], "n_samples": [],
+         "rms": [], "zcr": []}
+    for i in range(120):
+        payload, rate, n, rms, zcr = fixtures.synth_wav_bytes(i)
+        a["audio_id"].append(i)
+        a["payload"].append(payload)
+        a["sample_rate"].append(rate)
+        a["n_samples"].append(n)
+        a["rms"].append(rms)
+        a["zcr"].append(zcr)
+    write(
+        "audio.parquet",
+        pa.table(
+            {
+                "audio_id": pa.array(a["audio_id"], pa.int64()),
+                "payload": pa.array(a["payload"], pa.binary()),
+                "sample_rate": pa.array(a["sample_rate"], pa.int32()),
+                "n_samples": pa.array(a["n_samples"], pa.int64()),
+                "rms": pa.array(a["rms"], pa.float64()),
+                "zcr": pa.array(a["zcr"], pa.int64()),
+            }
+        ),
+    )
+
+
 def make_model_golden(artifact: str = "clf_v2.json",
                       out_name: str = "golden_extracted_model.parquet") -> None:
     """golden for the model-enabled pipeline: oracle + frozen artifact; run
@@ -394,6 +424,7 @@ def make_idf_table() -> None:
 if __name__ == "__main__":
     main()
     make_edges()
+    make_audio()
     make_model_golden()
     make_model_golden("clf_v3_hi.json", "golden_extracted_model_v3.parquet")
     make_idf_table()
