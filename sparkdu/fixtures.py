@@ -275,3 +275,105 @@ def synth_wav_bytes(audio_id: int) -> tuple:
     rms = round(float(np.sqrt(np.mean(samples * samples))), 9)
     zcr = int(np.sum((samples[:-1] * samples[1:]) < 0))
     return payload, rate, n, rms, zcr
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(data).to_bytes(4, "big") + tag + data
+        + (zlib.crc32(tag + data) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def _png_filter_row(ftype: int, cur, left_shifted, prior, prior_left) -> bytes:
+    """Apply PNG filter `ftype` to one scanline (all arrays int32, length
+    stride; left_shifted/prior_left are the bpp-shifted reconstructed rows
+    with leading zeros). Returns the filtered bytes to store."""
+    import numpy as np
+
+    if ftype == 0:
+        out = cur
+    elif ftype == 1:
+        out = cur - left_shifted
+    elif ftype == 2:
+        out = cur - prior
+    elif ftype == 3:
+        out = cur - (left_shifted + prior) // 2
+    else:  # Paeth
+        p = left_shifted + prior - prior_left
+        pa_ = np.abs(p - left_shifted)
+        pb_ = np.abs(p - prior)
+        pc_ = np.abs(p - prior_left)
+        pred = np.where(
+            (pa_ <= pb_) & (pa_ <= pc_), left_shifted,
+            np.where(pb_ <= pc_, prior, prior_left),
+        )
+        out = cur - pred
+    return (out & 0xFF).astype("uint8").tobytes()
+
+
+def synth_png_pixels_bytes(img_id: int) -> tuple:
+    """Deterministic FULLY-DECODABLE PNG payload with generator-truth pixel
+    stats.
+
+    Unlike synth_image_bytes (header-only filler), this writes a complete
+    spec-conformant PNG: zlib-compressed IDAT, correct chunk CRCs, and a
+    per-scanline filter type cycling through all five PNG filters (None/
+    Sub/Up/Average/Paeth) so a decoder must implement every unfilter path
+    to reproduce the pixels. Color type cycles gray(0)/RGB(2)/RGBA(6),
+    bit depth 8, no interlace.
+
+    Returns (payload, width, height, channels, px_mean, px_sha) where
+    px_mean is the mean over ALL decoded sample bytes rounded to 6 dp and
+    px_sha is sha256(raw_pixels)[:16] — byte-exactness of the whole decode.
+    Every 13th payload is truncated inside IDAT with null truth fields.
+    """
+    import hashlib
+    import zlib
+
+    import numpy as np
+
+    rng = random.Random(SEED_BASE + 888_000_000 + img_id)
+    w = rng.randint(3, 48)
+    h = rng.randint(3, 40)
+    ctype, ch = ((0, 1), (2, 3), (6, 4))[img_id % 3]
+    nprng = np.random.RandomState(SEED_BASE % (2**31) + img_id)
+    # gradient + noise: neighbor-correlated so Sub/Up/Paeth filters are
+    # exercised on realistic (compressible) data, not pure noise
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (xx * 3 + yy * 5) % 256
+    px = np.empty((h, w, ch), dtype=np.uint8)
+    for c in range(ch):
+        px[:, :, c] = ((base + c * 37 + nprng.randint(0, 32, (h, w))) % 256).astype(
+            "uint8"
+        )
+    stride = w * ch
+    raw = px.reshape(h, stride).astype(np.int32)
+    zeros = np.zeros(ch, dtype=np.int32)
+    lines = bytearray()
+    prior = np.zeros(stride, dtype=np.int32)
+    for r in range(h):
+        cur = raw[r]
+        ftype = (img_id + r) % 5
+        left_shifted = np.concatenate([zeros, cur[:-ch]])
+        prior_left = np.concatenate([zeros, prior[:-ch]])
+        lines.append(ftype)
+        lines += _png_filter_row(ftype, cur, left_shifted, prior, prior_left)
+        prior = cur
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, ctype, 0, 0, 0])
+    )
+    idat = zlib.compress(bytes(lines), 6)
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+    if img_id % 13 == 0:  # truncated inside IDAT: decode must fail cleanly
+        return payload[: 33 + len(idat) // 2], None, None, None, None, None
+    px_mean = round(float(px.mean()), 6)
+    px_sha = hashlib.sha256(px.tobytes()).hexdigest()[:16]
+    return payload, w, h, ch, px_mean, px_sha

@@ -490,3 +490,26 @@ def mm_audio_features(spark, sf_dir):
     return audio_features(audio).select(
         "audio_id", "sample_rate", "n_samples", "rms", "zcr"
     )
+
+
+@q(
+    "mm_image_pixels",
+    f"""SELECT img_id, width, height, channels, px_mean, px_sha
+        FROM read_parquet('{fx("images_px")}')""",
+)
+def mm_image_pixels(spark, sf_dir):
+    """REAL multimodal image pixel decode, truth-checked: every pixel of
+    the PNG payloads is reconstructed (stdlib zlib + numpy unfiltering of
+    all five PNG scanline filters — no codec library needed) and
+    width/height/channels/mean plus a sha256 fingerprint of the raw pixel
+    bytes are compared against the generator-truth columns written
+    alongside the payloads. Truncated payloads (every 13th, cut inside
+    IDAT) must come back all-null. This de-stubs the image-pixel slice of
+    the multimodal scaffold for the PNG subset; the remaining stub is only
+    entropy-coded decode (JPEG DCT/GIF LZW, video)."""
+    from .multimodal import image_pixel_stats
+
+    imgs = f(spark, "images_px").select("img_id", "payload")
+    return image_pixel_stats(imgs).select(
+        "img_id", "width", "height", "channels", "px_mean", "px_sha"
+    )

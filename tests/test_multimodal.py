@@ -108,3 +108,115 @@ def test_audio_decode_roundtrip_exact(spark):
             assert g["rms"] == tr["rms"]  # bit-exact: same bytes, same math
             assert g["zcr"] == tr["zcr"]
     assert n_err >= 5  # the truncated tail is actually exercised
+
+
+# ---------------------------------------------------------------- PNG pixels
+
+
+def _png_wrap(w, h, ctype, scanlines: bytes) -> bytes:
+    """Assemble a minimal PNG around raw (already-filtered) scanline bytes —
+    independent of the fixture encoder, so decoder tests don't trust the
+    same-author filter math."""
+    import zlib
+
+    def chunk(tag, data):
+        return (
+            len(data).to_bytes(4, "big") + tag + data
+            + (zlib.crc32(tag + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, ctype, 0, 0, 0])
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scanlines)) + chunk(b"IEND", b"")
+    )
+
+
+def test_png_unfilter_hand_computed_vectors():
+    """Each PNG filter checked against BY-HAND reconstructions from the spec
+    (RFC 2083 §6), not against the fixture encoder."""
+    import numpy as np
+
+    from sparkdu.multimodal import decode_png
+
+    # gray 3x2, filter 0 (None): pixels are the raw bytes
+    px = decode_png(_png_wrap(3, 2, 0, bytes([0, 10, 20, 30, 0, 40, 50, 60])))
+    assert px.tolist() == [[[10], [20], [30]], [[40], [50], [60]]]
+
+    # gray 4x1, filter 1 (Sub): recon = cumulative sum mod 256
+    # stored deltas 200,100,50,6 -> 200, 44 (300&255), 94, 100
+    px = decode_png(_png_wrap(4, 1, 0, bytes([1, 200, 100, 50, 6])))
+    assert px.ravel().tolist() == [200, 44, 94, 100]
+
+    # gray 2x2, filter 2 (Up): row2 = row1 + stored (mod 256)
+    px = decode_png(_png_wrap(2, 2, 0, bytes([0, 250, 3, 2, 10, 254])))
+    assert px.ravel().tolist() == [250, 3, 4, 1]
+
+    # gray 3x2, filter 3 (Average): recon = stored + floor((left+up)/2)
+    # row1 (None): 2, 4, 8;  row2 stored 5,6,7:
+    #   x0: 5 + (0+2)//2 = 6;  x1: 6 + (6+4)//2 = 11;  x2: 7 + (11+8)//2 = 16
+    px = decode_png(_png_wrap(3, 2, 0, bytes([0, 2, 4, 8, 3, 5, 6, 7])))
+    assert px.ravel().tolist() == [2, 4, 8, 6, 11, 16]
+
+    # gray 2x2, filter 4 (Paeth): row1 = 100, 200; row2 stored 1, 2
+    #   x0: left=0,up=100,ul=0 -> p=100, pred=up=100 -> 101
+    #   x1: left=101,up=200,ul=100 -> p=201: pa=100,pb=1,pc=101 -> pred=200 -> 202
+    px = decode_png(_png_wrap(2, 2, 0, bytes([0, 100, 200, 4, 1, 2])))
+    assert px.ravel().tolist() == [100, 200, 101, 202]
+
+    # RGB: Sub filter steps by bpp=3, not 1
+    # row stored: (1,2,3) then deltas (10,20,30) -> second pixel (11,22,33)
+    px = decode_png(_png_wrap(2, 1, 2, bytes([1, 1, 2, 3, 10, 20, 30])))
+    assert px.reshape(-1, 3).tolist() == [[1, 2, 3], [11, 22, 33]]
+    assert isinstance(px, np.ndarray) and px.dtype == np.uint8
+
+
+def test_png_decode_rejects_corruption_and_unsupported():
+    from sparkdu.fixtures import synth_png_pixels_bytes
+    from sparkdu.multimodal import decode_png
+
+    payload, w, h, ch, mean, sha = synth_png_pixels_bytes(1)
+    assert decode_png(payload) is not None
+    # single-byte flip inside IDAT -> CRC mismatch -> clean None
+    body = bytearray(payload)
+    body[60] ^= 0xFF
+    assert decode_png(bytes(body)) is None
+    # truncation anywhere -> None
+    assert decode_png(payload[:50]) is None
+    assert decode_png(b"") is None
+    assert decode_png(b"\x89PNG\r\n\x1a\n") is None
+    # unsupported: 16-bit depth rejected, not mis-decoded
+    bad = bytearray(payload)
+    bad[24] = 16  # IHDR bit-depth byte
+    import zlib
+
+    crc = zlib.crc32(bytes(bad[12:29])) & 0xFFFFFFFF
+    bad[29:33] = crc.to_bytes(4, "big")
+    assert decode_png(bytes(bad)) is None
+
+
+def test_png_pixel_stats_truth_checked(spark):
+    """End-to-end: decode every fixture payload on Spark and match the
+    generator-truth stats byte-for-byte (px_sha covers the full array);
+    truncated payloads (img_id % 13 == 0) must be error/all-null."""
+    from sparkdu.harness import fx
+    from sparkdu.multimodal import image_pixel_stats
+
+    imgs = spark.read.parquet(fx("images_px"))
+    got = image_pixel_stats(imgs.select("img_id", "payload")).orderBy("img_id")
+    truth = {r["img_id"]: r for r in imgs.collect()}
+    n_ok = n_err = 0
+    for r in got.collect():
+        t = truth[r["img_id"]]
+        if r["img_id"] % 13 == 0:
+            assert r["decode_status"] == "error" and r["px_sha"] is None
+            n_err += 1
+        else:
+            assert r["decode_status"] == "ok"
+            assert (r["width"], r["height"], r["channels"]) == (
+                t["width"], t["height"], t["channels"]
+            )
+            assert r["px_sha"] == t["px_sha"]
+            assert abs(r["px_mean"] - t["px_mean"]) < 1e-9
+            n_ok += 1
+    assert n_ok == 110 and n_err == 10
