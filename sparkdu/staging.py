@@ -513,3 +513,185 @@ def mm_image_pixels(spark, sf_dir):
     return image_pixel_stats(imgs).select(
         "img_id", "width", "height", "channels", "px_mean", "px_sha"
     )
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+\d{1,2} \d{3}-\d{4}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+@q(
+    "text_pii_redact",
+    f"""WITH pii AS (
+          SELECT doc_id,
+                 text || ' contact user' || cast(doc_id AS VARCHAR)
+                      || '@mail.example.org or +1 555-01'
+                      || lpad(cast(doc_id % 100 AS VARCHAR), 2, '0')
+                      || ' ip 10.0.' || cast(doc_id % 256 AS VARCHAR)
+                      || '.7 end' AS t
+          FROM documents)
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(t,
+                   '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{_PII_PHONE}', '<PHONE>', 'g'),
+                   '{_PII_IPV4}', '<IP>', 'g') AS redacted,
+               cast(len(regexp_extract_all(t, '{_PII_EMAIL}', 0)) AS BIGINT)
+                 AS n_email,
+               cast(len(regexp_extract_all(t, '{_PII_PHONE}', 0)) AS BIGINT)
+                 AS n_phone,
+               cast(len(regexp_extract_all(t, '{_PII_IPV4}', 0)) AS BIGINT)
+                 AS n_ip
+        FROM pii""",
+)
+def text_pii_redact(spark, sf_dir):
+    """PII redaction (emails, phone numbers, IPv4) — a standard
+    training-data scrub pass. The fixture corpus carries no organic PII, so
+    the query plants deterministic synthetic PII derived from doc_id and
+    the operator under test is the redaction expression itself. Patterns
+    are restricted to the RE2-compatible subset (no backrefs/lookaround) so
+    Spark's Java regex and DuckDB's RE2 agree byte-for-byte. Pure map —
+    scales as a scan; at 100 TB this fuses into the extraction scan with
+    zero extra shuffles."""
+    pii = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example.org or +1 555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            F.lit(" ip 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 end"),
+        ).alias("t"),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("t", _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE, "<PHONE>",
+        ),
+        _PII_IPV4, "<IP>",
+    )
+    return pii.select(
+        "doc_id",
+        red.alias("redacted"),
+        F.size(F.regexp_extract_all("t", F.lit(_PII_EMAIL), 0)).cast("long").alias("n_email"),
+        F.size(F.regexp_extract_all("t", F.lit(_PII_PHONE), 0)).cast("long").alias("n_phone"),
+        F.size(F.regexp_extract_all("t", F.lit(_PII_IPV4), 0)).cast("long").alias("n_ip"),
+    )
+
+
+@q(
+    "text_para_dedup",
+    f"""WITH ranked AS (
+          SELECT url, node_id, text,
+                 row_number() OVER (PARTITION BY text ORDER BY url, node_id)
+                   AS rn
+          FROM read_parquet('{fx("nodes")}'))
+        SELECT url,
+               string_agg(text, chr(10) ORDER BY node_id) AS dedup_text,
+               cast(count(*) AS BIGINT) AS n_kept
+        FROM ranked WHERE rn = 1
+        GROUP BY url""",
+)
+def text_para_dedup(spark, sf_dir):
+    """Global paragraph-level exact dedup (CCNet/RefinedWeb-style): a text
+    block survives only at its first occurrence corpus-wide (ordered by
+    url, node_id); every later copy — cross-document boilerplate, repeated
+    footers — is dropped, then documents are reassembled from their
+    surviving blocks in order. Scale shape: one shuffle on the block text
+    (the window), one on url (the reassembly groupBy); only block hashes
+    and ids move in the first shuffle at 100 TB if text is pre-hashed —
+    here text itself is small. The deterministic first-occurrence rule
+    makes the result reproducible run-to-run."""
+    from pyspark.sql.window import Window
+
+    nodes = f(spark, "nodes").select("url", "node_id", "text")
+    w = Window.partitionBy("text").orderBy("url", "node_id")
+    kept = nodes.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return kept.groupBy("url").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("node_id", "text"))),
+                lambda s: s["text"],
+            ),
+            "\n",
+        ).alias("dedup_text"),
+        F.count("*").alias("n_kept"),
+    )
+
+
+@q(
+    "sample_domain_temp",
+    """WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+       ranked AS (
+         SELECT d.doc_id, d.source,
+                row_number() OVER (
+                  PARTITION BY d.source
+                  ORDER BY md5(cast(d.doc_id AS VARCHAR)), d.doc_id) AS rk,
+                cast(ceil(sqrt(c.cnt)) AS BIGINT) AS keep_n
+         FROM documents d JOIN c USING (source))
+       SELECT doc_id, source FROM ranked WHERE rk <= keep_n""",
+)
+def sample_domain_temp(spark, sf_dir):
+    """Domain-temperature sampling: keep ceil(count^0.5) docs per source —
+    the standard rebalancing that keeps head domains from swamping a
+    training mix, at temperature alpha=0.5. sqrt (IEEE-exact, unlike pow)
+    keeps Spark and DuckDB bit-identical at the ceil boundary. Selection
+    within a domain is a deterministic md5(doc_id) ranking, so the sample
+    is reproducible and uniform w.r.t. the hash. Scale shape: tiny
+    per-domain count table broadcast back; one window shuffle on source
+    (salt-able for mega-domains)."""
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    cnt = docs.groupBy("source").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.join(F.broadcast(cnt), "source")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= F.ceil(F.sqrt("cnt")).cast("long"))
+        .select("doc_id", "source")
+    )
+
+
+@q(
+    "pack_seq_chunks",
+    """WITH tk AS (SELECT doc_id, source,
+                          cast(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+                   FROM documents),
+       cum AS (SELECT source, n_tok,
+                      coalesce(sum(n_tok) OVER (
+                        PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS bef
+               FROM tk)
+       SELECT source, cast(bef // 2048 AS BIGINT) AS chunk_id,
+              cast(count(*) AS BIGINT) AS n_docs,
+              cast(sum(n_tok) AS BIGINT) AS chunk_tokens
+       FROM cum GROUP BY source, chunk_id""",
+)
+def pack_seq_chunks(spark, sf_dir):
+    """Token-budget sequence chunking (training-sequence packing, SQL
+    form): docs in deterministic order per source, a chunk boundary every
+    2048 cumulative tokens. Integer-only arithmetic keeps the oracle
+    bit-exact. The true greedy next-fit variant (bins never overflow) is
+    pack_greedy_bins below."""
+    from .packing import pack_chunks, token_counts
+
+    docs = token_counts(t(spark, sf_dir, "documents"))
+    return pack_chunks(docs, 2048)
+
+
+@q("pack_greedy_bins")  # rows-only: running-reset recurrence, not SQL-window
+def pack_greedy_bins(spark, sf_dir):
+    """Greedy next-fit packing per source (applyInPandas): the exact
+    packing rule a sequence-building job uses — a doc opens a new bin when
+    it would overflow 2048 tokens, so bins never exceed budget unless a
+    single doc is oversized. The invariants (no overflow, order preserved,
+    full coverage, determinism) are pytest-gated in tests/test_packing.py;
+    the recurrence resets on overflow so no SQL window expresses it."""
+    from .packing import pack_greedy, token_counts
+
+    docs = token_counts(t(spark, sf_dir, "documents"))
+    return pack_greedy(docs, 2048)
