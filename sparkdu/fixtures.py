@@ -377,3 +377,116 @@ def synth_png_pixels_bytes(img_id: int) -> tuple:
     px_mean = round(float(px.mean()), 6)
     px_sha = hashlib.sha256(px.tobytes()).hexdigest()[:16]
     return payload, w, h, ch, px_mean, px_sha
+
+
+def _gif_lzw_encode(indices, min_code: int) -> bytes:
+    """Standard GIF-flavor LZW compress of a color-index stream (variable
+    code width, LSB-first bit packing, clear/end codes, 12-bit cap)."""
+    clear = 1 << min_code
+    end = clear + 1
+    out_bits = []
+
+    def emit(code, width):
+        for k in range(width):
+            out_bits.append((code >> k) & 1)
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    width = min_code + 1
+    emit(clear, width)
+    prev = b""
+    for idx in indices:
+        cur = prev + bytes([idx])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev], width)
+        table[cur] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        elif next_code >= 4096:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code + 1
+        prev = bytes([idx])
+    if prev:
+        emit(table[prev], width)
+    emit(end, width)
+    by = bytearray()
+    for i in range(0, len(out_bits), 8):
+        v = 0
+        for k, b in enumerate(out_bits[i : i + 8]):
+            v |= b << k
+        by.append(v)
+    return bytes(by)
+
+
+def synth_gif_pixels_bytes(img_id: int) -> tuple:
+    """Deterministic FULLY-DECODABLE GIF payload with generator-truth pixel
+    stats — real LZW-compressed index data (variable code width, table
+    growth and reset), global or local color table, and interlaced rows on
+    every third image so a decoder must implement the four-pass deinterlace.
+
+    Returns (payload, width, height, channels=3, px_mean, px_sha) over the
+    palette-resolved RGB array; every 13th payload is truncated inside the
+    image data with null truth fields.
+    """
+    import hashlib
+
+    import numpy as np
+
+    rng = random.Random(SEED_BASE + 999_000_000 + img_id)
+    w = rng.randint(3, 40)
+    h = rng.randint(3, 32)
+    n_colors_pow = rng.randint(1, 7)  # palette of 2^(n+1) entries
+    n_colors = 1 << (n_colors_pow + 1)
+    nprng = np.random.RandomState((SEED_BASE + img_id) % (2**31) + 17)
+    palette = nprng.randint(0, 256, (n_colors, 3)).astype(np.uint8)
+    yy, xx = np.mgrid[0:h, 0:w]
+    idx = ((xx * 2 + yy * 3 + nprng.randint(0, 4, (h, w))) % n_colors).astype(
+        np.uint8
+    )
+    interlaced = img_id % 3 == 0
+    local_ct = img_id % 2 == 1  # odd ids carry the palette on the image
+    min_code = max(2, n_colors_pow + 1)
+    header = b"GIF89a"
+    packed_gct = (0x80 | n_colors_pow) if not local_ct else 0x00
+    lsd = (
+        w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        + bytes([packed_gct, 0, 0])
+    )
+    gct = palette.tobytes() if not local_ct else b""
+    # a graphic-control extension exercises the extension-skip path
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    packed_img = (0x80 | n_colors_pow if local_ct else 0) | (
+        0x40 if interlaced else 0
+    )
+    img_desc = (
+        b"\x2c" + (0).to_bytes(2, "little") + (0).to_bytes(2, "little")
+        + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        + bytes([packed_img])
+    )
+    lct = palette.tobytes() if local_ct else b""
+    rows = idx
+    if interlaced:  # write rows in GIF interlace pass order
+        order = (
+            list(range(0, h, 8)) + list(range(4, h, 8))
+            + list(range(2, h, 4)) + list(range(1, h, 2))
+        )
+        rows = idx[order]
+    data = _gif_lzw_encode(rows.ravel().tolist(), min_code)
+    sub = bytearray([min_code])
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        sub.append(len(chunk))
+        sub += chunk
+    sub.append(0)
+    payload = header + lsd + gct + ext + img_desc + lct + bytes(sub) + b"\x3b"
+    if img_id % 13 == 0:
+        return payload[: len(header) + len(lsd) + len(gct) + 8], None, None, None, None, None
+    rgb = palette[idx]
+    px_mean = round(float(rgb.mean()), 6)
+    px_sha = hashlib.sha256(rgb.tobytes()).hexdigest()[:16]
+    return payload, w, h, 3, px_mean, px_sha

@@ -695,3 +695,24 @@ def pack_greedy_bins(spark, sf_dir):
 
     docs = token_counts(t(spark, sf_dir, "documents"))
     return pack_greedy(docs, 2048)
+
+
+@q(
+    "mm_gif_pixels",
+    f"""SELECT img_id, width, height, channels, px_mean, px_sha
+        FROM read_parquet('{fx("images_gif")}')""",
+)
+def mm_gif_pixels(spark, sf_dir):
+    """REAL GIF pixel decode, truth-checked: the LZW index stream of every
+    payload is decompressed (pure Python — variable code width, table
+    growth/reset, KwKwK case), palette-resolved to RGB, deinterlaced where
+    flagged, and fingerprinted byte-for-byte against generator truth.
+    Truncated payloads (every 13th) must come back all-null. With PNG
+    (mm_image_pixels) and WAV (mm_audio_features) this leaves JPEG's
+    entropy-coded DCT as the only stubbed decode."""
+    from .multimodal import image_pixel_stats
+
+    imgs = f(spark, "images_gif").select("img_id", "payload")
+    return image_pixel_stats(imgs).select(
+        "img_id", "width", "height", "channels", "px_mean", "px_sha"
+    )
