@@ -716,3 +716,53 @@ def mm_gif_pixels(spark, sf_dir):
     return image_pixel_stats(imgs).select(
         "img_id", "width", "height", "channels", "px_mean", "px_sha"
     )
+
+
+@q(
+    "dedup_cc_components",
+    """WITH RECURSIVE
+       d AS (SELECT doc_id, lower(text) AS tl FROM documents
+             WHERE doc_id < 60 AND length(text) >= 5),
+       ex AS (SELECT doc_id, tl, unnest(range(1, length(tl) - 3)) AS i FROM d),
+       sh AS (SELECT DISTINCT doc_id, substring(tl, i::int, 5) AS shingle FROM ex),
+       sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS ix
+                 FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                 GROUP BY a.doc_id, b.doc_id),
+       pairs AS (SELECT a_id, b_id FROM inter
+                 JOIN sizes sa ON sa.doc_id = a_id
+                 JOIN sizes sb ON sb.doc_id = b_id
+                 WHERE ix * 1.0 / (sa.sz + sb.sz - ix) >= 0.2),
+       e AS (SELECT a_id AS s, b_id AS t FROM pairs
+             UNION ALL SELECT b_id, a_id FROM pairs),
+       walk(id, label) AS (
+         SELECT doc_id, doc_id FROM d
+         UNION
+         SELECT e.t, w.label FROM walk w JOIN e ON e.s = w.id)
+       SELECT id AS doc_id, cast(min(label) AS BIGINT) AS component
+       FROM walk GROUP BY id""",
+)
+def dedup_cc_components(spark, sf_dir):
+    """Connected components over the near-dup pair graph — the stage that
+    turns pairwise LSH/Jaccard hits into duplicate CLUSTERS (keep one
+    canonical doc per component). Spark side runs alternating
+    large-star/small-star (sparkdu/cc.py, O(log^2 n) rounds of node-keyed
+    shuffles — the published MapReduce CC algorithm, diameter-independent);
+    the oracle computes the same transitive closure with a DuckDB recursive
+    CTE, feasible at fixture scale. Component label = min doc_id of the
+    component; singletons label themselves."""
+    from .cc import connected_components
+    from .harness import QUERIES
+
+    pairs = QUERIES["dedup_ngram_jaccard"](spark, sf_dir)
+    verts = (
+        t(spark, sf_dir, "documents")
+        .filter("doc_id < 60 AND length(text) >= 5")
+        .select(F.col("doc_id").alias("id"))
+    )
+    edges = pairs.select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    )
+    return connected_components(verts, edges).select(
+        F.col("id").alias("doc_id"), "component"
+    )
