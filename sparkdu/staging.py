@@ -766,3 +766,128 @@ def dedup_cc_components(spark, sf_dir):
     return connected_components(verts, edges).select(
         F.col("id").alias("doc_id"), "component"
     )
+
+
+_TRACKING_RE = "^(utm_[^=]*|fbclid|gclid)="
+
+
+@q(
+    "fn_url_canon",
+    f"""WITH messy AS (
+          SELECT url,
+                 'HTTPS://' || upper(regexp_extract(url, '://([^/]+)/', 1))
+                   || ':443/' || regexp_extract(url, '/([0-9]+)$', 1)
+                   || '?z=26&utm_source=feed&a='
+                   || regexp_extract(url, '/([0-9]+)$', 1)
+                   || '&utm_medium=email#sec' AS raw
+          FROM read_parquet('{fx("pages")}')),
+        parts AS (
+          SELECT url, raw,
+                 lower(regexp_extract(raw, '^([A-Za-z]+)://', 1)) AS scheme,
+                 lower(regexp_extract(raw, '^[A-Za-z]+://([^/?#]+)', 1)) AS hostport,
+                 regexp_extract(raw, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path,
+                 regexp_extract(raw, '[?]([^#]*)', 1) AS qs
+          FROM messy),
+        norm AS (
+          SELECT url, raw, scheme,
+                 CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                      WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+                      ELSE hostport END AS host,
+                 CASE WHEN path = '' THEN '/' ELSE path END AS path,
+                 array_to_string(list_sort(list_filter(string_split(qs, '&'),
+                     x -> x != '' AND NOT regexp_matches(x, '{_TRACKING_RE}'))),
+                     '&') AS q
+          FROM parts)
+        SELECT url, raw,
+               scheme || '://' || host || path
+                 || CASE WHEN q = '' THEN '' ELSE '?' || q END AS canon_url
+        FROM norm""",
+)
+def fn_url_canon(spark, sf_dir):
+    """URL canonicalization — the crawl-frontier/dedup normalizer: lowercase
+    scheme+host, strip default port and fragment, drop tracking params
+    (utm_*, fbclid, gclid), sort the surviving query params. The fixture
+    urls are clean, so deterministic messy urls are planted from each url's
+    trailing id and the operator under test is the canonicalizer expression
+    itself (same pattern as text_pii_redact). All JVM string/array HOFs —
+    pure map, fuses into any scan; param order is binary-collation sorted
+    so both engines agree byte-for-byte."""
+    pages = f(spark, "pages").select("url")
+    n = F.regexp_extract("url", r"/([0-9]+)$", 1)
+    raw = F.concat(
+        F.lit("HTTPS://"), F.upper(F.regexp_extract("url", r"://([^/]+)/", 1)),
+        F.lit(":443/"), n, F.lit("?z=26&utm_source=feed&a="), n,
+        F.lit("&utm_medium=email#sec"),
+    )
+    m = pages.select("url", raw.alias("raw"))
+    scheme = F.lower(F.regexp_extract("raw", r"^([A-Za-z]+)://", 1))
+    hostport = F.lower(F.regexp_extract("raw", r"^[A-Za-z]+://([^/?#]+)", 1))
+    path_ = F.regexp_extract("raw", r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    qs = F.regexp_extract("raw", r"[?]([^#]*)", 1)
+    p = m.select(
+        "url", "raw", scheme.alias("scheme"), hostport.alias("hostport"),
+        path_.alias("path"), qs.alias("qs"),
+    )
+    host = (
+        F.when(F.col("scheme") == "https",
+               F.regexp_replace("hostport", ":443$", ""))
+        .when(F.col("scheme") == "http", F.regexp_replace("hostport", ":80$", ""))
+        .otherwise(F.col("hostport"))
+    )
+    q_ = F.array_join(
+        F.sort_array(
+            F.filter(
+                F.split("qs", "&"),
+                lambda x: (x != "") & ~x.rlike(_TRACKING_RE),
+            )
+        ),
+        "&",
+    )
+    n2 = p.select(
+        "url", "raw", "scheme", host.alias("host"),
+        F.when(F.col("path") == "", "/").otherwise(F.col("path")).alias("path"),
+        q_.alias("q"),
+    )
+    return n2.select(
+        "url", "raw",
+        F.concat(
+            F.col("scheme"), F.lit("://"), F.col("host"), F.col("path"),
+            F.when(F.col("q") == "", "").otherwise(F.concat(F.lit("?"), F.col("q"))),
+        ).alias("canon_url"),
+    )
+
+
+@q(
+    "text_lm_score",
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                     FROM documents),
+       vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+       tot AS (SELECT sum(cnt) AS total, count(*) AS v FROM vocab)
+       SELECT t.doc_id,
+              round(avg(ln((vv.cnt + 1) * 1.0 / (tot.total + tot.v))), 6)
+                AS lm_score
+       FROM toks t JOIN vocab vv USING (tok) CROSS JOIN tot
+       GROUP BY t.doc_id""",
+)
+def text_lm_score(spark, sf_dir):
+    """Unigram language-model quality score — the public-knowledge analogue
+    of a KenLM perplexity filter: mean log-probability per token under an
+    add-one-smoothed corpus unigram model; low scores flag gibberish /
+    off-distribution docs. Scale shape: vocab is a small aggregated table
+    broadcast back onto the exploded token stream; the per-doc groupBy
+    shuffles (doc_id, logp) only. ln() agrees across engines at round-6
+    (both correctly-rounded to well under 1e-6 relative on these
+    magnitudes)."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    tot = vocab.agg(
+        F.sum("cnt").alias("total"), F.count("*").alias("v")
+    )
+    logp = F.log((F.col("cnt") + 1) * 1.0 / (F.col("total") + F.col("v")))
+    return (
+        toks.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(F.round(F.avg(logp), 6).alias("lm_score"))
+    )

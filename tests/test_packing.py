@@ -140,3 +140,39 @@ def test_domain_temperature_sampling_quota(spark):
     # deterministic
     again = QUERIES["sample_domain_temp"](spark, SF).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_url_canonicalization_semantics(spark):
+    out = QUERIES["fn_url_canon"](spark, SF).collect()
+    assert len(out) > 0
+    for r in out:
+        m = re.search(r"/(\d+)$", r["url"])
+        n = m.group(1) if m else ""  # non-numeric tails plant an empty id
+        host = r["url"].split("://")[1].split("/")[0]
+        # fragment gone, tracking params gone, params sorted, port stripped
+        assert r["canon_url"] == f"https://{host}/{n}?a={n}&z=26", r
+        assert "#" not in r["canon_url"] and "utm" not in r["canon_url"]
+
+
+def test_lm_score_orders_in_vs_out_of_distribution(spark):
+    """A doc of corpus-frequent tokens must outscore rare-token docs: check
+    the score is monotone with average token frequency."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    scores = {r["doc_id"]: r["lm_score"]
+              for r in QUERIES["text_lm_score"](spark, SF).collect()}
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    freq = {
+        r["doc_id"]: r["mf"]
+        for r in toks.join(vocab, "tok").groupBy("doc_id")
+        .agg(F.avg(F.log("cnt")).alias("mf")).collect()
+    }
+    ranked_by_score = sorted(scores, key=lambda d: scores[d])
+    ranked_by_freq = sorted(freq, key=lambda d: freq[d])
+    # same extreme deciles (scores are a monotone transform of mean log cnt
+    # up to the constant smoothing shift)
+    k = len(ranked_by_score) // 10
+    assert set(ranked_by_score[:k]) == set(ranked_by_freq[:k])
+    assert set(ranked_by_score[-k:]) == set(ranked_by_freq[-k:])
