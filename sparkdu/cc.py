@@ -102,3 +102,23 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
             "id", F.coalesce("component", F.col("id")).alias("component")
         )
     )
+
+
+def duplicate_drop_list(pairs: DataFrame, a_col: str = "a_id",
+                        b_col: str = "b_id") -> DataFrame:
+    """Cluster-canonical dedup policy: connected components over a near-dup
+    pair list, drop everything but the minimum id of each component.
+
+    Strictly stronger than per-pair drop-the-larger: pair policy keeps every
+    LOCAL minimum (a chain b-a, a-c with a < b and a < c but with a second
+    local min elsewhere in the component survives twice), CC keeps exactly
+    one survivor per duplicate cluster. Ids may be any orderable type
+    (urls/strings included). Returns one column `id` — the docs to drop."""
+    verts = (
+        pairs.select(F.col(a_col).alias("id"))
+        .union(pairs.select(F.col(b_col).alias("id")))
+        .distinct()
+    )
+    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    comp = connected_components(verts, edges)
+    return comp.filter(F.col("id") != F.col("component")).select("id")

@@ -32,7 +32,8 @@ MAX_TEXT_CHARS = 4000  # LSH signature prefix — routing MUST use the same valu
 
 
 def curate(spark: SparkSession, pages: DataFrame, min_quality: float = 0.35,
-           min_chars: int = 200, jaccard_bands: int = 8) -> dict[str, DataFrame]:
+           min_chars: int = 200, jaccard_bands: int = 8,
+           cc_clusters: bool = False) -> dict[str, DataFrame]:
     from sparkdu.api import ExtractConfig, extract_pages
     from sparkdu.dedup import minhash_lsh_pairs
 
@@ -125,7 +126,20 @@ def curate(spark: SparkSession, pages: DataFrame, min_quality: float = 0.35,
     # re-execute the observed LSH subtree — Observation supports exactly one
     # execution, and re-runs of a CollectMetrics plan proved flaky (transient
     # temp_shuffle task failures). With the cache the observed plan runs once.
-    drop = pairs.select(F.col("b_id").alias("url")).distinct().cache()
+    if cc_clusters:
+        # cluster-canonical policy: connected components over the pair
+        # graph, keep exactly min(url) per duplicate cluster (the per-pair
+        # policy below keeps every LOCAL minimum — a chain of borderline
+        # near-dups can leave several survivors)
+        from sparkdu.cc import duplicate_drop_list
+
+        drop = (
+            duplicate_drop_list(pairs, "a_id", "b_id")
+            .withColumnRenamed("id", "url")
+            .cache()
+        )
+    else:
+        drop = pairs.select(F.col("b_id").alias("url")).distinct().cache()
     curated = long_docs.join(drop, "url", "left_anti").unionByName(short_kept)
 
     return {"extracted": extracted, "scored": scored, "kept": kept,
@@ -144,6 +158,8 @@ def main(argv=None) -> None:
     ap.add_argument("--output", required=True)
     ap.add_argument("--min-quality", type=float, default=0.35)
     ap.add_argument("--master", default=None)
+    ap.add_argument("--cc", action="store_true",
+                    help="cluster-canonical near-dup policy (connected components)")
     args = ap.parse_args(argv)
 
     from sparkdu.session import get_spark
@@ -152,7 +168,8 @@ def main(argv=None) -> None:
     spark = get_spark(app="sparkdu-curate", master=args.master)
     pages = spark.read.schema(PAGES_SCHEMA).parquet(args.input)
     t0 = time.time()
-    stages = curate(spark, pages, min_quality=args.min_quality)
+    stages = curate(spark, pages, min_quality=args.min_quality,
+                    cc_clusters=args.cc)
     lsh_stats = stages.pop("_lsh_stats")
     cached = stages.pop("_cached")
 

@@ -99,3 +99,29 @@ def test_cc_cluster_canonical_dedup_policy(spark):
     assert survivors == [0, 3, 4, 6, 7]
     dropped = cc.filter(F.col("id") != F.col("component")).count()
     assert dropped == 3
+
+
+def test_curate_cc_policy_refines_pair_policy(spark):
+    """Cluster-canonical (--cc) curation: survivors are a subset of the
+    pair-policy survivors (CC removes every non-minimal cluster member,
+    pair policy only removes pair-local maxima) and exactly one doc
+    survives per duplicate cluster."""
+    from sparkdu.cc import connected_components
+    from sparkdu.harness import fx
+    from sparkdu.jobs.curate_job import curate
+    from sparkdu.tables import PAGES_SCHEMA
+
+    pages = (
+        spark.read.schema(PAGES_SCHEMA).parquet(fx("pages"))
+        .filter(F.pmod(F.xxhash64("url"), F.lit(3)) == 0)
+    )
+    pair_stages = curate(spark, pages, min_quality=0.2, min_chars=50)
+    cc_stages = curate(spark, pages, min_quality=0.2, min_chars=50,
+                       cc_clusters=True)
+    pair_surv = {r["url"] for r in pair_stages["curated"].select("url").collect()}
+    cc_surv = {r["url"] for r in cc_stages["curated"].select("url").collect()}
+    for st in (pair_stages, cc_stages):
+        for df_ in st.pop("_cached"):
+            df_.unpersist()
+    assert cc_surv <= pair_surv
+    assert len(cc_surv) > 0
