@@ -891,3 +891,114 @@ def text_lm_score(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.round(F.avg(logp), 6).alias("lm_score"))
     )
+
+
+@q(
+    "tpch_q12ish",
+    """SELECT l.l_linestatus AS linestatus,
+              cast(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+              cast(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+       GROUP BY l.l_linestatus""",
+)
+def tpch_q12ish(spark, sf_dir):
+    """TPC-H q12 analogue (shipping-priority audit): among lines shipped
+    more than 60 days after their order date, count high- vs low-priority
+    orders per line status. Fact-fact join on the natural key — both sides
+    shuffle once on l_orderkey/o_orderkey (no broadcast: orders is a fact
+    table at every SF); the late-shipment predicate is a post-join filter
+    by necessity (it references both sides), but the two conditional sums
+    collapse map-side."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linestatus", "l_shipdate")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy(F.col("l_linestatus").alias("linestatus"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@q(
+    "tpch_q13ish",
+    """WITH per_cust AS (
+         SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+         FROM customer c LEFT JOIN orders o
+           ON c.c_custkey = o.o_custkey
+          AND o.o_orderpriority <> '4-NOT SPECIFIED'
+         GROUP BY c.c_custkey)
+       SELECT cast(c_count AS BIGINT) AS c_count,
+              cast(count(*) AS BIGINT) AS custdist
+       FROM per_cust GROUP BY c_count""",
+)
+def tpch_q13ish(spark, sf_dir):
+    """TPC-H q13 analogue (customer order-count distribution): LEFT join so
+    order-less customers land in the c_count=0 bucket, with the order
+    filter in the JOIN CONDITION (a WHERE would silently turn the outer
+    join inner — the classic q13 trap). Two aggregations: the first
+    shuffles on custkey, the second on the tiny count domain."""
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    per = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & (o.o_orderpriority != "4-NOT SPECIFIED"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@q(
+    "tpch_q22ish",
+    """WITH avg_bal AS (
+         SELECT round(avg(c_acctbal), 2) AS ab FROM customer WHERE c_acctbal > 0.0),
+       rich AS (
+         SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
+         FROM customer c, avg_bal
+         WHERE c.c_acctbal > avg_bal.ab
+           AND NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_orderpriority = '1-URGENT'))
+       SELECT c_nationkey,
+              cast(count(*) AS BIGINT) AS numcust,
+              round(sum(c_acctbal), 2) AS totacctbal
+       FROM rich GROUP BY c_nationkey""",
+)
+def tpch_q22ish(spark, sf_dir):
+    """TPC-H q22 analogue (global sales opportunity): above-average-balance
+    customers with no URGENT orders (every customer has some order in this
+    corpus, so the classic no-orders form would be an empty — and therefore
+    evidence-free — result), rolled up per nation. The scalar avg is a
+    one-row broadcast (cross join), the no-orders test a left-anti join on
+    custkey — never a correlated per-row subquery. round(avg,2) pins the
+    threshold so both engines agree at the boundary."""
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    ab = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.round(F.avg("c_acctbal"), 2).alias("ab")
+    )
+    return (
+        c.crossJoin(F.broadcast(ab))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )

@@ -156,3 +156,42 @@ def test_clf_v3_staged_is_grouped_map(spark):
     p = _plan(classify_model(with_layout(nodes), art))
     assert "FlatMapGroupsInPandas" in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_pii_redact_and_url_canon_are_pure_maps(spark, sf_dir):
+    """The scrub/normalize passes must fuse into the scan: zero exchanges,
+    zero Python stages — they ride along any extraction scan for free."""
+    import re
+
+    import sparkdu.staging  # noqa: F401
+    from sparkdu.harness import QUERIES
+
+    for key in ("text_pii_redact", "fn_url_canon"):
+        plan = _plan(QUERIES[key](spark, sf_dir))
+        assert not re.findall(r"\(\d+\) Exchange", plan), key
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, key
+
+
+def test_lm_score_broadcasts_vocab(spark, sf_dir):
+    """Vocab + totals join onto the exploded token stream as broadcasts —
+    tokens themselves never shuffle for the join (only the per-doc agg)."""
+    import sparkdu.staging  # noqa: F401
+    from sparkdu.harness import QUERIES
+
+    plan = _plan(QUERIES["text_lm_score"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in plan or plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_image_decode_is_pure_python_map(spark):
+    """Pixel decode: one Python stage, no shuffle — payload bytes stream
+    through executors exactly once."""
+    import re
+
+    from sparkdu.harness import f
+    from sparkdu.multimodal import image_pixel_stats
+
+    plan = _plan(image_pixel_stats(f(spark, "images_px").select("img_id", "payload")))
+    assert not re.findall(r"\(\d+\) Exchange", plan)
+    assert plan.count("MapInPandas") + plan.count("ArrowEvalPython") >= 1
