@@ -1002,3 +1002,30 @@ def tpch_q22ish(spark, sf_dir):
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@q(
+    "sample_split_assign",
+    """SELECT doc_id, source,
+              CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                   ELSE 'test' END AS split
+       FROM (SELECT doc_id, source,
+                    CAST(('0x' || substr(md5(cast(doc_id AS VARCHAR) || ':' || source), 1, 8)) AS BIGINT) % 100 AS b
+             FROM documents) t""",
+)
+def sample_split_assign(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment by content-stable
+    hash — the split must survive re-runs, repartitions, and corpus growth
+    (row_number-based splits do not). Bucket = first 8 hex digits of
+    md5(doc_id:source) mod 100, computed identically in both engines.
+    Pure map, fuses into any scan; stratification across domains follows
+    from hash uniformity and is pytest-checked."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    b = (
+        F.conv(F.substring(F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), "source")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    return docs.select(
+        "doc_id", "source",
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split"),
+    )

@@ -176,3 +176,18 @@ def test_lm_score_orders_in_vs_out_of_distribution(spark):
     k = len(ranked_by_score) // 10
     assert set(ranked_by_score[:k]) == set(ranked_by_freq[:k])
     assert set(ranked_by_score[-k:]) == set(ranked_by_freq[-k:])
+
+
+def test_split_assign_stable_and_stratified(spark):
+    out = QUERIES["sample_split_assign"](spark, SF).collect()
+    n = len(out)
+    frac = {s: sum(1 for r in out if r["split"] == s) / n
+            for s in ("train", "val", "test")}
+    assert 0.6 < frac["train"] < 0.95 and frac["val"] > 0 and frac["test"] > 0
+    # content-stable: identical assignment on a re-run and independent of
+    # row order / partitioning
+    again = {
+        (r["doc_id"]): r["split"]
+        for r in QUERIES["sample_split_assign"](spark, SF).collect()
+    }
+    assert all(again[r["doc_id"]] == r["split"] for r in out)
