@@ -1029,3 +1029,24 @@ def sample_split_assign(spark, sf_dir):
         "doc_id", "source",
         F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split"),
     )
+
+
+@q("agg_hll_mergeable")  # rows-only: sketch estimates aren't SQL-exact
+def agg_hll_mergeable(spark, sf_dir):
+    """Mergeable-sketch cardinality (Apache DataSketches HLL, Spark 4
+    builtins) — THE 100 TB distinct-count pattern: each partition/group
+    builds a fixed-size sketch, sketches union register-wise, nothing
+    rescans. Returns per-source token-cardinality estimates plus an
+    '__all__' row whose union-of-sketches estimate is pytest-asserted to
+    EQUAL the single-pass global sketch (register-max is set-union exact)
+    and to sit within HLL error of the true distinct count."""
+    docs = t(spark, sf_dir, "documents").select("source", "text")
+    toks = docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    per = toks.groupBy("source").agg(F.hll_sketch_agg("tok").alias("sk"))
+    merged = per.agg(F.hll_union_agg("sk").alias("u")).select(
+        F.lit("__all__").alias("source"),
+        F.hll_sketch_estimate("u").cast("long").alias("est_distinct"),
+    )
+    return per.select(
+        "source", F.hll_sketch_estimate("sk").cast("long").alias("est_distinct")
+    ).unionByName(merged)

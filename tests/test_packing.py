@@ -191,3 +191,20 @@ def test_split_assign_stable_and_stratified(spark):
         for r in QUERIES["sample_split_assign"](spark, SF).collect()
     }
     assert all(again[r["doc_id"]] == r["split"] for r in out)
+
+
+def test_hll_sketches_merge_exactly_and_estimate_well(spark):
+    out = {r["source"]: r["est_distinct"]
+           for r in QUERIES["agg_hll_mergeable"](spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    toks = docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    true_all = toks.select("tok").distinct().count()
+    # union-of-group-sketches == one global sketch (register-max identity)
+    direct = toks.agg(F.hll_sketch_agg("tok").alias("sk")).select(
+        F.hll_sketch_estimate("sk").cast("long").alias("e")).first()["e"]
+    assert out["__all__"] == direct
+    assert abs(out["__all__"] - true_all) / true_all < 0.05
+    for src, cnt in [(r["source"], r["cnt"]) for r in
+                     toks.groupBy("source").agg(
+                         F.countDistinct("tok").alias("cnt")).collect()]:
+        assert abs(out[src] - cnt) / cnt < 0.08, (src, out[src], cnt)
