@@ -143,3 +143,47 @@ def sessionize_events(spark: SparkSession, src_dir: str, schema,
     return stream.groupBy("user_id").applyInPandasWithState(
         fn, out_t, state_t, "append", mode
     )
+
+
+def snapshot_sink(stream_df: DataFrame, out_dir: str, run_id: str,
+                  checkpoint_dir: str) -> int:
+    """Exactly-once streaming sink into the snapshot-committed table
+    (foreachBatch -> one wave commit per epoch).
+
+    Structured Streaming replays a micro-batch after failure with the SAME
+    epoch id; the sink is idempotent against that: an epoch already
+    committed under this run_id is skipped outright, and an epoch that
+    wrote data but crashed before its manifest commit is invisible to
+    snapshot readers (read_snapshot resolves only manifest-listed files)
+    and simply overwritten by the replay. Data first, manifest second —
+    the same order the batch lineage job uses. Returns the number of
+    epochs committed by this invocation; bounded drain via availableNow.
+    """
+    import os
+
+    from . import snapshots as S
+
+    committed = {
+        (m["run_id"], m["wave"]) for m in S.snapshot_history(out_dir)
+    }
+    n_new = [0]
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if (run_id, int(epoch_id)) in committed:
+            return  # replay of a committed epoch: exactly-once no-op
+        pdir = os.path.join(
+            out_dir, "extracted", f"partition_key={int(epoch_id)}"
+        )
+        batch_df.write.mode("overwrite").parquet(pdir)
+        S.commit_wave_snapshot(out_dir, run_id, int(epoch_id), [int(epoch_id)])
+        committed.add((run_id, int(epoch_id)))
+        n_new[0] += 1
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_new[0]

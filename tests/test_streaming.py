@@ -132,3 +132,71 @@ def test_streaming_dedup_within_watermark(spark, pages_df, tmp_path):
     n_urls = got.select("url").distinct().count()
     total_urls = pages_df.select("url").distinct().count()
     assert n_rows == n_urls == total_urls  # one row per url, none lost
+
+
+def test_snapshot_sink_exactly_once_and_time_travel(spark, tmp_path):
+    """foreachBatch -> snapshot commits: one snapshot per epoch, final
+    snapshot sees every input row, earlier snapshots are consistent
+    prefixes, and replaying a committed epoch is a no-op."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from sparkdu import snapshots as S
+    from sparkdu.harness import fx
+    from sparkdu.streaming import snapshot_sink
+    from sparkdu.tables import PAGES_SCHEMA
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pages = spark.read.schema(PAGES_SCHEMA).parquet(fx("pages")).limit(60)
+    # three source files -> three epochs under maxFilesPerTrigger=1
+    for i in range(3):
+        pages.filter(F.pmod(F.xxhash64("url"), F.lit(3)) == i).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"f{i}.parquet"))
+    out = str(tmp_path / "table")
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+        .select("url", "warc_ts", "html")
+    )
+    n = snapshot_sink(stream, out, run_id="s1", checkpoint_dir=str(tmp_path / "ck"))
+    hist = S.snapshot_history(out)
+    assert n == len(hist) >= 2
+    total = pages.count()
+    final = S.read_snapshot(spark, out)
+    assert final.count() == total
+    assert {r["url"] for r in final.select("url").collect()} == {
+        r["url"] for r in pages.select("url").collect()
+    }
+    # time travel: snapshot row counts are strictly increasing prefixes
+    counts = [
+        S.read_snapshot(spark, out, snapshot_id=m["snapshot_id"]).count()
+        for m in hist
+    ]
+    assert counts == sorted(counts) and counts[-1] == total
+    # exactly-once: a second drain over the same (already-consumed)
+    # checkpoint commits nothing new
+    stream2 = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+        .select("url", "warc_ts", "html")
+    )
+    n2 = snapshot_sink(stream2, out, run_id="s1",
+                       checkpoint_dir=str(tmp_path / "ck"))
+    assert n2 == 0 and len(S.snapshot_history(out)) == len(hist)
+    # fresh checkpoint (full replay) under the same run_id: every epoch is
+    # recognized as committed -> still a no-op
+    shutil.rmtree(str(tmp_path / "ck"))
+    stream3 = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+        .select("url", "warc_ts", "html")
+    )
+    n3 = snapshot_sink(stream3, out, run_id="s1",
+                       checkpoint_dir=str(tmp_path / "ck2"))
+    assert n3 == 0 and len(S.snapshot_history(out)) == len(hist)
