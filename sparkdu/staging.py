@@ -1050,3 +1050,48 @@ def agg_hll_mergeable(spark, sf_dir):
     return per.select(
         "source", F.hll_sketch_estimate("sk").cast("long").alias("est_distinct")
     ).unionByName(merged)
+
+
+@q("stream_snapshot_sink_once")  # rows-only: commit protocol is engine-side
+def stream_snapshot_sink_once(spark, sf_dir):
+    """Streaming-to-snapshot-table sink, driver-executed: a bounded
+    availableNow drain of the pages fixture through foreachBatch wave
+    commits, then every committed snapshot read back via time travel.
+    Returns (snapshot_id, n_rows) — strictly increasing prefixes ending at
+    the full input. Exactly-once replay semantics are pytest-gated
+    (tests/test_streaming.py::test_snapshot_sink_exactly_once_...)."""
+    import shutil
+    import tempfile
+
+    from . import snapshots as S
+    from .streaming import snapshot_sink
+    from .tables import PAGES_SCHEMA
+
+    d = tempfile.mkdtemp(prefix="sparkdu_snapsink_")
+    src = os.path.join(d, "src")
+    os.makedirs(src)
+    pages = (
+        spark.read.schema(PAGES_SCHEMA).parquet(fx("pages"))
+        .filter(F.pmod(F.xxhash64("url"), F.lit(5)) == 0)
+    )
+    pages.write.mode("overwrite").parquet(os.path.join(src, "p.parquet"))
+    out = os.path.join(d, "table")
+    try:
+        stream = (
+            spark.readStream.schema(PAGES_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*")
+            .select("url", "warc_ts", "html")
+        )
+        snapshot_sink(stream, out, run_id="harness",
+                      checkpoint_dir=os.path.join(d, "ck"))
+        rows = [
+            (m["snapshot_id"],
+             S.read_snapshot(spark, out, snapshot_id=m["snapshot_id"]).count())
+            for m in S.snapshot_history(out)
+        ]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, "snapshot_id int, n_rows long").orderBy(
+        "snapshot_id"
+    )
