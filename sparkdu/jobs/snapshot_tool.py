@@ -20,6 +20,9 @@ def main(argv=None) -> None:
                     help="expire all but the newest N snapshots")
     ap.add_argument("--read", type=int, default=None,
                     help="read this snapshot id and print its row count")
+    ap.add_argument("--compact", type=int, default=None, metavar="MIN_FILES",
+                    help="rewrite partitions with >= MIN_FILES files as one "
+                         "file each and commit a replace snapshot")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -41,6 +44,20 @@ def main(argv=None) -> None:
         spark = get_spark(app="snapshot-read", master=args.master)
         df = S.read_snapshot(spark, args.dir, snapshot_id=args.read)
         print(f"snapshot {args.read}: rows={df.count()}")
+        spark.stop()
+
+    # compact BEFORE expiry so `--compact N --expire-keep M` in one command
+    # can immediately GC the files the compaction superseded
+    if args.compact is not None:
+        from sparkdu.session import get_spark
+
+        spark = get_spark(app="snapshot-compact", master=args.master)
+        res = S.compact_partitions(spark, args.dir, min_files=args.compact)
+        print(
+            f"compacted partitions={res['partitions']} "
+            f"files {res['files_before']} -> {res['files_after']} "
+            f"snapshot={res['snapshot_id']}"
+        )
         spark.stop()
 
     if args.expire_keep is not None:

@@ -193,3 +193,77 @@ def read_snapshot(spark: SparkSession, out_dir: str,
     if schema is not None:
         reader = reader.schema(schema)
     return reader.parquet(*files)
+
+
+def commit_replace_snapshot(out_dir: str, run_id: str,
+                            replaced: dict[str, list[str]]) -> int:
+    """Commit a snapshot that REPLACES the file lists of some partitions
+    with explicitly named files (compaction/rewrite path — the glob-based
+    commit_wave_snapshot would see old and new files side by side).
+    `replaced` maps partition_key -> out_dir-relative file paths. Old files
+    stay on disk, still referenced by PARENT manifests (time travel keeps
+    working); expire_snapshots GCs them once those manifests expire."""
+    parent = load_manifest(out_dir)
+    if parent is None:
+        raise ValueError(f"no committed snapshot under {out_dir}")
+    parts = dict(parent["partition_keys"])
+    parts.update({str(k): list(v) for k, v in replaced.items()})
+    sid = parent["snapshot_id"] + 1
+    manifest = {
+        "snapshot_id": sid,
+        "parent_id": parent["snapshot_id"],
+        "run_id": run_id,
+        "wave": -1,
+        "operation": "compact",
+        "created_ts": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+        "partition_keys": parts,
+    }
+    _atomic_write(_snap_path(out_dir, sid), json.dumps(manifest, indent=1))
+    _atomic_write(os.path.join(_snap_dir(out_dir), "_current"), str(sid))
+    return sid
+
+
+def compact_partitions(spark: SparkSession, out_dir: str,
+                       min_files: int = 2) -> dict:
+    """Small-files compaction (Iceberg rewrite_data_files analogue): every
+    current-snapshot partition holding >= min_files files is rewritten as
+    one file and committed as a replace snapshot. Crash-safe by ordering:
+    new files land in the partition dir first (invisible — readers resolve
+    only manifest-listed files), the manifest flips second, old files are
+    left for expire_snapshots. Returns {"partitions": n, "files_before":
+    b, "files_after": a, "snapshot_id": sid or None}."""
+    import glob as _glob
+    import shutil
+
+    m = load_manifest(out_dir)
+    if m is None:
+        raise ValueError(f"no committed snapshot under {out_dir}")
+    targets = {
+        k: fl for k, fl in m["partition_keys"].items() if len(fl) >= min_files
+    }
+    if not targets:
+        return {"partitions": 0, "files_before": 0, "files_after": 0,
+                "snapshot_id": None}
+    replaced: dict[str, list[str]] = {}
+    n_before = 0
+    for k, fl in sorted(targets.items()):
+        n_before += len(fl)
+        pdir = os.path.join(out_dir, "extracted", f"partition_key={k}")
+        tmp = os.path.join(pdir, "_compact_tmp")
+        df = spark.read.parquet(*[os.path.join(out_dir, f) for f in fl])
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        news = []
+        for i, p in enumerate(sorted(_glob.glob(os.path.join(tmp, "*.parquet")))):
+            dest = os.path.join(pdir, f"compact-{m['snapshot_id']}-{k}-{i}.parquet")
+            os.replace(p, dest)
+            news.append(os.path.relpath(dest, out_dir))
+        shutil.rmtree(tmp, ignore_errors=True)
+        replaced[k] = news
+    sid = commit_replace_snapshot(out_dir, run_id=f"compact-{m['snapshot_id']}",
+                                  replaced=replaced)
+    return {
+        "partitions": len(replaced),
+        "files_before": n_before,
+        "files_after": sum(len(v) for v in replaced.values()),
+        "snapshot_id": sid,
+    }

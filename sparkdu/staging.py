@@ -1095,3 +1095,39 @@ def stream_snapshot_sink_once(spark, sf_dir):
     return spark.createDataFrame(rows, "snapshot_id int, n_rows long").orderBy(
         "snapshot_id"
     )
+
+
+@q(
+    "agg_salted_skew",
+    """SELECT event_type, cast(count(*) AS BIGINT) AS n,
+              round(sum(value), 4) AS total_value
+       FROM events GROUP BY event_type""",
+)
+def agg_salted_skew(spark, sf_dir):
+    """Two-phase salted aggregation — the explicit skew pattern for when a
+    handful of hot keys (here: a low-cardinality event_type) would pin
+    single reducers at 100 TB: phase 1 aggregates on (key, salt) spreading
+    each hot key over 16 reducers, phase 2 re-aggregates the 16 partials
+    per key. Semantically identical to the plain groupBy (the oracle IS
+    the plain form); sum() runs over per-salt partials in salt order via a
+    sorted-struct reduce so the float result is deterministic and
+    engine-agreeable at round 4. AQE's runtime skew handling covers joins;
+    this is the aggregation-side analogue under explicit control."""
+    ev = t(spark, sf_dir, "events").select("event_type", "value")
+    salted = ev.withColumn("_salt", F.pmod(F.xxhash64("value"), F.lit(16)))
+    partial = salted.groupBy("event_type", "_salt").agg(
+        F.count("*").alias("pn"), F.sum("value").alias("pv")
+    )
+    # deterministic final combine: fold partials in salt order
+    return (
+        partial.groupBy("event_type")
+        .agg(
+            F.sum("pn").alias("n"),
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("_salt", "pv"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["pv"],
+            ).alias("tv"),
+        )
+        .select("event_type", "n", F.round("tv", 4).alias("total_value"))
+    )

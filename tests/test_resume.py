@@ -218,3 +218,53 @@ def test_expire_snapshots_gc_unit(tmp_path):
     assert os.path.exists(os.path.join(part, "b.parquet"))
     assert os.path.exists(os.path.join(part, "shared.parquet"))
     assert [m["snapshot_id"] for m in S.snapshot_history(d)] == [2]
+
+
+def test_compaction_rewrites_small_files_preserving_history(spark, tmp_path):
+    """rewrite_data_files analogue: a multi-file partition compacts to one
+    file under a replace snapshot; rows identical, time travel to the
+    pre-compaction snapshot still resolves the OLD files, and
+    expire_snapshots afterwards GCs them."""
+    import glob as g
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sparkdu import snapshots as S
+    from sparkdu.harness import fx
+    from sparkdu.tables import PAGES_SCHEMA
+
+    out = str(tmp_path / "table")
+    pages = (
+        spark.read.schema(PAGES_SCHEMA).parquet(fx("pages")).limit(40)
+        .select("url", "warc_ts", "html")
+    )
+    pdir = os.path.join(out, "extracted", "partition_key=0")
+    pages.repartition(4).write.mode("overwrite").parquet(pdir)
+    S.commit_wave_snapshot(out, "w", 0, [0])
+    before = S.load_manifest(out)
+    assert len(before["partition_keys"]["0"]) == 4
+
+    stats = S.compact_partitions(spark, out, min_files=2)
+    assert stats["partitions"] == 1 and stats["files_before"] == 4
+    assert stats["files_after"] == 1
+    after = S.load_manifest(out)
+    assert after["operation"] == "compact"
+    assert len(after["partition_keys"]["0"]) == 1
+    # identical rows through the current snapshot
+    cur = S.read_snapshot(spark, out)
+    assert cur.count() == pages.count()
+    assert {r["url"] for r in cur.select("url").collect()} == {
+        r["url"] for r in pages.select("url").collect()
+    }
+    # time travel: the pre-compaction snapshot still reads its 4 old files
+    old = S.read_snapshot(spark, out, snapshot_id=before["snapshot_id"])
+    assert old.count() == pages.count()
+    # idempotence: a second compaction finds nothing to do
+    assert S.compact_partitions(spark, out, min_files=2)["partitions"] == 0
+    # expiry GCs the now-unreferenced originals but keeps the compacted file
+    n_files_before_gc = len(g.glob(os.path.join(pdir, "*.parquet")))
+    res = S.expire_snapshots(out, keep_last=1)
+    assert res["expired"] == 1 and res["deleted_files"] == 4
+    assert len(g.glob(os.path.join(pdir, "*.parquet"))) == n_files_before_gc - 4
+    assert S.read_snapshot(spark, out).count() == pages.count()
