@@ -562,3 +562,134 @@ def rolling_fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = 
             yield s.map(lambda x: rolling_fp_np(x) if x is not None else None)
 
     return df.select(id_col, fp_udf(F.col(text_col)).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------
+# Product quantization: m sub-codebooks + asymmetric-distance search
+# ---------------------------------------------------------------------
+
+def pq_fit(emb: DataFrame, dim: int, m: int = 4, ksub: int = 16,
+           iters: int = 3) -> list:
+    """Fit a product quantizer: split vectors into m contiguous subspaces
+    and run the SAME deterministic Lloyd's iterations as ivf_fit on each
+    slice. Codebooks live driver-side (frozen-artifact two-phase rule —
+    at 10^12 scale fit on a sample, freeze, assign in one pass). Returns
+    m codebooks of ksub centroids, each dim/m wide. Storage: dim floats
+    (256 B at dim=64) -> m uint8 codes (4 B) — 64x."""
+    assert dim % m == 0, f"dim {dim} not divisible by m {m}"
+    dsub = dim // m
+    return [
+        ivf_fit(
+            emb.select(
+                "vec_id", F.slice("embedding", j * dsub + 1, dsub).alias("embedding")
+            ),
+            dsub, k=ksub, iters=iters,
+        )
+        for j in range(m)
+    ]
+
+
+def pq_encode(emb: DataFrame, books: list) -> DataFrame:
+    """Assign each subspace its nearest sub-centroid id (argmin L2, pure
+    JVM — the same half-norm trick as with_ivf_cell, per slice). Adds
+    `codes`: array<int> of length m."""
+    m = len(books)
+    dsub = len(books[0][0])
+    code_exprs = []
+    for j, cents in enumerate(books):
+        sl = f"slice(embedding, {j * dsub + 1}, {dsub})"
+        scores = []
+        for c in cents:
+            half = sum(v * v for v in c) / 2.0
+            scores.append(_dot(sl, c) - F.lit(half))
+        arr = F.array(*scores)
+        code_exprs.append((F.array_position(arr, F.array_max(arr)) - 1).cast("int"))
+    return emb.withColumn("codes", F.array(*code_exprs))
+
+
+def _book_lit(cents: list):
+    """Codebook as a nested array literal column."""
+    inner = ", ".join(
+        "array(" + ", ".join(f"{x!r}D" for x in c) + ")" for c in cents
+    )
+    return F.expr(f"array({inner})")
+
+
+def pq_decode(coded: DataFrame, books: list) -> DataFrame:
+    """Reconstruct the PQ approximation: concat the coded sub-centroids."""
+    parts = [
+        F.element_at(_book_lit(cents), F.col("codes").getItem(j) + 1)
+        for j, cents in enumerate(books)
+    ]
+    return coded.withColumn("embedding_pq", F.concat(*parts))
+
+
+def ann_pq_topk(emb: DataFrame, books: list, n_queries: int = 3,
+                k: int = 10, rerank: int = 0) -> DataFrame:
+    """Asymmetric-distance PQ search: fp32 queries against coded database
+    rows; distance = sum_j ||q_j - codebook_j[code_j]||^2 — computed
+    entirely in JVM HOFs against the broadcast query side, no Python, no
+    fp32 database reads on the scan. The standard 10^12-scale retrieval
+    shape: codes are 64x smaller than vectors, so the full-corpus pass
+    touches only codes; with rerank > 0 the top-`rerank` ADC shortlist
+    per query (a tiny set) is re-scored on exact fp32 distances via a
+    broadcast join back to the vector table, and the exact top-k is
+    returned. rerank=0 returns the raw ADC ranking (adc_dist column);
+    rerank>0 returns exact distances (dist column)."""
+    m = len(books)
+    dsub = len(books[0][0])
+    coded = pq_encode(emb, books).select("vec_id", "codes")
+    qv = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    cand = F.broadcast(qv).join(coded, F.col("vec_id") != F.col("q_id"))
+    dist = None
+    for j, cents in enumerate(books):
+        cent = F.element_at(_book_lit(cents), F.col("codes").getItem(j) + 1)
+        qslice = F.slice("q_emb", j * dsub + 1, dsub)
+        d = F.aggregate(
+            F.zip_with(
+                qslice, cent,
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        dist = d if dist is None else dist + d
+    scored = cand.select("q_id", "q_emb", "vec_id",
+                         F.round(dist, 6).alias("adc_dist"))
+    w = Window.partitionBy("q_id").orderBy(F.col("adc_dist").asc(), "vec_id")
+    if not rerank:
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(f"rk <= {k}")
+            .select("q_id", "vec_id", "adc_dist")
+        )
+    shortlist = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(f"rk <= {rerank}")
+        .select("q_id", "q_emb", "vec_id")
+    )
+    # exact re-score: the shortlist is n_queries*rerank rows — broadcast it
+    # into the vector table so the fp32 reads are a semi-join-sized scan
+    exact = F.broadcast(shortlist).join(emb, "vec_id").select(
+        "q_id", "vec_id",
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("q_emb"), F.col("embedding"),
+                    lambda a, b: (a.cast("double") - b.cast("double"))
+                    * (a.cast("double") - b.cast("double")),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("dist"),
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), "vec_id")
+    return (
+        exact.withColumn("rk", F.row_number().over(w2))
+        .filter(f"rk <= {k}")
+        .select("q_id", "vec_id", "dist")
+    )

@@ -1097,6 +1097,24 @@ def stream_snapshot_sink_once(spark, sf_dir):
     )
 
 
+@q("sim_ann_pq")  # rows-only: codebooks come from iterative k-means fits
+def sim_ann_pq(spark, sf_dir):
+    """Product-quantization ANN with asymmetric-distance search + exact
+    rerank (dedup.pq_fit/pq_encode/ann_pq_topk): m=4 sub-codebooks of 16
+    centroids compress 64-dim fp32 vectors 64x (256 B -> 4 B codes); the
+    full-corpus pass scores ADC distances against broadcast fp32 queries
+    in pure JVM HOFs, then the top-100 shortlist per query is re-scored on
+    exact fp32 L2 via a broadcast join and the exact top-10 returned —
+    the standard 10^12-scale retrieval shape (coarse codes scan + tiny
+    exact rerank). Reconstruction-MSE, codebook-usage, recall and
+    exact-distance invariants are pytest-gated (tests/test_dedup.py)."""
+    from .dedup import ann_pq_topk, pq_fit
+
+    e = t(spark, sf_dir, "embeddings")
+    books = pq_fit(e, dim=64, m=4, ksub=16, iters=3)
+    return ann_pq_topk(e, books, n_queries=3, k=10, rerank=100)
+
+
 @q(
     "agg_salted_skew",
     """SELECT event_type, cast(count(*) AS BIGINT) AS n,

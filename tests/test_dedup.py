@@ -389,3 +389,76 @@ def test_curate_prefix_routing_no_escape(spark):
     assert short_urls == {"http://prefix0/", "http://prefix1/"}
     # and the case variants collapse to one survivor
     assert len(curated) == 1
+
+
+def test_pq_reconstruction_beats_variance(spark):
+    """PQ must capture structure: reconstruction MSE well under the data
+    variance (MSE == variance is what a codebook of one mean achieves)."""
+    import numpy as np
+
+    from sparkdu.dedup import pq_decode, pq_encode, pq_fit
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = pq_fit(emb, dim=64, m=4, ksub=16, iters=3)
+    assert len(books) == 4 and all(len(b) == 16 for b in books)
+    assert all(len(c) == 16 for b in books for c in b)
+    rec = pq_decode(pq_encode(emb, books), books).select("embedding", "embedding_pq")
+    X, R = [], []
+    for r in rec.collect():
+        X.append([float(x) for x in r["embedding"]])
+        R.append([float(x) for x in r["embedding_pq"]])
+    X, R = np.array(X), np.array(R)
+    mse = float(((X - R) ** 2).mean())
+    var = float(X.var())
+    # these embeddings are mostly high-entropy (PQ compresses structure,
+    # not noise): require a real margin under the one-mean-codebook bound
+    # (MSE == var), observed ~0.73*var on this corpus
+    assert mse < 0.85 * var, (mse, var)
+    # and the codebooks must actually be used (no collapsed clusters)
+    from collections import Counter
+
+    codes = pq_encode(emb, books).select("codes").collect()
+    for j in range(4):
+        usage = Counter(r["codes"][j] for r in codes)
+        assert len(usage) >= 12 and max(usage.values()) < 0.5 * len(codes), (
+            j, usage
+        )
+
+
+def test_pq_adc_search_quality(spark):
+    """ADC shortlist + exact fp32 rerank vs brute-force L2: the reranked
+    top-10 must have high recall, and even the raw ADC set (no rerank)
+    must return near-neighbors on average (distance-ratio bound — raw
+    ADC recall on these high-entropy embeddings is inherently modest)."""
+    import numpy as np
+
+    from sparkdu.dedup import ann_pq_topk, pq_fit
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = pq_fit(emb, dim=64, m=4, ksub=16, iters=3)
+    raw = ann_pq_topk(emb, books, n_queries=3, k=10).collect()
+    rer = ann_pq_topk(emb, books, n_queries=3, k=10, rerank=100).collect()
+    by_raw, by_rer = {}, {}
+    for r in raw:
+        by_raw.setdefault(r["q_id"], []).append(r["vec_id"])
+    for r in rer:
+        by_rer.setdefault(r["q_id"], []).append(r["vec_id"])
+    for d in (by_raw, by_rer):
+        assert set(d) == {0, 1, 2} and all(len(v) == 10 for v in d.values())
+
+    X = {r["vec_id"]: np.array([float(x) for x in r["embedding"]])
+         for r in emb.collect()}
+    raw_ratios, rer_recalls = [], []
+    for q in (0, 1, 2):
+        d = {v: float(((X[q] - x) ** 2).sum()) for v, x in X.items() if v != q}
+        exact = sorted(d, key=lambda v: (d[v], v))[:10]
+        raw_ratios.append(
+            np.mean([d[v] for v in by_raw[q]]) / np.mean([d[v] for v in exact])
+        )
+        rer_recalls.append(len(set(exact) & set(by_rer[q])) / 10)
+    assert sum(raw_ratios) / 3 < 1.5, raw_ratios
+    assert sum(rer_recalls) / 3 >= 0.7, rer_recalls
+    # reranked distances must be the true L2 distances (exact re-score)
+    for r in rer:
+        true = float(((X[r["q_id"]] - X[r["vec_id"]]) ** 2).sum())
+        assert abs(r["dist"] - true) < 1e-4, (r, true)
