@@ -490,3 +490,284 @@ def synth_gif_pixels_bytes(img_id: int) -> tuple:
     px_mean = round(float(rgb.mean()), 6)
     px_sha = hashlib.sha256(rgb.tobytes()).hexdigest()[:16]
     return payload, w, h, 3, px_mean, px_sha
+
+
+# ---------------------------------------------------------------------
+# JPEG (baseline sequential DCT) encoder + spec-pinned reconstruction
+# ---------------------------------------------------------------------
+#
+# JPEG is lossy, so unlike PNG/GIF the generator truth cannot be the input
+# pixels: it must be the RECONSTRUCTION a conforming decoder produces from
+# the quantized coefficients actually written into the file. The
+# entropy-decode -> dequant -> dezigzag path is integer-exact; the only
+# float steps (IDCT, YCbCr->RGB) follow the pinned recipe below, which is
+# DELIBERATELY duplicated verbatim in sparkdu.multimodal (same float64
+# matmul shape + floor(x+0.5) rounding) so generator truth and decoder
+# output are bit-identical. Huffman tables are GENERATED canonical codes
+# (fixed-length, all-ones code unused) rather than the Annex-K defaults —
+# a decoder must honestly parse DHT to read these files.
+
+_JPEG_ZIGZAG = []
+for _s in range(15):
+    _rs = list(range(max(0, _s - 7), min(_s, 7) + 1))
+    if _s % 2 == 0:
+        _rs = _rs[::-1]
+    _JPEG_ZIGZAG.extend((_r, _s - _r) for _r in _rs)
+del _s, _rs
+
+# canonical fixed-length Huffman specs: (bits[1..16] counts, symbol values)
+_JPEG_DC_SYMS = list(range(12))            # DC size categories 0..11
+_JPEG_AC_SYMS = [0x00, 0xF0] + [           # EOB, ZRL, then (run,size)
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+_JPEG_DC_BITS = [0, 0, 0, 12] + [0] * 12   # 12 symbols, all 4 bits
+_JPEG_AC_BITS = [0] * 7 + [162] + [0] * 8  # 162 symbols, all 8 bits
+
+
+def _jpeg_canonical_codes(bits, vals):
+    """(length, code) per symbol in canonical order — shared by encoder
+    (symbol -> code) and any table-driven decoder."""
+    out = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (ln, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_idct_mat():
+    import numpy as np
+
+    A = np.zeros((8, 8), dtype=np.float64)
+    for u in range(8):
+        cu = (1.0 / np.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            A[u, x] = 0.5 * cu * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    return A
+
+
+def _jpeg_recon_plane(qblocks, qtab, bw, bh):
+    """Pinned reconstruction: dequant -> IDCT (A.T @ C @ A) -> +128 ->
+    floor(x+0.5) -> clip, per 8x8 block; returns (bh*8, bw*8) uint8."""
+    import numpy as np
+
+    A = _jpeg_idct_mat()
+    plane = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
+    for by in range(bh):
+        for bx in range(bw):
+            C = qblocks[by * bw + bx].astype(np.float64) * qtab
+            s = A.T @ C @ A + 128.0
+            plane[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = np.clip(
+                np.floor(s + 0.5), 0, 255
+            ).astype(np.uint8)
+    return plane
+
+
+def _jpeg_ycc_to_rgb(y, cb, cr):
+    """Pinned JFIF color recovery: float64, floor(x+0.5), clip."""
+    import numpy as np
+
+    yf = y.astype(np.float64)
+    cbf = cb.astype(np.float64) - 128.0
+    crf = cr.astype(np.float64) - 128.0
+    r = yf + 1.402 * crf
+    g = yf - 0.344136 * cbf - 0.714136 * crf
+    b = yf + 1.772 * cbf
+    out = np.stack([r, g, b], axis=-1)
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+
+
+class _JpegBitWriter:
+    """MSB-first bit accumulator with 0xFF byte stuffing."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value, nbits):
+        for k in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> k) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.nbits = 0
+
+    def pad_align(self):
+        if self.nbits:
+            self.put((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+
+
+def _jpeg_encode_block(qc_zz, pred_dc, wtr, dc_codes, ac_codes):
+    """Huffman-encode one zigzagged quantized block; returns new DC pred."""
+    diff = int(qc_zz[0]) - pred_dc
+    mag = diff if diff >= 0 else -diff
+    size = mag.bit_length()
+    ln, code = dc_codes[size]
+    wtr.put(code, ln)
+    if size:
+        wtr.put(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    run = 0
+    for k in range(1, 64):
+        v = int(qc_zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            ln, code = ac_codes[0xF0]
+            wtr.put(code, ln)
+            run -= 16
+        mag = v if v >= 0 else -v
+        size = mag.bit_length()
+        ln, code = ac_codes[(run << 4) | size]
+        wtr.put(code, ln)
+        wtr.put(v if v >= 0 else v + (1 << size) - 1, size)
+        run = 0
+    if run:
+        ln, code = ac_codes[0x00]
+        wtr.put(code, ln)
+    return int(qc_zz[0])
+
+
+def synth_jpeg_bytes(img_id: int) -> tuple:
+    """Deterministic FULLY-DECODABLE baseline JPEG payload with
+    generator-truth reconstruction stats.
+
+    Writes a complete interchange-format stream: APP0/JFIF, formula-based
+    8-bit quant tables (DQT), SOF0 with 1 (grayscale) or 3 (YCbCr 4:4:4)
+    components, GENERATED canonical Huffman tables (DHT — not the Annex-K
+    defaults, so DHT parsing is genuinely exercised), and an entropy-coded
+    scan with byte stuffing; every 5th-mod-2 image adds a DRI restart
+    interval with RSTn markers and DC-predictor resets. Dimensions are NOT
+    multiples of 8 in general (edge blocks are replicate-padded; decoders
+    must crop).
+
+    Returns (payload, width, height, channels, px_mean, px_sha) where the
+    stats are over the pinned-recipe RECONSTRUCTION (see module comment);
+    every 13th payload is truncated inside the scan with null truth.
+    """
+    import hashlib
+    import struct
+
+    import numpy as np
+
+    rng = random.Random(SEED_BASE + 777_000_000 + img_id)
+    w = rng.randint(5, 48)
+    h = rng.randint(5, 40)
+    ncomp = 1 if img_id % 3 == 0 else 3
+    qf = (2, 3, 5)[img_id % 3]  # quant aggressiveness
+    restart = 2 if img_id % 5 == 2 else 0  # MCUs per restart interval
+    nprng = np.random.RandomState((SEED_BASE + img_id) % (2**31) + 31)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (xx * 5 + yy * 7) % 256
+    if ncomp == 3:
+        rgb = np.empty((h, w, 3), dtype=np.uint8)
+        for c in range(3):
+            rgb[:, :, c] = ((base + c * 41 + nprng.randint(0, 24, (h, w))) % 256)
+        rf, gf, bf = (rgb[:, :, i].astype(np.float64) for i in range(3))
+        planes = [
+            0.299 * rf + 0.587 * gf + 0.114 * bf,
+            128.0 - 0.168736 * rf - 0.331264 * gf + 0.5 * bf,
+            128.0 + 0.5 * rf - 0.418688 * gf - 0.081312 * bf,
+        ]
+        planes = [np.clip(np.floor(p + 0.5), 0, 255) for p in planes]
+    else:
+        planes = [((base + nprng.randint(0, 24, (h, w))) % 256).astype(np.float64)]
+
+    # two quant tables: 0 for luma, 1 for chroma (formula-based, 8-bit)
+    uu, vv = np.mgrid[0:8, 0:8]
+    qtabs = [
+        np.clip(1 + (1 + uu + vv) * qf, 1, 255).astype(np.int32),
+        np.clip(2 + (1 + uu + vv) * (qf + 1), 1, 255).astype(np.int32),
+    ]
+    A = _jpeg_idct_mat()  # forward DCT is A @ X @ A.T with the same basis
+    bw_, bh_ = (w + 7) // 8, (h + 7) // 8
+    comp_q = [0] if ncomp == 1 else [0, 1, 1]
+    comp_blocks = []  # per component: list of zigzagged quantized blocks
+    zz_r = [p[0] for p in _JPEG_ZIGZAG]
+    zz_c = [p[1] for p in _JPEG_ZIGZAG]
+    for ci, plane in enumerate(planes):
+        # replicate-pad to full blocks
+        pad = np.empty((bh_ * 8, bw_ * 8), dtype=np.float64)
+        pad[:h, :w] = plane
+        pad[h:, :w] = plane[-1:, :]
+        pad[:, w:] = pad[:, w - 1:w]
+        blocks = []
+        q = qtabs[comp_q[ci]].astype(np.float64)
+        for by in range(bh_):
+            for bx in range(bw_):
+                X = pad[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] - 128.0
+                C = A @ X @ A.T
+                qc = np.floor(C / q + 0.5).astype(np.int32)  # round-half-up
+                blocks.append(qc)
+        comp_blocks.append(blocks)
+
+    dc_codes = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_SYMS)
+    ac_codes = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_SYMS)
+    wtr = _JpegBitWriter()
+    preds = [0] * ncomp
+    n_mcu = bw_ * bh_
+    rst = 0
+    for m in range(n_mcu):
+        if restart and m and m % restart == 0:
+            wtr.pad_align()
+            wtr.out += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            preds = [0] * ncomp
+        for ci in range(ncomp):
+            zz = comp_blocks[ci][m][zz_r, zz_c]
+            preds[ci] = _jpeg_encode_block(zz, preds[ci], wtr, dc_codes, ac_codes)
+    wtr.pad_align()
+    scan = bytes(wtr.out)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for ti in range(2 if ncomp == 3 else 1):
+        zzq = qtabs[ti][zz_r, zz_c].astype(np.uint8).tobytes()
+        out += seg(0xDB, bytes([ti]) + zzq)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, comp_q[ci]])  # 1x1 sampling
+    out += seg(0xC0, sof)
+    for tc, th, bits, vals in (
+        (0, 0, _JPEG_DC_BITS, _JPEG_DC_SYMS),
+        (1, 0, _JPEG_AC_BITS, _JPEG_AC_SYMS),
+    ):
+        out += seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+    if restart:
+        out += seg(0xDD, struct.pack(">H", restart))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00])  # DC table 0 / AC table 0
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    scan_start = len(out)
+    out += scan
+    out += b"\xff\xd9"  # EOI
+    payload = bytes(out)
+
+    if img_id % 13 == 0:  # truncated inside the entropy-coded scan
+        return payload[: scan_start + len(scan) // 3], None, None, None, None, None
+
+    recon = [
+        _jpeg_recon_plane(comp_blocks[ci], qtabs[comp_q[ci]].astype(np.float64),
+                          bw_, bh_)[:h, :w]
+        for ci in range(ncomp)
+    ]
+    if ncomp == 3:
+        px = _jpeg_ycc_to_rgb(recon[0], recon[1], recon[2])
+    else:
+        px = recon[0].reshape(h, w, 1)
+    px_mean = round(float(px.mean()), 6)
+    px_sha = hashlib.sha256(px.tobytes()).hexdigest()[:16]
+    return payload, w, h, ncomp, px_mean, px_sha

@@ -1,12 +1,15 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Real Spark-side machinery (schema, Arrow batching, partition behavior) with
-the codec layer STUBBED: image/audio decode libraries are not available in
-this environment, so `_decode_payload` raises NotImplementedError and the
-pipeline falls back to a deterministic fake feature vector derived from the
-payload bytes (sha256-seeded). Swapping in a real codec is a one-function
-change; everything around it (batch shape, schema, error accounting) is
-production-shaped and tested.
+REAL decode for every image/audio format the fixtures carry: PNG (zlib +
+all five unfilter paths), GIF (pure LZW), baseline JPEG (pure Huffman +
+IDCT) and WAV/PCM — no codec library needed, each truth-checked
+byte-for-byte against generator fixtures. The only remaining stub is the
+generic `_decode_payload` feature extractor (stands in for video/exotic
+codecs whose libraries are not available offline): it raises
+NotImplementedError and the pipeline falls back to a deterministic fake
+feature vector derived from the payload bytes (sha256-seeded), with the
+batch shape, schema, and error accounting production-shaped and tested.
 """
 
 from __future__ import annotations
@@ -587,13 +590,273 @@ def decode_gif(b: bytes):
         return None
 
 
+# ---------------------------------------------------------------------
+# JPEG baseline decode (pure Python/numpy — no codec library)
+# ---------------------------------------------------------------------
+#
+# The float steps (IDCT, YCbCr->RGB) follow the spec-pinned recipe that
+# sparkdu.fixtures uses to compute generator truth — DELIBERATELY
+# duplicated verbatim (same float64 matmul shape + floor(x+0.5) rounding)
+# because a lossy codec's only checkable truth is the reconstruction
+# itself; the entropy-decode -> dequant -> dezigzag path is integer-exact.
+
+_JPEG_ZZ = []
+for _s in range(15):
+    _rs = list(range(max(0, _s - 7), min(_s, 7) + 1))
+    if _s % 2 == 0:
+        _rs = _rs[::-1]
+    _JPEG_ZZ.extend((_r, _s - _r) for _r in _rs)
+del _s, _rs
+
+
+def _jpeg_idct_mat():
+    A = np.zeros((8, 8), dtype=np.float64)
+    for u in range(8):
+        cu = (1.0 / np.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            A[u, x] = 0.5 * cu * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    return A
+
+
+def _jpeg_ycc_to_rgb(y, cb, cr):
+    yf = y.astype(np.float64)
+    cbf = cb.astype(np.float64) - 128.0
+    crf = cr.astype(np.float64) - 128.0
+    r = yf + 1.402 * crf
+    g = yf - 0.344136 * cbf - 0.714136 * crf
+    b = yf + 1.772 * cbf
+    out = np.stack([r, g, b], axis=-1)
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00 unstuffing
+    and explicit restart-marker sync."""
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self):
+        if self.pos >= len(self.buf):
+            raise EOFError
+        byte = self.buf[self.pos]
+        if byte == 0xFF:
+            nxt = self.buf[self.pos + 1] if self.pos + 1 < len(self.buf) else None
+            if nxt == 0x00:
+                self.pos += 2  # stuffed data byte
+            else:
+                raise EOFError  # marker inside entropy data
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | byte
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if not self.nbits:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def sync_restart(self, idx: int) -> bool:
+        """Discard padding bits, consume the expected RSTn marker."""
+        self.nbits = 0
+        if self.pos + 2 > len(self.buf):
+            return False
+        if self.buf[self.pos] != 0xFF or self.buf[self.pos + 1] != 0xD0 + (idx % 8):
+            return False
+        self.pos += 2
+        return True
+
+
+def _jpeg_huff_decode(rd: _JpegBitReader, table: dict) -> int:
+    code, ln = 0, 0
+    while ln < 16:
+        code = (code << 1) | rd.bit()
+        ln += 1
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise EOFError("no huffman code matched in 16 bits")
+
+
+def _jpeg_extend(v: int, size: int) -> int:
+    """Amplitude decode: size-bit value -> signed coefficient."""
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(b: bytes):
+    """REAL (not stubbed) baseline JPEG decode — pure Python/numpy: marker
+    parse (DQT/SOF0/DHT/DRI/SOS), canonical Huffman entropy decode with
+    byte unstuffing and restart handling, dequant, dezigzag, pinned-recipe
+    IDCT and YCbCr->RGB. Supports the baseline web subset: 8-bit samples,
+    sequential DCT (SOF0), 1x1 sampling (no chroma subsampling), 1 or 3
+    components; progressive (SOF2), 16-bit quant tables, and subsampled
+    scans fail cleanly to None, as do truncated/corrupt streams.
+
+    The per-coefficient Huffman loop is Python — bounded by image size and
+    run inside an Arrow batch; for the metadata-only path use
+    parse_image_header, which never touches the scan."""
+    b = bytes(b)
+    if b[:2] != b"\xff\xd8":
+        return None
+    try:
+        qtabs: dict[int, np.ndarray] = {}
+        huff: dict[tuple, dict] = {}
+        frame = None
+        restart = 0
+        pos = 2
+        n = len(b)
+        while pos + 4 <= n:
+            if b[pos] != 0xFF:
+                return None
+            marker = b[pos + 1]
+            if marker == 0xFF:
+                pos += 1
+                continue
+            if marker == 0xD9:
+                return None  # EOI before any scan
+            seglen = int.from_bytes(b[pos + 2 : pos + 4], "big")
+            if seglen < 2 or pos + 2 + seglen > n:
+                return None
+            body = b[pos + 4 : pos + 2 + seglen]
+            pos += 2 + seglen
+            if marker == 0xDB:  # DQT: one or more tables
+                i = 0
+                while i < len(body):
+                    pq, tq = body[i] >> 4, body[i] & 0x0F
+                    if pq != 0:
+                        return None  # 16-bit tables unsupported
+                    if i + 65 > len(body):
+                        return None
+                    tab = np.zeros((8, 8), dtype=np.float64)
+                    for k, (r, c) in enumerate(_JPEG_ZZ):
+                        tab[r, c] = body[i + 1 + k]
+                    qtabs[tq] = tab
+                    i += 65
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # non-baseline frame types unsupported
+            elif marker == 0xC0:  # SOF0 baseline
+                prec, fh, fw, nc = body[0], int.from_bytes(body[1:3], "big"), \
+                    int.from_bytes(body[3:5], "big"), body[5]
+                if prec != 8 or nc not in (1, 3) or not fh or not fw:
+                    return None
+                comps = []
+                for ci in range(nc):
+                    cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                    if samp != 0x11:
+                        return None  # subsampling unsupported
+                    comps.append((cid, tq))
+                frame = (fw, fh, comps)
+            elif marker == 0xC4:  # DHT: one or more tables
+                i = 0
+                while i + 17 <= len(body):
+                    tc, th = body[i] >> 4, body[i] & 0x0F
+                    bits = body[i + 1 : i + 17]
+                    nv = sum(bits)
+                    vals = body[i + 17 : i + 17 + nv]
+                    if len(vals) != nv:
+                        return None
+                    table = {}
+                    code, k = 0, 0
+                    for ln in range(1, 17):
+                        for _ in range(bits[ln - 1]):
+                            table[(ln, code)] = vals[k]
+                            code += 1
+                            k += 1
+                        code <<= 1
+                    huff[(tc, th)] = table
+                    i += 17 + nv
+            elif marker == 0xDD:  # DRI
+                restart = int.from_bytes(body[0:2], "big")
+            elif marker == 0xDA:  # SOS: decode the scan
+                if frame is None:
+                    return None
+                fw, fh, comps = frame
+                ns = body[0]
+                if ns != len(comps):
+                    return None
+                sel = {}
+                for si in range(ns):
+                    cs, tabs = body[1 + 2 * si], body[2 + 2 * si]
+                    sel[cs] = (tabs >> 4, tabs & 0x0F)
+                rd = _JpegBitReader(b[pos:])
+                bw_, bh_ = (fw + 7) // 8, (fh + 7) // 8
+                A = _jpeg_idct_mat()
+                planes = [
+                    np.zeros((bh_ * 8, bw_ * 8), dtype=np.uint8)
+                    for _ in comps
+                ]
+                preds = [0] * len(comps)
+                rst_idx = 0
+                for m in range(bw_ * bh_):
+                    if restart and m and m % restart == 0:
+                        if not rd.sync_restart(rst_idx):
+                            return None
+                        rst_idx += 1
+                        preds = [0] * len(comps)
+                    by, bx = divmod(m, bw_)
+                    for ci, (cid, tq) in enumerate(comps):
+                        if cid not in sel or tq not in qtabs:
+                            return None
+                        dc_t = huff.get((0, sel[cid][0]))
+                        ac_t = huff.get((1, sel[cid][1]))
+                        if dc_t is None or ac_t is None:
+                            return None
+                        C = np.zeros((8, 8), dtype=np.float64)
+                        size = _jpeg_huff_decode(rd, dc_t)
+                        diff = _jpeg_extend(rd.bits(size), size) if size else 0
+                        preds[ci] += diff
+                        C[0, 0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            sym = _jpeg_huff_decode(rd, ac_t)
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            run, size = sym >> 4, sym & 0x0F
+                            k += run
+                            if k > 63 or size == 0:
+                                return None
+                            r, c = _JPEG_ZZ[k]
+                            C[r, c] = _jpeg_extend(rd.bits(size), size)
+                            k += 1
+                        # pinned reconstruction recipe (see module comment)
+                        s = A.T @ (C * qtabs[tq]) @ A + 128.0
+                        planes[ci][by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = \
+                            np.clip(np.floor(s + 0.5), 0, 255).astype(np.uint8)
+                crop = [p[:fh, :fw] for p in planes]
+                if len(comps) == 3:
+                    return _jpeg_ycc_to_rgb(crop[0], crop[1], crop[2])
+                return crop[0].reshape(fh, fw, 1)
+            elif marker == 0xD8:
+                return None  # nested SOI
+            # APPn/COM/other segments: skipped by the generic length walk
+        return None  # no scan found
+    except (EOFError, IndexError):
+        return None
+
+
 def decode_image(b: bytes):
-    """Dispatch pixel decode by container magic: PNG and GIF are fully
-    decodable offline (zlib / pure LZW); JPEG's entropy-coded DCT remains
-    the one honestly-stubbed format."""
+    """Dispatch pixel decode by container magic: PNG (zlib), GIF (pure
+    LZW) and baseline JPEG (pure Huffman+IDCT) are all fully decodable
+    offline — no codec stub remains on the image path."""
     b = bytes(b) if b is not None else b""
     if b[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(b)
     if b[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(b)
+    if b[:2] == b"\xff\xd8":
+        return decode_jpeg(b)
     return None

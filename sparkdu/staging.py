@@ -505,8 +505,9 @@ def mm_image_pixels(spark, sf_dir):
     bytes are compared against the generator-truth columns written
     alongside the payloads. Truncated payloads (every 13th, cut inside
     IDAT) must come back all-null. This de-stubs the image-pixel slice of
-    the multimodal scaffold for the PNG subset; the remaining stub is only
-    entropy-coded decode (JPEG DCT/GIF LZW, video)."""
+    the multimodal scaffold for the PNG subset; GIF (mm_gif_pixels) and
+    baseline JPEG (mm_jpeg_pixels) close the rest — only video remains
+    stubbed."""
     from .multimodal import image_pixel_stats
 
     imgs = f(spark, "images_px").select("img_id", "payload")
@@ -707,9 +708,9 @@ def mm_gif_pixels(spark, sf_dir):
     payload is decompressed (pure Python — variable code width, table
     growth/reset, KwKwK case), palette-resolved to RGB, deinterlaced where
     flagged, and fingerprinted byte-for-byte against generator truth.
-    Truncated payloads (every 13th) must come back all-null. With PNG
-    (mm_image_pixels) and WAV (mm_audio_features) this leaves JPEG's
-    entropy-coded DCT as the only stubbed decode."""
+    Truncated payloads (every 13th) must come back all-null. See also
+    mm_image_pixels (PNG), mm_jpeg_pixels (baseline JPEG) and
+    mm_audio_features (WAV)."""
     from .multimodal import image_pixel_stats
 
     imgs = f(spark, "images_gif").select("img_id", "payload")
@@ -765,6 +766,29 @@ def dedup_cc_components(spark, sf_dir):
     )
     return connected_components(verts, edges).select(
         F.col("id").alias("doc_id"), "component"
+    )
+
+
+@q(
+    "mm_jpeg_pixels",
+    f"""SELECT img_id, width, height, channels, px_mean, px_sha
+        FROM read_parquet('{fx("images_jpeg")}')""",
+)
+def mm_jpeg_pixels(spark, sf_dir):
+    """REAL baseline JPEG decode, truth-checked: the entropy-coded scan of
+    every payload is Huffman-decoded (canonical DHT tables, byte
+    unstuffing, restart-marker sync), dequantized, dezigzagged and pushed
+    through the pinned IDCT + YCbCr->RGB recipe, then fingerprinted
+    byte-for-byte against the generator-truth reconstruction. Truncated
+    payloads (every 13th, cut inside the scan) must come back all-null.
+    With PNG (mm_image_pixels), GIF (mm_gif_pixels) and WAV
+    (mm_audio_features) this closes the LAST stubbed image codec — no
+    decode stub remains on the image path."""
+    from .multimodal import image_pixel_stats
+
+    imgs = f(spark, "images_jpeg").select("img_id", "payload")
+    return image_pixel_stats(imgs).select(
+        "img_id", "width", "height", "channels", "px_mean", "px_sha"
     )
 
 

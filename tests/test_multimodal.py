@@ -282,3 +282,102 @@ def test_gif_decode_rejects_malformed():
     # dispatcher routes by magic
     assert decode_image(payload) is not None
     assert decode_image(b"\x00\x01") is None
+
+
+def test_jpeg_decode_truth_checked_fixture_sweep():
+    """Every fixture JPEG reconstructs byte-exactly under the pinned
+    recipe (gray + YCbCr 4:4:4, non-multiple-of-8 dims, restart markers,
+    byte stuffing all covered by the cycling generator); truncated
+    payloads fail to None."""
+    import hashlib
+
+    from sparkdu.fixtures import synth_jpeg_bytes
+    from sparkdu.multimodal import decode_jpeg
+
+    n_ok = n_rst = 0
+    for i in range(40):
+        payload, w, h, ch, mean, sha = synth_jpeg_bytes(i)
+        px = decode_jpeg(payload)
+        if w is None:
+            assert px is None
+            continue
+        assert px is not None and px.shape == (h, w, ch)
+        assert hashlib.sha256(px.tobytes()).hexdigest()[:16] == sha
+        assert round(float(px.mean()), 6) == mean
+        n_ok += 1
+        if i % 5 == 2:
+            n_rst += 1  # restart-interval payloads exercised
+    assert n_ok >= 35 and n_rst >= 6
+
+
+def test_jpeg_decode_rejects_malformed():
+    from sparkdu.fixtures import synth_jpeg_bytes
+    from sparkdu.multimodal import decode_image, decode_jpeg
+
+    payload = synth_jpeg_bytes(1)[0]
+    assert decode_jpeg(payload) is not None
+    assert decode_jpeg(payload[:2]) is None             # SOI only
+    assert decode_jpeg(payload[:40]) is None            # cut inside tables
+    assert decode_jpeg(payload[:-20]) is None           # cut inside scan
+    assert decode_jpeg(b"\x00\x01" + payload[2:]) is None
+    # progressive (SOF2) must fail cleanly, not mis-decode
+    i = payload.find(b"\xff\xc0")
+    prog = payload[:i] + b"\xff\xc2" + payload[i + 2:]
+    assert decode_jpeg(prog) is None
+    # 16-bit quant table precision flag rejected
+    j = payload.find(b"\xff\xdb")
+    corrupt = bytearray(payload)
+    corrupt[j + 4] |= 0x10
+    assert decode_jpeg(bytes(corrupt)) is None
+    # dispatcher routes by magic
+    assert decode_image(payload) is not None
+
+
+def test_jpeg_bit_reader_and_extend():
+    """Hand-computed vectors for the entropy-layer primitives: MSB-first
+    bit order, 0xFF00 unstuffing, marker abort, amplitude sign extension."""
+    import pytest
+
+    from sparkdu.multimodal import _JpegBitReader, _jpeg_extend
+
+    rd = _JpegBitReader(bytes([0b10110000]))
+    assert [rd.bit() for _ in range(4)] == [1, 0, 1, 1]
+    # stuffed 0xFF00 reads as a literal 0xFF data byte
+    rd = _JpegBitReader(bytes([0xFF, 0x00, 0x80]))
+    assert rd.bits(8) == 0xFF and rd.bit() == 1
+    # bare marker inside entropy data aborts
+    rd = _JpegBitReader(bytes([0xFF, 0xD9]))
+    with pytest.raises(EOFError):
+        rd.bits(8)
+    # JPEG amplitude decode: high bit set -> positive, else negative
+    assert _jpeg_extend(0b11, 2) == 3
+    assert _jpeg_extend(0b00, 2) == -3
+    assert _jpeg_extend(0b01, 2) == -2
+    assert _jpeg_extend(0b1, 1) == 1
+    assert _jpeg_extend(0b0, 1) == -1
+
+
+def test_jpeg_pixel_stats_truth_checked(spark):
+    """image_pixel_stats over the committed images_jpeg fixture: every
+    decodable row matches generator truth; truncated rows are null with
+    decode_status='error'."""
+    from sparkdu.multimodal import image_pixel_stats
+
+    df = spark.read.parquet("fixtures_data/images_jpeg.parquet")
+    got = {
+        r["img_id"]: r
+        for r in image_pixel_stats(df.select("img_id", "payload")).collect()
+    }
+    truth = {r["img_id"]: r for r in df.collect()}
+    assert set(got) == set(truth) and len(got) == 120
+    for i, tr in truth.items():
+        g = got[i]
+        if tr["px_sha"] is None:
+            assert g["decode_status"] == "error" and g["px_sha"] is None
+        else:
+            assert g["decode_status"] == "ok"
+            assert (g["width"], g["height"], g["channels"]) == (
+                tr["width"], tr["height"], tr["channels"]
+            )
+            assert g["px_sha"] == tr["px_sha"]
+            assert abs(g["px_mean"] - tr["px_mean"]) < 1e-9

@@ -485,12 +485,47 @@ def make_images_gif() -> None:
     )
 
 
+def make_images_jpeg() -> None:
+    """images_jpeg.parquet: FULLY-DECODABLE baseline JPEG payloads (real
+    entropy-coded scans: canonical DHT tables, byte stuffing, restart
+    markers on id%5==2, gray and YCbCr 4:4:4, non-multiple-of-8 dims) with
+    generator-truth RECONSTRUCTION stats under the pinned IDCT/color
+    recipe. Every 13th payload is truncated inside the scan with null
+    truth — the decode operator must fail those cleanly."""
+    a = {"img_id": [], "payload": [], "width": [], "height": [],
+         "channels": [], "px_mean": [], "px_sha": []}
+    for i in range(120):
+        payload, w, h, ch, mean, sha = fixtures.synth_jpeg_bytes(i)
+        a["img_id"].append(i)
+        a["payload"].append(payload)
+        a["width"].append(w)
+        a["height"].append(h)
+        a["channels"].append(ch)
+        a["px_mean"].append(mean)
+        a["px_sha"].append(sha)
+    write(
+        "images_jpeg.parquet",
+        pa.table(
+            {
+                "img_id": pa.array(a["img_id"], pa.int64()),
+                "payload": pa.array(a["payload"], pa.binary()),
+                "width": pa.array(a["width"], pa.int32()),
+                "height": pa.array(a["height"], pa.int32()),
+                "channels": pa.array(a["channels"], pa.int32()),
+                "px_mean": pa.array(a["px_mean"], pa.float64()),
+                "px_sha": pa.array(a["px_sha"], pa.string()),
+            }
+        ),
+    )
+
+
 if __name__ == "__main__":
     main()
     make_edges()
     make_audio()
     make_images_px()
     make_images_gif()
+    make_images_jpeg()
     make_model_golden()
     make_model_golden("clf_v3_hi.json", "golden_extracted_model_v3.parquet")
     make_idf_table()
