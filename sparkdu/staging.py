@@ -1139,6 +1139,43 @@ def sim_ann_pq(spark, sf_dir):
     return ann_pq_topk(e, books, n_queries=3, k=10, rerank=100)
 
 
+@q("bpe_train_merges")  # rows-only: iterative merge learning, not SQL
+def bpe_train_merges(spark, sf_dir):
+    """BPE tokenizer training (Sennrich-style, two-phase): the corpus
+    word-frequency dictionary aggregates in ONE distributed shuffle, then
+    merge learning runs driver-side over the bounded dict — the same
+    frozen-artifact rule as dedup.ivf_fit. Deterministic (count desc, pair
+    asc tiebreak); hand-computed merge sequences and input-order
+    invariance are pytest-gated (tests/test_bpe.py). Returns
+    (rank, left, right) in merge order."""
+    from .bpe import bpe_train, bpe_word_counts
+
+    docs = t(spark, sf_dir, "documents")
+    merges = bpe_train(bpe_word_counts(docs, max_words=20_000), n_merges=200)
+    return spark.createDataFrame(
+        [(i, l, r) for i, (l, r) in enumerate(merges)],
+        "rank int, left string, right string",
+    )
+
+
+@q("text_bpe_encode")  # rows-only: depends on the trained merge list
+def text_bpe_encode(spark, sf_dir):
+    """Corpus-wide BPE encode with the broadcast-join shape: Python runs
+    once per DISTINCT word (pandas_udf over the deduplicated word table,
+    O(|vocab|) not O(corpus)), every occurrence picks up its subwords via
+    broadcast join, and docs reassemble with JVM aggregation. Returns
+    per-doc token counts; the exact-roundtrip invariant (concat of tokens
+    == concat of words + end markers) is pytest-gated."""
+    from .bpe import bpe_encode, bpe_train, bpe_word_counts
+
+    docs = t(spark, sf_dir, "documents")
+    merges = bpe_train(bpe_word_counts(docs, max_words=20_000), n_merges=200)
+    return bpe_encode(docs, merges).select(
+        "doc_id", "n_words", "n_tokens",
+        F.slice("tokens", 1, 8).alias("first_tokens"),
+    )
+
+
 @q(
     "agg_salted_skew",
     """SELECT event_type, cast(count(*) AS BIGINT) AS n,
