@@ -693,3 +693,69 @@ def ann_pq_topk(emb: DataFrame, books: list, n_queries: int = 3,
         .filter(f"rk <= {k}")
         .select("q_id", "vec_id", "dist")
     )
+
+
+# ---------------------------------------------------------------------
+# Semantic dedup: cluster embeddings, drop in-cluster near-identical docs
+# (the SemDeDup recipe — Abbas et al. 2023, public method)
+# ---------------------------------------------------------------------
+
+def semantic_dedup(emb: DataFrame, cents: list, threshold: float = 0.95) -> DataFrame:
+    """SemDeDup over an embedding table: assign every vector to its
+    nearest frozen centroid (with_ivf_cell — pure JVM), then WITHIN each
+    cell find pairs with cosine >= threshold and, per the published keep
+    rule, drop the pair member with the HIGHER similarity to its centroid
+    (keeping the least-prototypical example preserves diversity);
+    vec_id breaks exact ties so the survivor set is deterministic.
+
+    Returns (vec_id, cell, cent_cos, keep) for every input row.
+
+    Scale shape: the all-pairs comparison is confined to cells — the
+    self-join key is `cell`, so at 10^12 vectors the table is written
+    partitioned by cell and each partition joins only with itself; cell
+    count scales with the corpus (k ~ sqrt(N) in the paper), keeping
+    per-cell pair counts bounded. No global all-pairs ever forms.
+    """
+    assigned = with_ivf_cell(emb, cents)
+    # cosine to own centroid, via one array lookup over the literal books
+    arr = F.array(*[
+        _dot("embedding", c) / (
+            F.lit(float(sum(v * v for v in c)) ** 0.5)
+            * F.sqrt(F.aggregate(
+                F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0), lambda a, x: a + x,
+            ))
+        )
+        for c in cents
+    ])
+    scored = assigned.select(
+        "vec_id", "cell", "embedding",
+        F.round(F.element_at(arr, F.col("cell") + 1), 6).alias("cent_cos"),
+    )
+    a = scored.select(
+        F.col("vec_id").alias("a_id"), F.col("cell").alias("a_cell"),
+        F.col("embedding").alias("a_emb"), F.col("cent_cos").alias("a_cc"),
+    )
+    b = scored.select(
+        F.col("vec_id").alias("b_id"), F.col("cell").alias("b_cell"),
+        F.col("embedding").alias("b_emb"), F.col("cent_cos").alias("b_cc"),
+    )
+    pairs = (
+        a.join(b, (F.col("a_cell") == F.col("b_cell")) & (F.col("a_id") < F.col("b_id")))
+        .filter(F.round(cosine("a_emb", "b_emb"), 6) >= threshold)
+    )
+    # drop the member MORE similar to the centroid (deterministic: ties -> higher id)
+    losers = pairs.select(
+        F.when(
+            (F.col("a_cc") > F.col("b_cc"))
+            | ((F.col("a_cc") == F.col("b_cc")) & (F.col("a_id") > F.col("b_id"))),
+            F.col("a_id"),
+        ).otherwise(F.col("b_id")).alias("vec_id")
+    ).distinct()
+    return (
+        scored.join(losers.withColumn("_drop", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id", "cell", "cent_cos",
+            F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"),
+        )
+    )

@@ -1139,6 +1139,22 @@ def sim_ann_pq(spark, sf_dir):
     return ann_pq_topk(e, books, n_queries=3, k=10, rerank=100)
 
 
+@q("dedup_semantic")  # rows-only: centroids come from the iterative k-means fit
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup-style semantic dedup (public recipe: cluster embeddings,
+    drop in-cluster pairs above a cosine threshold, keeping the LESS
+    prototypical member): frozen ivf_fit centroids assign cells in pure
+    JVM, the pairwise pass is confined to cells (self-join keyed on cell —
+    never a global all-pairs), and the keep rule is deterministic. Planted
+    two-cluster keep/drop semantics and determinism are pytest-gated
+    (tests/test_dedup.py::test_semantic_dedup_*)."""
+    from .dedup import ivf_fit, semantic_dedup
+
+    e = t(spark, sf_dir, "embeddings")
+    cents = ivf_fit(e, dim=64, k=8, iters=2)
+    return semantic_dedup(e, cents, threshold=0.8)
+
+
 @q("bpe_train_merges")  # rows-only: iterative merge learning, not SQL
 def bpe_train_merges(spark, sf_dir):
     """BPE tokenizer training (Sennrich-style, two-phase): the corpus

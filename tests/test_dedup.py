@@ -462,3 +462,55 @@ def test_pq_adc_search_quality(spark):
     for r in rer:
         true = float(((X[r["q_id"]] - X[r["vec_id"]]) ** 2).sum())
         assert abs(r["dist"] - true) < 1e-4, (r, true)
+
+
+def test_semantic_dedup_planted_clusters(spark):
+    """SemDeDup on a hand-built corpus: two well-separated clusters, one
+    planted near-dup pair per cluster. Exactly one of each pair drops, and
+    the survivor is the LESS prototypical one (lower centroid cosine)."""
+    from sparkdu.dedup import semantic_dedup
+
+    def vec(*head):
+        return list(head) + [0.0] * (8 - len(head))
+
+    rows = [
+        # cluster 0: 0/1 distinct; 2/3 a near-dup pair, 3 more prototypical
+        (0, vec(5.0, 2.0)),
+        (1, vec(5.0, -2.0, 1.0)),
+        (2, vec(6.0, 0.9, 0.2)),
+        (3, vec(6.0, 0.6)),
+        # cluster 1: 4 distinct; 5/6 near-dups, 5 more prototypical
+        (4, vec(0.0, 5.0, 2.0)),
+        (5, vec(0.4, 6.0)),
+        (6, vec(0.6, 6.0, 0.1)),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [vec(5.0), vec(0.0, 5.0)]
+    out = {r["vec_id"]: r for r in semantic_dedup(emb, cents, 0.99).collect()}
+    assert len(out) == 7
+    # cluster assignment correct
+    assert all(out[i]["cell"] == 0 for i in (0, 1, 2, 3))
+    assert all(out[i]["cell"] == 1 for i in (4, 5, 6))
+    # exactly one of each planted pair dropped; singletons keep
+    for i in (0, 1, 4):
+        assert out[i]["keep"], i
+    assert out[2]["keep"] != out[3]["keep"]
+    assert out[5]["keep"] != out[6]["keep"]
+    # the published keep rule: survivor has the LOWER centroid cosine
+    kept23 = 2 if out[2]["keep"] else 3
+    drop23 = 5 - kept23
+    assert out[kept23]["cent_cos"] <= out[drop23]["cent_cos"]
+
+
+def test_semantic_dedup_high_entropy_keeps_everything(spark):
+    """Random high-entropy embeddings have no semantic dups at 0.99 —
+    nothing should drop, and the result must be deterministic."""
+    from sparkdu.dedup import ivf_fit, semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = ivf_fit(emb, dim=64, k=8, iters=2)
+    r1 = semantic_dedup(emb, cents, 0.99).orderBy("vec_id").collect()
+    assert all(r["keep"] for r in r1)
+    assert emb.count() == len(r1)
+    r2 = semantic_dedup(emb, cents, 0.99).orderBy("vec_id").collect()
+    assert [tuple(r) for r in r1] == [tuple(r) for r in r2]
