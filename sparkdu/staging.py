@@ -472,6 +472,233 @@ def tpch_q19ish(spark, sf_dir):
 
 
 @q(
+    "tpch_q8ish",
+    """SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+              round(sum(CASE WHEN sn.n_name = 'NATION_3'
+                             THEN l.l_extendedprice * (1 - l.l_discount)
+                             ELSE 0 END)
+                    / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS mkt_share
+       FROM lineitem l
+       JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'STANDARD'
+       JOIN orders o ON o.o_orderkey = l.l_orderkey
+       JOIN customer c ON c.c_custkey = o.o_custkey
+       JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+       JOIN region r ON r.r_regionkey = cn.n_regionkey AND r.r_name = 'EUROPE'
+       JOIN supplier s ON s.s_suppkey = l.l_suppkey
+       JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+       WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+         AND o.o_orderdate < TIMESTAMP '1997-01-01'
+       GROUP BY o_year""",
+)
+def tpch_q8ish(spark, sf_dir):
+    """TPC-H q8 analogue (national market share): NATION_3 suppliers'
+    share of STANDARD-part revenue sold into EUROPE customers, by order
+    year. Five joins: nation/region are hint-broadcast (constant-size at
+    any SF); part/customer/supplier scale with the corpus so AQE picks
+    their strategy; the fact table shuffles once for the year group-by.
+    The share is a conditional-sum ratio — one aggregation, no
+    numerator/denominator double scan."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD").select("p_partkey")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE").select("r_regionkey")
+    cn = n.select(F.col("n_nationkey").alias("ck"), F.col("n_regionkey").alias("crk"))
+    sn = n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    df = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("ck"))
+        .join(F.broadcast(r), F.col("crk") == F.col("r_regionkey"))
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sk"))
+    )
+    return df.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(0.0))
+            / F.sum(rev),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+@q(
+    "tpch_q9ish",
+    """SELECT sn.n_name AS nation, CAST(year(l.l_shipdate) AS INT) AS o_year,
+              round(sum(l.l_extendedprice * (1 - l.l_discount)
+                        - 0.1 * p.p_retailprice * l.l_quantity), 4) AS sum_profit
+       FROM lineitem l
+       JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%a%'
+       JOIN supplier s ON s.s_suppkey = l.l_suppkey
+       JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+       GROUP BY nation, o_year""",
+)
+def tpch_q9ish(spark, sf_dir):
+    """TPC-H q9 analogue (product-type profit): revenue minus a cost
+    proxy (the corpus has no partsupp table, so cost = 10% of retail
+    price x quantity — deterministic and cross-engine exact), rolled up
+    per supplier nation per ship year for parts matching a name pattern.
+    The LIKE pushes into the part scan; nation broadcast; fact shuffles
+    once for the group-by."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").contains("a")).select(
+        "p_partkey", "p_retailprice"
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("l_shipdate").alias("o_year"))
+        .agg(F.round(F.sum(profit), 4).alias("sum_profit"))
+    )
+
+
+@q(
+    "tpch_q15ish",
+    """WITH rev AS (
+         SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 4)
+                  AS total_revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1996-04-01'
+         GROUP BY l_suppkey)
+       SELECT s.s_suppkey, s.s_name, r.total_revenue
+       FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+       WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)""",
+)
+def tpch_q15ish(spark, sf_dir):
+    """TPC-H q15 analogue (top supplier): quarterly per-supplier revenue,
+    then the supplier(s) hitting the scalar max. The revenue relation is
+    computed ONCE and cached for its two consumers (the max and the
+    filter) — the view-reuse the original query's CREATE VIEW implies;
+    the scalar max is a one-row broadcast. Revenue is rounded BEFORE the
+    equality so both engines agree at the max boundary."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+             .alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@q(
+    "tpch_q17ish",
+    """WITH pa AS (SELECT l_partkey, avg(l_quantity) AS avg_qty
+                   FROM lineitem GROUP BY l_partkey)
+       SELECT round(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+       FROM lineitem l
+       JOIN part p ON p.p_partkey = l.l_partkey
+         AND p.p_brand = 'Brand#11' AND p.p_size < 20
+       JOIN pa ON pa.l_partkey = l.l_partkey
+       WHERE l.l_quantity < 0.5 * pa.avg_qty""",
+)
+def tpch_q17ish(spark, sf_dir):
+    """TPC-H q17 analogue (small-quantity-order revenue): lineitems below
+    half their part's average quantity. The correlated scalar subquery is
+    decorrelated into a per-part aggregate joined back — the aggregate is
+    tiny (one row per part) and joins on the same key as the part dim, so
+    at scale both ride the same shuffle; the brand/size filters prune the
+    part side before any join. avg() is an IEEE double both engines
+    compute identically, so the strict < boundary agrees."""
+    li = t(spark, sf_dir, "lineitem")
+    pa = li.groupBy(F.col("l_partkey").alias("pa_key")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#11") & (F.col("p_size") < 20)
+    ).select("p_partkey")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(pa, li.l_partkey == F.col("pa_key"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )
+
+
+@q(
+    "tpch_q21ish",
+    """SELECT s.s_name, cast(count(*) AS BIGINT) AS numwait
+       FROM supplier s
+       JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+       JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+       WHERE EXISTS (SELECT 1 FROM lineitem l2
+                     WHERE l2.l_orderkey = l1.l_orderkey
+                       AND l2.l_suppkey <> l1.l_suppkey)
+         AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                         WHERE l3.l_orderkey = l1.l_orderkey
+                           AND l3.l_suppkey <> l1.l_suppkey
+                           AND l3.l_shipdate > l1.l_shipdate)
+       GROUP BY s.s_name""",
+)
+def tpch_q21ish(spark, sf_dir):
+    """TPC-H q21 analogue (suppliers who kept orders waiting — adapted to
+    l_shipdate since the corpus carries no commit/receipt dates): on
+    finished multi-supplier orders, count each supplier's lineitems that
+    shipped strictly last. EXISTS -> left-semi, NOT EXISTS -> left-anti,
+    both equi-keyed on l_orderkey with the supplier/shipdate conditions
+    as join-side predicates — never a correlated per-row subquery. The
+    two self-joins reuse the same orderkey shuffle partitioning."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey"
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    l1 = li.alias("l1")
+    l2 = li.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2"))
+    l3 = li.select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"),
+        F.col("l_shipdate").alias("d3"),
+    )
+    waited = (
+        l1.join(o, F.col("l1.l_orderkey") == o.o_orderkey, "left_semi")
+        .join(
+            l2,
+            (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("k3"))
+            & (F.col("l_suppkey") != F.col("s3"))
+            & (F.col("d3") > F.col("l_shipdate")),
+            "left_anti",
+        )
+    )
+    return (
+        waited.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+@q(
     "mm_audio_features",
     f"""SELECT audio_id, sample_rate, n_samples, rms, zcr
         FROM read_parquet('{fx("audio")}')""",
