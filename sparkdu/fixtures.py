@@ -771,3 +771,106 @@ def synth_jpeg_bytes(img_id: int) -> tuple:
     px_mean = round(float(px.mean()), 6)
     px_sha = hashlib.sha256(px.tobytes()).hexdigest()[:16]
     return payload, w, h, ncomp, px_mean, px_sha
+
+
+# ---------------------------------------------------------------------
+# MP4 / ISO-BMFF container (video metadata path; pixel decode would need
+# codec libraries, so the payload carries an opaque mdat)
+# ---------------------------------------------------------------------
+
+def _mp4_box(btype: bytes, payload: bytes, large: bool = False) -> bytes:
+    """ISO-BMFF box: 32-bit size header, or the size==1 + 64-bit
+    largesize form when ``large`` (parsers must handle both)."""
+    if large:
+        return (1).to_bytes(4, "big") + btype + (len(payload) + 16).to_bytes(8, "big") + payload
+    return (len(payload) + 8).to_bytes(4, "big") + btype + payload
+
+
+def _mp4_full(version: int, body: bytes) -> bytes:
+    return bytes([version, 0, 0, 0]) + body
+
+
+_MP4_MATRIX = (
+    (0x00010000).to_bytes(4, "big") + b"\x00" * 12
+    + (0x00010000).to_bytes(4, "big") + b"\x00" * 12
+    + (0x40000000).to_bytes(4, "big")
+)
+
+
+def synth_mp4_bytes(vid_id: int) -> tuple:
+    """Deterministic ISO-BMFF (MP4) container with generator-truth
+    metadata: ftyp (varying major brand), moov[mvhd + 1-2 trak trees
+    (video tkhd with 16.16 fixed-point dims + mdia/hdlr 'vide'; every
+    other id adds an audio trak FIRST so parsers must select by handler,
+    not position)], free, and an opaque mdat (every 4th in the 64-bit
+    largesize form). mvhd/tkhd alternate version 0/1 so both time-field
+    widths are exercised.
+
+    Returns (payload, brand, duration_ms, width, height, n_tracks);
+    every 13th payload is truncated inside moov with null truth.
+    """
+    rng = random.Random(SEED_BASE + 555_000_000 + vid_id)
+    brand = ("isom", "mp42", "avc1")[vid_id % 3]
+    timescale = rng.choice([600, 1000, 90000, 12288])
+    duration = rng.randint(timescale // 2, timescale * 120)
+    w = rng.randint(16, 3840)
+    h = rng.randint(16, 2160)
+    v64 = vid_id % 2  # mvhd/tkhd version (0: 32-bit times, 1: 64-bit)
+    two_tracks = vid_id % 2 == 1
+
+    tdur = (4, 8)[v64]
+    times = (0).to_bytes(tdur, "big") * 2  # creation/modification
+
+    def mvhd():
+        body = (
+            times + timescale.to_bytes(4, "big") + duration.to_bytes(tdur, "big")
+            + (0x00010000).to_bytes(4, "big") + (0x0100).to_bytes(2, "big")
+            + b"\x00" * 10 + _MP4_MATRIX + b"\x00" * 24
+            + (3).to_bytes(4, "big")
+        )
+        return _mp4_box(b"mvhd", _mp4_full(v64, body))
+
+    def tkhd(track_id, tw, th):
+        body = (
+            times + track_id.to_bytes(4, "big") + b"\x00" * 4
+            + duration.to_bytes(tdur, "big") + b"\x00" * 8
+            + b"\x00" * 2 + b"\x00" * 2 + b"\x00" * 2 + b"\x00" * 2
+            + _MP4_MATRIX
+            + (tw << 16).to_bytes(4, "big") + (th << 16).to_bytes(4, "big")
+        )
+        return _mp4_box(b"tkhd", _mp4_full(v64, body))
+
+    def hdlr(handler):
+        return _mp4_box(
+            b"hdlr",
+            _mp4_full(0, b"\x00" * 4 + handler + b"\x00" * 12 + b"x\x00"),
+        )
+
+    def mdhd():
+        body = (
+            times + timescale.to_bytes(4, "big") + duration.to_bytes(tdur, "big")
+            + (0x55C4).to_bytes(2, "big") + b"\x00" * 2
+        )
+        return _mp4_box(b"mdhd", _mp4_full(v64, body))
+
+    def trak(track_id, handler, tw, th):
+        mdia = _mp4_box(b"mdia", mdhd() + hdlr(handler))
+        return _mp4_box(b"trak", tkhd(track_id, tw, th) + mdia)
+
+    traks = b""
+    n_tracks = 1
+    if two_tracks:  # audio trak FIRST: dims must come from the vide trak
+        traks += trak(2, b"soun", 0, 0)
+        n_tracks = 2
+    traks += trak(1, b"vide", w, h)
+    moov = _mp4_box(b"moov", mvhd() + traks)
+    ftyp = _mp4_box(
+        b"ftyp", brand.encode() + (0x200).to_bytes(4, "big") + b"isommp42"
+    )
+    mdat_payload = bytes(rng.getrandbits(8) for _ in range(rng.randint(64, 512)))
+    mdat = _mp4_box(b"mdat", mdat_payload, large=vid_id % 4 == 0)
+    payload = ftyp + moov + _mp4_box(b"free", b"") + mdat
+    if vid_id % 13 == 0:  # truncated inside moov
+        return payload[: len(ftyp) + len(moov) // 2], None, None, None, None, None
+    duration_ms = round(duration * 1000.0 / timescale, 3)
+    return payload, brand, duration_ms, w, h, n_tracks

@@ -743,6 +743,30 @@ def mm_image_pixels(spark, sf_dir):
     )
 
 
+@q(
+    "mm_video_meta",
+    f"""SELECT vid_id, brand, duration_ms, width, height, n_tracks
+        FROM read_parquet('{fx("videos")}')""",
+)
+def mm_video_meta(spark, sf_dir):
+    """REAL ISO-BMFF (MP4) container metadata parse, truth-checked: the
+    box tree of every payload is walked (32-bit, 64-bit-largesize and
+    to-end size forms; mvhd v0/v1 time widths; video track selected by
+    mdia/hdlr handler type, not position) and brand/duration/dims/track
+    count compared against generator truth. Truncated payloads (every
+    13th, cut inside moov) must come back all-null. This de-stubs the
+    video modality at the metadata level — pixel/frame decode stays
+    honestly stubbed (no codec libraries offline), but at 100 TB this
+    pure-map parse touches only the few-KB moov tree per row while the
+    mdat bytes stream through untouched."""
+    from .multimodal import video_meta
+
+    vids = f(spark, "videos").select("vid_id", "payload")
+    return video_meta(vids).select(
+        "vid_id", "brand", "duration_ms", "width", "height", "n_tracks"
+    )
+
+
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PII_PHONE = r"\+\d{1,2} \d{3}-\d{4}"
 _PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"

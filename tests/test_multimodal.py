@@ -381,3 +381,66 @@ def test_jpeg_pixel_stats_truth_checked(spark):
             )
             assert g["px_sha"] == tr["px_sha"]
             assert abs(g["px_mean"] - tr["px_mean"]) < 1e-9
+
+
+def test_mp4_parse_truth_checked_fixture_sweep():
+    """Every fixture MP4 parses to exact generator truth (v0/v1 boxes,
+    largesize mdat, handler-selected video track); truncated payloads
+    fail to None."""
+    from sparkdu.fixtures import synth_mp4_bytes
+    from sparkdu.multimodal import parse_mp4
+
+    n_ok = 0
+    for i in range(40):
+        payload, brand, dur, w, h, nt = synth_mp4_bytes(i)
+        m = parse_mp4(payload)
+        if brand is None:
+            assert m is None
+            continue
+        assert m == (brand, dur, w, h, nt), (i, m)
+        n_ok += 1
+    assert n_ok >= 35
+
+
+def test_mp4_parse_rejects_malformed():
+    from sparkdu.fixtures import synth_mp4_bytes
+    from sparkdu.multimodal import parse_mp4
+
+    payload = synth_mp4_bytes(1)[0]
+    assert parse_mp4(payload) is not None
+    assert parse_mp4(payload[:6]) is None            # truncated ftyp header
+    assert parse_mp4(payload[:-3]) is None           # truncated final box
+    assert parse_mp4(b"") is None
+    # a box whose declared size overruns the file must fail, not overread
+    corrupt = bytearray(payload)
+    corrupt[0] = 0xFF
+    assert parse_mp4(bytes(corrupt)) is None
+    # zero mvhd timescale (division guard)
+    i = payload.find(b"mvhd")
+    z = bytearray(payload)
+    ver = z[i + 4]
+    off = i + 4 + 4 + (16 if ver == 1 else 8)  # ver/flags + times
+    z[off : off + 4] = b"\x00\x00\x00\x00"
+    assert parse_mp4(bytes(z)) is None
+
+
+def test_video_meta_spark_truth_checked(spark):
+    from sparkdu.multimodal import video_meta
+
+    df = spark.read.parquet("fixtures_data/videos.parquet")
+    got = {
+        r["vid_id"]: r
+        for r in video_meta(df.select("vid_id", "payload")).collect()
+    }
+    truth = {r["vid_id"]: r for r in df.collect()}
+    assert set(got) == set(truth) and len(got) == 120
+    for i, tr in truth.items():
+        g = got[i]
+        if tr["brand"] is None:
+            assert g["decode_status"] == "error" and g["brand"] is None
+        else:
+            assert g["decode_status"] == "ok"
+            assert (g["brand"], g["width"], g["height"], g["n_tracks"]) == (
+                tr["brand"], tr["width"], tr["height"], tr["n_tracks"]
+            )
+            assert abs(g["duration_ms"] - tr["duration_ms"]) < 1e-9

@@ -519,6 +519,39 @@ def make_images_jpeg() -> None:
     )
 
 
+def make_videos() -> None:
+    """videos.parquet: ISO-BMFF (MP4) containers with generator-truth
+    metadata (brand, duration, video-track dims, track count; audio trak
+    first on odd ids, 64-bit largesize mdat every 4th, mvhd/tkhd v0/v1
+    alternating). Every 13th payload is truncated inside moov with null
+    truth — the parse operator must fail those cleanly."""
+    a = {"vid_id": [], "payload": [], "brand": [], "duration_ms": [],
+         "width": [], "height": [], "n_tracks": []}
+    for i in range(120):
+        payload, brand, dur, w, h, nt = fixtures.synth_mp4_bytes(i)
+        a["vid_id"].append(i)
+        a["payload"].append(payload)
+        a["brand"].append(brand)
+        a["duration_ms"].append(dur)
+        a["width"].append(w)
+        a["height"].append(h)
+        a["n_tracks"].append(nt)
+    write(
+        "videos.parquet",
+        pa.table(
+            {
+                "vid_id": pa.array(a["vid_id"], pa.int64()),
+                "payload": pa.array(a["payload"], pa.binary()),
+                "brand": pa.array(a["brand"], pa.string()),
+                "duration_ms": pa.array(a["duration_ms"], pa.float64()),
+                "width": pa.array(a["width"], pa.int32()),
+                "height": pa.array(a["height"], pa.int32()),
+                "n_tracks": pa.array(a["n_tracks"], pa.int32()),
+            }
+        ),
+    )
+
+
 if __name__ == "__main__":
     main()
     make_edges()
@@ -526,6 +559,7 @@ if __name__ == "__main__":
     make_images_px()
     make_images_gif()
     make_images_jpeg()
+    make_videos()
     make_model_golden()
     make_model_golden("clf_v3_hi.json", "golden_extracted_model_v3.parquet")
     make_idf_table()
