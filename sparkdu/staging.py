@@ -1477,3 +1477,237 @@ def agg_salted_skew(spark, sf_dir):
         )
         .select("event_type", "n", F.round("tv", 4).alias("total_value"))
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H q2/q11/q16/q20 analogues — completes the 22-query analogue suite.
+# The corpus has no partsupp table; the supplier-part relation is derived
+# from lineitem (supplier supplies part iff a lineitem links them) with
+# cost proxy min(l_extendedprice / l_quantity) — per-row IEEE division and
+# a selection-only min, so cross-engine exact.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "tpch_q2ish",
+    """WITH sp AS (
+         SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+                min(l_extendedprice / l_quantity) AS cost
+         FROM lineitem GROUP BY 1, 2
+       ),
+       eligible AS (
+         SELECT sp.partkey, sp.cost, s.s_acctbal, s.s_name,
+                n.n_name AS nation, p.p_name
+         FROM sp
+         JOIN supplier s ON s.s_suppkey = sp.suppkey
+         JOIN nation n ON n.n_nationkey = s.s_nationkey
+         JOIN region r ON r.r_regionkey = n.n_regionkey
+                      AND r.r_name = 'EUROPE'
+         JOIN part p ON p.p_partkey = sp.partkey
+                    AND p.p_size <= 15 AND p.p_type = 'STANDARD'
+       )
+       SELECT s_acctbal, s_name, nation, partkey AS p_partkey, p_name,
+              round(cost, 4) AS supplycost
+       FROM (SELECT *, min(cost) OVER (PARTITION BY partkey) AS mc
+             FROM eligible)
+       WHERE cost = mc""",
+)
+def tpch_q2ish(spark, sf_dir):
+    """TPC-H q2 analogue (minimum-cost supplier): for each STANDARD small
+    part, every EUROPE supplier achieving the groupwise-minimum unit cost.
+    The correlated scalar-min subquery becomes a window min over the
+    part key — no per-row subquery, no extra shuffle beyond the partkey
+    exchange the window needs. Shape at scale: the (partkey, suppkey)
+    cost rollup is the only fact shuffle; supplier/nation/region/part are
+    broadcast dims; the window input is already dim-filtered so the
+    partkey exchange moves only eligible pairs. cost==mc is an exact
+    float comparison: min() selects an existing value, it never averages.
+    """
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    sp = li.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey",
+                                            "s_acctbal", "s_name")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey", "n_name")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE").select(
+        "r_regionkey"
+    )
+    p = (
+        t(spark, sf_dir, "part")
+        .filter((F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD"))
+        .select("p_partkey", "p_name")
+    )
+    eligible = (
+        sp.join(F.broadcast(s), sp.suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .join(F.broadcast(p), sp.partkey == p.p_partkey)
+        .select("partkey", "cost", "s_acctbal", "s_name",
+                F.col("n_name").alias("nation"), "p_name")
+    )
+    w = Window.partitionBy("partkey")
+    return (
+        eligible.withColumn("mc", F.min("cost").over(w))
+        .filter(F.col("cost") == F.col("mc"))
+        .select("s_acctbal", "s_name", "nation",
+                F.col("partkey").alias("p_partkey"), "p_name",
+                F.round("cost", 4).alias("supplycost"))
+    )
+
+
+@q(
+    "tpch_q11ish",
+    """WITH pv AS (
+         SELECT l_partkey AS partkey,
+                sum(l_extendedprice * (1 - l_discount)) AS value
+         FROM lineitem l
+         JOIN supplier s ON s.s_suppkey = l.l_suppkey
+         JOIN nation n ON n.n_nationkey = s.s_nationkey
+                      AND n.n_name = 'NATION_1'
+         GROUP BY 1
+       )
+       SELECT partkey AS p_partkey, round(value, 4) AS value
+       FROM pv
+       WHERE round(value, 2) >
+             (SELECT round(sum(value) * 0.001, 2) FROM pv)""",
+)
+def tpch_q11ish(spark, sf_dir):
+    """TPC-H q11 analogue (important stock): per-part revenue from one
+    nation's suppliers, keeping parts above a fraction of the national
+    total. The scalar total is a one-row aggregate broadcast back via
+    cross-join — computed from the SAME per-part rollup (cached), so the
+    fact shuffles once and the second pass is a reduce over ~|parts|
+    rows. Both sides of the HAVING comparison are pinned at round 2
+    (float sums are order-sensitive in the last ulp; rounding collapses
+    the difference so the boundary agrees cross-engine)."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1").select(
+        "n_nationkey"
+    )
+    pv = (
+        li.join(F.broadcast(s.join(F.broadcast(n),
+                                   s.s_nationkey == n.n_nationkey)),
+                li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .alias("value"))
+    )
+    total = pv.agg(
+        F.round(F.sum("value") * F.lit(0.001), 2).alias("threshold")
+    )
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .filter(F.round("value", 2) > F.col("threshold"))
+        .select(F.col("partkey").alias("p_partkey"),
+                F.round("value", 4).alias("value"))
+    )
+
+
+@q(
+    "tpch_q16ish",
+    """SELECT p_brand, p_type, p_size,
+              cast(count(DISTINCT suppkey) AS BIGINT) AS supplier_cnt
+       FROM (SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey
+             FROM lineitem) ps
+       JOIN part p ON p.p_partkey = ps.partkey
+       WHERE p.p_brand <> 'Brand#3' AND p.p_type <> 'PROMO'
+         AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+         AND ps.suppkey NOT IN
+             (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+       GROUP BY 1, 2, 3""",
+)
+def tpch_q16ish(spark, sf_dir):
+    """TPC-H q16 analogue (parts/supplier relationship): distinct supplier
+    counts per (brand, type, size) bucket, excluding one brand/type and a
+    name-pattern supplier blacklist. NOT IN becomes a left-anti join
+    against the (tiny, broadcast) blacklist — never a per-row subquery;
+    with a nullable subquery column NOT IN would need the three-valued
+    null guard, but s_suppkey is non-null so anti-join is exact. The
+    DISTINCT pair rollup and the count-distinct reuse the same partkey-ish
+    shuffle; part is a broadcast dim filtered at the scan."""
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).distinct()
+    bad = t(spark, sf_dir, "supplier").filter(
+        F.col("s_name").like("%7")
+    ).select("s_suppkey")
+    p = (
+        t(spark, sf_dir, "part")
+        .filter((F.col("p_brand") != "Brand#3") & (F.col("p_type") != "PROMO")
+                & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        li.join(F.broadcast(bad), li.suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("suppkey").alias("supplier_cnt"))
+    )
+
+
+@q(
+    "tpch_q20ish",
+    """WITH shipped AS (
+         SELECT l_suppkey AS suppkey, l_partkey AS partkey,
+                sum(l_quantity) AS qty
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+         GROUP BY 1, 2
+       )
+       SELECT s.s_name, round(s.s_acctbal, 2) AS s_acctbal
+       FROM supplier s
+       JOIN nation n ON n.n_nationkey = s.s_nationkey
+       JOIN region r ON r.r_regionkey = n.n_regionkey
+                    AND r.r_name = 'ASIA'
+       WHERE s.s_suppkey IN
+             (SELECT sh.suppkey FROM shipped sh
+              JOIN part p ON p.p_partkey = sh.partkey
+                         AND p.p_name LIKE 'red%'
+              WHERE sh.qty > 45)""",
+)
+def tpch_q20ish(spark, sf_dir):
+    """TPC-H q20 analogue (potential part promotion): ASIA suppliers
+    who shipped more than a threshold quantity of any red part in 1996. The doubly-nested IN subqueries become a chain of semi-joins:
+    part-name filter broadcast into the year-sliced (suppkey, partkey)
+    quantity rollup, surviving suppkeys left-semi back onto the supplier
+    dim. l_quantity is integer-valued, so the float sum is order-exact
+    and the >60 boundary is engine-agnostic. At scale the only fact
+    shuffle is the rollup; everything else is broadcast."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    ).select("l_suppkey", "l_partkey", "l_quantity")
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select(
+        "p_partkey"
+    )
+    shipped = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 45)
+        .select(F.col("l_suppkey").alias("suppkey"))
+        .distinct()
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey",
+                                            "s_name", "s_acctbal")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select(
+        "r_regionkey"
+    )
+    asia = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey"
+    )
+    return (
+        s.join(F.broadcast(asia), s.s_nationkey == F.col("n_nationkey"),
+               "left_semi")
+        .join(F.broadcast(shipped), s.s_suppkey == F.col("suppkey"), "left_semi")
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+    )
