@@ -636,7 +636,8 @@ def _jpeg_encode_block(qc_zz, pred_dc, wtr, dc_codes, ac_codes):
     return int(qc_zz[0])
 
 
-def synth_jpeg_bytes(img_id: int) -> tuple:
+def synth_jpeg_bytes(img_id: int, size: tuple | None = None,
+                     truncate: bool | None = None) -> tuple:
     """Deterministic FULLY-DECODABLE baseline JPEG payload with
     generator-truth reconstruction stats.
 
@@ -659,8 +660,13 @@ def synth_jpeg_bytes(img_id: int) -> tuple:
     import numpy as np
 
     rng = random.Random(SEED_BASE + 777_000_000 + img_id)
-    w = rng.randint(5, 48)
-    h = rng.randint(5, 40)
+    if size is None:
+        w = rng.randint(5, 48)
+        h = rng.randint(5, 40)
+    else:
+        # MJPEG frames share the video's dimensions; rng feeds only w/h so
+        # overriding them leaves every default-call byte identical.
+        w, h = size
     ncomp = 1 if img_id % 3 == 0 else 3
     qf = (2, 3, 5)[img_id % 3]  # quant aggressiveness
     restart = 2 if img_id % 5 == 2 else 0  # MCUs per restart interval
@@ -756,7 +762,9 @@ def synth_jpeg_bytes(img_id: int) -> tuple:
     out += b"\xff\xd9"  # EOI
     payload = bytes(out)
 
-    if img_id % 13 == 0:  # truncated inside the entropy-coded scan
+    if truncate is None:
+        truncate = img_id % 13 == 0
+    if truncate:  # truncated inside the entropy-coded scan
         return payload[: scan_start + len(scan) // 3], None, None, None, None, None
 
     recon = [
@@ -874,3 +882,106 @@ def synth_mp4_bytes(vid_id: int) -> tuple:
         return payload[: len(ftyp) + len(moov) // 2], None, None, None, None, None
     duration_ms = round(duration * 1000.0 / timescale, 3)
     return payload, brand, duration_ms, w, h, n_tracks
+
+
+# ---------------------------------------------------------------------
+# AVI / RIFF container with MJPEG frames (video PIXEL decode path: each
+# '00dc' chunk is a complete baseline JPEG, so the existing JPEG decoder
+# de-stubs video frame decode with no codec library)
+# ---------------------------------------------------------------------
+
+def _riff_chunk(ckid: bytes, body: bytes) -> bytes:
+    """RIFF chunk: fourcc + LE u32 size + body + pad byte to even length
+    (the pad byte is NOT counted in the size — decoders must skip it)."""
+    pad = b"\x00" if len(body) % 2 else b""
+    return ckid + len(body).to_bytes(4, "little") + body + pad
+
+
+def _riff_list(listtype: bytes, body: bytes) -> bytes:
+    return _riff_chunk(b"LIST", listtype + body)
+
+
+def synth_avi_bytes(vid_id: int) -> tuple:
+    """Deterministic MJPEG-in-AVI payload with generator-truth per-frame
+    reconstruction stats.
+
+    Container: RIFF('AVI ') -> LIST hdrl (avih MainAVIHeader + LIST strl
+    with a 'vids'/'MJPG' strh + BITMAPINFOHEADER strf) -> LIST movi with
+    one '00dc' chunk per frame (a complete baseline JPEG from
+    synth_jpeg_bytes, so frames exercise DHT parsing, byte stuffing,
+    restarts, odd dimensions) -> idx1 index. Frames are deliberately
+    often odd-sized so RIFF even-padding is exercised. All frames of one
+    video share (w, h) and component count, like real MJPEG.
+
+    Returns (payload, width, height, fps, n_frames, channels,
+    frame_means, frame_shas) where the truth arrays hold the pinned-recipe
+    reconstruction stats per frame in order; every 11th payload is
+    truncated inside movi and carries all-null truth — the decoder must
+    reject the whole container, not emit rows for the frames that happen
+    to precede the cut.
+    """
+    import struct
+
+    rng = random.Random(SEED_BASE + 888_000_000 + vid_id)
+    w = rng.randint(8, 40)
+    h = rng.randint(8, 32)
+    n_frames = rng.randint(3, 8)
+    fps = rng.choice((10, 15, 24, 30))
+    # frame img_ids: fixed residue mod 3 per video (constant component
+    # count, like real MJPEG) and never the JPEG generator's own
+    # truncation residue — AVI-level truncation is decided here instead.
+    base = 900_000 + vid_id * 100 + (vid_id % 3)
+    frames, means, shas = [], [], []
+    channels = None
+    for k in range(n_frames):
+        p, fw, fh, nc, m, s = synth_jpeg_bytes(
+            base + 3 * k, size=(w, h), truncate=False
+        )
+        frames.append(p)
+        means.append(m)
+        shas.append(s)
+        channels = nc
+
+    avih = struct.pack(
+        "<IIIIIIIIII",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        0, 0,
+        0x10,              # AVIF_HASINDEX
+        n_frames, 0, 1, 0, w, h,
+    ) + b"\x00" * 16       # dwReserved[4]
+    strh = (
+        b"vidsMJPG"
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n_frames,
+                      0, 0xFFFFFFFF, 0)
+        + struct.pack("<HHHH", 0, 0, w, h)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh)
+                     + _riff_chunk(b"strf", strf)),
+    )
+    movi_body = b""
+    idx_entries = []
+    for p in frames:
+        # idx1 offsets are relative to the 'movi' fourcc position
+        idx_entries.append((4 + len(movi_body), len(p)))
+        movi_body += _riff_chunk(b"00dc", p)
+    movi = _riff_list(b"movi", movi_body)
+    idx1 = _riff_chunk(
+        b"idx1",
+        b"".join(
+            b"00dc" + struct.pack("<III", 0x10, off, ln)
+            for off, ln in idx_entries
+        ),
+    )
+    riff_body = b"AVI " + hdrl + movi + idx1
+    payload = b"RIFF" + len(riff_body).to_bytes(4, "little") + riff_body
+
+    if vid_id % 11 == 0:  # truncated inside movi (after >=1 whole frame)
+        cut = payload.find(b"movi") + 4 + len(movi_body) // 2
+        return payload[:cut], None, None, None, None, None, None, None
+    return payload, w, h, fps, n_frames, channels, means, shas

@@ -1711,3 +1711,31 @@ def tpch_q20ish(spark, sf_dir):
         .join(F.broadcast(shipped), s.s_suppkey == F.col("suppkey"), "left_semi")
         .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
     )
+
+
+@q(
+    "mm_video_pixels",
+    f"""SELECT v.vid_id, CAST(g.k AS INT) AS frame_idx,
+               v.width, v.height, v.channels,
+               list_extract(v.frame_means, CAST(g.k + 1 AS INT)) AS px_mean,
+               list_extract(v.frame_shas, CAST(g.k + 1 AS INT)) AS px_sha
+        FROM read_parquet('{fx("videos_avi")}') v,
+             LATERAL (SELECT unnest(range(0, v.n_frames, 2)) AS k) g
+        WHERE v.n_frames IS NOT NULL AND g.k < 8""",
+)
+def mm_video_pixels(spark, sf_dir):
+    """REAL video frame decode, truth-checked per pixel: MJPEG-in-AVI
+    containers are walked (RIFF chunk tree, word alignment, size
+    validation), every 2nd frame (up to 4) is entropy-decoded by the
+    baseline JPEG path, and each reconstructed frame is fingerprinted
+    byte-for-byte against the generator-truth per-frame stats. Truncated
+    containers (every 11th, cut inside movi) must contribute ZERO rows —
+    the fail-whole contract, which the oracle's n_frames IS NOT NULL
+    filter mirrors. This de-stubs the video pixel path for the one video
+    codec decodable offline; compressed codecs (H.264 etc.) remain
+    honestly out of scope. Scale shape: pure map over Arrow batches, no
+    shuffle, only sampled frames decoded."""
+    from .multimodal import video_frame_stats
+
+    vids = f(spark, "videos_avi").select("vid_id", "payload")
+    return video_frame_stats(vids, stride=2, max_frames=4)

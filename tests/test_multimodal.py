@@ -444,3 +444,109 @@ def test_video_meta_spark_truth_checked(spark):
                 tr["brand"], tr["width"], tr["height"], tr["n_tracks"]
             )
             assert abs(g["duration_ms"] - tr["duration_ms"]) < 1e-9
+
+
+# ---------------------------------------------------------------------
+# AVI / MJPEG video frame decode
+# ---------------------------------------------------------------------
+
+
+def test_avi_parse_recovers_generator_truth():
+    """Every decodable fixture container round-trips: header dims/fps/
+    frame count match generator truth and every frame JPEG-decodes to
+    the exact per-frame fingerprint; truncated containers fail whole."""
+    import hashlib
+
+    from sparkdu.fixtures import synth_avi_bytes
+    from sparkdu.multimodal import decode_jpeg, parse_avi
+
+    n_ok = n_trunc = 0
+    for vid in range(36):
+        payload, w, h, fps, nf, nc, means, shas = synth_avi_bytes(vid)
+        meta = parse_avi(payload)
+        if w is None:
+            assert meta is None
+            n_trunc += 1
+            continue
+        mw, mh, mfps, mn, frames = meta
+        assert (mw, mh, mn) == (w, h, nf)
+        assert abs(mfps - fps) < 1e-9
+        for k, fb in enumerate(frames):
+            px = decode_jpeg(fb)
+            assert px is not None
+            assert px.shape[:2] == (h, w) and px.shape[2] == nc
+            assert round(float(px.mean()), 6) == means[k]
+            assert hashlib.sha256(px.tobytes()).hexdigest()[:16] == shas[k]
+        n_ok += 1
+    assert n_ok >= 30 and n_trunc >= 3
+
+
+def test_avi_parse_rejects_malformed_containers():
+    """Size-validation paths: non-RIFF magic, RIFF size overrunning the
+    buffer, a chunk whose declared size overruns its parent LIST, and a
+    header/stream frame-count disagreement all fail to None — never a
+    partial frame list."""
+    from sparkdu.fixtures import synth_avi_bytes
+    from sparkdu.multimodal import parse_avi
+
+    payload = synth_avi_bytes(1)[0]
+    assert parse_avi(b"") is None
+    assert parse_avi(b"RIFX" + payload[4:]) is None
+    assert parse_avi(payload[:-7]) is None  # truncated tail
+    # corrupt a movi chunk size to overrun: find first 00dc and bump it
+    i = payload.find(b"00dc")
+    bad = bytearray(payload)
+    bad[i + 4:i + 8] = (2 ** 30).to_bytes(4, "little")
+    assert parse_avi(bytes(bad)) is None
+    # header/frame-count disagreement: avih dwTotalFrames += 1
+    j = payload.find(b"avih") + 8 + 16
+    bad2 = bytearray(payload)
+    bad2[j:j + 4] = (int.from_bytes(payload[j:j + 4], "little") + 1).to_bytes(
+        4, "little"
+    )
+    assert parse_avi(bytes(bad2)) is None
+
+
+def test_avi_riff_padding_skipped():
+    """Odd-sized JPEG chunks are followed by an uncounted pad byte; the
+    walker must skip it or every subsequent fourcc misaligns. The fixture
+    set contains odd-sized frames — prove at least one exists and that
+    parsing still sees every frame."""
+    from sparkdu.fixtures import synth_avi_bytes
+    from sparkdu.multimodal import parse_avi
+
+    saw_odd = False
+    for vid in range(1, 24):
+        payload, w, *_ = synth_avi_bytes(vid)
+        if w is None:
+            continue
+        meta = parse_avi(payload)
+        assert meta is not None
+        if any(len(fb) % 2 for fb in meta[4]):
+            saw_odd = True
+    assert saw_odd
+
+
+def test_video_frame_stats_spark_truth(spark):
+    """Spark-side sampled decode equals the generator truth arrays at the
+    sampled indices, and truncated containers contribute zero rows."""
+    from sparkdu.harness import fx
+    from sparkdu.multimodal import video_frame_stats
+
+    vids = spark.read.parquet(fx("videos_avi"))
+    out = video_frame_stats(vids.select("vid_id", "payload"),
+                            stride=3, max_frames=2).collect()
+    truth = {r["vid_id"]: r for r in vids.collect()}
+    expected = set()
+    for vid, r in truth.items():
+        if r["n_frames"] is None:
+            continue
+        for k in list(range(0, r["n_frames"], 3))[:2]:
+            expected.add((vid, k))
+    got = {(r["vid_id"], r["frame_idx"]) for r in out}
+    assert got == expected
+    for r in out:
+        tr = truth[r["vid_id"]]
+        assert r["px_mean"] == tr["frame_means"][r["frame_idx"]]
+        assert r["px_sha"] == tr["frame_shas"][r["frame_idx"]]
+        assert (r["width"], r["height"]) == (tr["width"], tr["height"])

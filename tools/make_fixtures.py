@@ -552,6 +552,47 @@ def make_videos() -> None:
     )
 
 
+def make_avis() -> None:
+    """videos_avi.parquet: RIFF/AVI containers whose '00dc' chunks are
+    complete baseline JPEGs (MJPEG) with generator-truth PER-FRAME
+    reconstruction stats — the video PIXEL decode path. Every 11th
+    payload is truncated inside movi with all-null truth: the decoder
+    must reject the whole container, never emit the frames before the
+    cut."""
+    a = {"vid_id": [], "payload": [], "width": [], "height": [],
+         "fps": [], "n_frames": [], "channels": [], "frame_means": [],
+         "frame_shas": []}
+    for i in range(80):
+        payload, w, h, fps, nf, nc, means, shas = fixtures.synth_avi_bytes(i)
+        a["vid_id"].append(i)
+        a["payload"].append(payload)
+        a["width"].append(w)
+        a["height"].append(h)
+        a["fps"].append(fps)
+        a["n_frames"].append(nf)
+        a["channels"].append(nc)
+        a["frame_means"].append(means)
+        a["frame_shas"].append(shas)
+    write(
+        "videos_avi.parquet",
+        pa.table(
+            {
+                "vid_id": pa.array(a["vid_id"], pa.int64()),
+                "payload": pa.array(a["payload"], pa.binary()),
+                "width": pa.array(a["width"], pa.int32()),
+                "height": pa.array(a["height"], pa.int32()),
+                "fps": pa.array(a["fps"], pa.float64()),
+                "n_frames": pa.array(a["n_frames"], pa.int32()),
+                "channels": pa.array(a["channels"], pa.int32()),
+                "frame_means": pa.array(a["frame_means"],
+                                        pa.list_(pa.float64())),
+                "frame_shas": pa.array(a["frame_shas"],
+                                       pa.list_(pa.string())),
+            }
+        ),
+    )
+
+
 if __name__ == "__main__":
     main()
     make_edges()
@@ -560,6 +601,7 @@ if __name__ == "__main__":
     make_images_gif()
     make_images_jpeg()
     make_videos()
+    make_avis()
     make_model_golden()
     make_model_golden("clf_v3_hi.json", "golden_extracted_model_v3.parquet")
     make_idf_table()
