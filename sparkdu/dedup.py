@@ -759,3 +759,68 @@ def semantic_dedup(emb: DataFrame, cents: list, threshold: float = 0.95) -> Data
             F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# Exact duplicated-substring spans (Lee et al. 2021, "Deduplicating
+# Training Data Makes Language Models Better"): any token window of
+# length l that occurs more than once in the corpus marks a duplicated
+# region; overlapping marked windows merge into maximal spans. The
+# suffix-array formulation is replaced by the distributed-native
+# l-gram-hash join — identical output for spans >= l tokens, which is
+# exactly the paper's match-length threshold.
+# ---------------------------------------------------------------------
+
+
+def duplicate_spans(docs: DataFrame, l: int = 8, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Maximal duplicated token spans per document, entirely JVM-side.
+
+    Recipe (cross-engine exact, mirrored by the DuckDB oracle): lowercase
+    + trim + whitespace-split; every l-token window keyed by md5 of its
+    space-joined tokens; windows whose hash occurs >1 time corpus-wide
+    are duplicated; per doc, marked windows sorted by position merge
+    while each starts within l tokens of the previous (their coverage
+    [pos, pos+l) stays contiguous). Output: (doc_id, span_start,
+    span_end, n_windows) with token-index spans, end exclusive.
+
+    Scale shape: the window table is O(total tokens) skinny rows; one
+    shuffle groups by gram hash (uniformly distributed — md5), a
+    hash-join marks duplicates, and the island merge shuffles on doc_id,
+    the same key every downstream per-doc op uses. No Python, no
+    all-pairs; hot grams (boilerplate repeated millions of times) cost
+    one reducer each only in the count phase, which AQE skew-split
+    handles since the count is algebraic."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    d = (
+        docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(id_col, toks.alias("tk"))
+        .filter(F.size("tk") >= l)
+    )
+    grams = d.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - (l - 1)),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("tk"), i, l))),
+            )
+        ).alias("pos", "gh"),
+    )
+    dup = grams.groupBy("gh").count().filter(F.col("count") > 1).select("gh")
+    marked = grams.join(dup, "gh", "left_semi").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    isl = (
+        marked.withColumn("prev", F.lag("pos").over(w))
+        .withColumn(
+            "new_isl",
+            F.when(
+                F.col("prev").isNull() | (F.col("pos") - F.col("prev") > l), 1
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("new_isl").over(w))
+    )
+    return isl.groupBy(id_col, "island").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") + l).cast("long").alias("span_end"),
+        F.count("*").alias("n_windows"),
+    ).select(id_col, "span_start", "span_end", "n_windows")

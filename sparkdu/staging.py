@@ -1739,3 +1739,46 @@ def mm_video_pixels(spark, sf_dir):
 
     vids = f(spark, "videos_avi").select("vid_id", "payload")
     return video_frame_stats(vids, stride=2, max_frames=4)
+
+
+@q(
+    "dedup_dup_spans",
+    """WITH d AS (
+         SELECT doc_id,
+                string_split_regex(trim(lower(text)), '\\s+') AS tk
+         FROM documents WHERE length(trim(text)) > 0
+       ),
+       grams AS (
+         SELECT doc_id, CAST(g.k - 1 AS INT) AS pos,
+                md5(array_to_string(list_slice(tk, g.k, g.k + 7), ' ')) AS gh
+         FROM d, LATERAL (SELECT unnest(range(1, len(tk) - 6)) AS k) g
+         WHERE len(tk) >= 8
+       ),
+       dup AS (SELECT gh FROM grams GROUP BY gh HAVING count(*) > 1),
+       marked AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gh)),
+       isl AS (
+         SELECT doc_id, pos,
+                sum(CASE WHEN prev IS NULL OR pos - prev > 8
+                         THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         FROM (SELECT doc_id, pos,
+                      lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                        AS prev
+               FROM marked)
+       )
+       SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+              CAST(max(pos) + 8 AS BIGINT) AS span_end,
+              CAST(count(*) AS BIGINT) AS n_windows
+       FROM isl GROUP BY doc_id, island""",
+)
+def dedup_dup_spans(spark, sf_dir):
+    """Exact duplicated-substring spans (Lee et al. 2021): every 8-token
+    window occurring more than once corpus-wide marks a duplicated
+    region; overlapping windows merge into maximal per-doc spans. The
+    distributed-native l-gram-hash-join replacement for the paper's
+    suffix array — identical output at the paper's >=l match threshold.
+    All JVM: split/slice/md5 HOFs, one shuffle per phase (gram count,
+    dup mark, doc-local island merge)."""
+    from .dedup import duplicate_spans
+
+    return duplicate_spans(t(spark, sf_dir, "documents"), l=8)

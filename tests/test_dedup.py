@@ -514,3 +514,65 @@ def test_semantic_dedup_high_entropy_keeps_everything(spark):
     assert emb.count() == len(r1)
     r2 = semantic_dedup(emb, cents, 0.99).orderBy("vec_id").collect()
     assert [tuple(r) for r in r1] == [tuple(r) for r in r2]
+
+
+# ---------------------------------------------------------------------
+# Exact duplicated-substring spans (Lee et al. 2021 analogue)
+# ---------------------------------------------------------------------
+
+
+def test_duplicate_spans_planted_passage(spark):
+    """A 12-token passage planted in two docs yields exactly one maximal
+    span per doc covering the passage; unique text yields nothing."""
+    from sparkdu.dedup import duplicate_spans
+
+    passage = " ".join(f"dup{i}" for i in range(12))
+    uniq_a = " ".join(f"ua{i}" for i in range(10))
+    uniq_b = " ".join(f"ub{i}" for i in range(7))
+    docs = spark.createDataFrame(
+        [
+            (0, f"{uniq_a} {passage} tail0a tail0b"),
+            (1, f"{passage} {uniq_b}"),
+            (2, "totally unique words " + " ".join(f"z{i}" for i in range(20))),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in duplicate_spans(docs, l=8).collect()}
+    assert set(out) == {0, 1}
+    # doc 0: passage occupies token indices [10, 22)
+    assert (out[0]["span_start"], out[0]["span_end"]) == (10, 22)
+    # doc 1: passage at the front, [0, 12)
+    assert (out[1]["span_start"], out[1]["span_end"]) == (0, 12)
+    # 12-token passage has 12-8+1 = 5 duplicated windows
+    assert out[0]["n_windows"] == 5 and out[1]["n_windows"] == 5
+
+
+def test_duplicate_spans_within_doc_and_merge(spark):
+    """Within-doc repetition counts as duplication (corpus-wide count>1),
+    and two separated duplicated regions stay two spans while touching
+    regions merge."""
+    from sparkdu.dedup import duplicate_spans
+
+    block = " ".join(f"r{i}" for i in range(8))
+    gap = " ".join(f"g{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(0, f"{block} {gap} {block}")],
+        "doc_id long, text string",
+    )
+    out = sorted(
+        duplicate_spans(docs, l=8).collect(), key=lambda r: r["span_start"]
+    )
+    assert [(r["span_start"], r["span_end"]) for r in out] == [(0, 8), (28, 36)]
+
+
+def test_duplicate_spans_whole_doc_dup(spark):
+    """Two identical docs are each covered by one full-length span."""
+    from sparkdu.dedup import duplicate_spans
+
+    text = " ".join(f"w{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(0, text), (1, text)], "doc_id long, text string"
+    )
+    for r in duplicate_spans(docs, l=8).collect():
+        assert (r["span_start"], r["span_end"]) == (0, 30)
+        assert r["n_windows"] == 23
