@@ -824,3 +824,68 @@ def duplicate_spans(docs: DataFrame, l: int = 8, id_col: str = "doc_id",
         (F.max("pos") + l).cast("long").alias("span_end"),
         F.count("*").alias("n_windows"),
     ).select(id_col, "span_start", "span_end", "n_windows")
+
+
+def span_dedup_rewrite(docs: DataFrame, l: int = 8, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Self-dedup rewrite (the second half of the Lee et al. recipe):
+    every duplicated l-gram keeps only its globally-first occurrence
+    (ordered by (doc_id, pos) — deterministic and engine-agnostic); all
+    later occurrences mark their windows redundant, redundant windows
+    merge into maximal spans, and each doc is reassembled WITHOUT the
+    covered tokens. Returns (doc_id, kept_text, n_tokens, n_removed).
+
+    Scale shape: same three shuffles as duplicate_spans plus a doc_id
+    join of the per-doc span list back onto the token arrays; the token
+    drop is an indexed JVM filter() HOF — no Python, no explode of the
+    full corpus for the rewrite."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        id_col, toks.alias("tk")
+    )
+    d = base.filter(F.size("tk") >= l)
+    grams = d.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - (l - 1)),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("tk"), i, l))),
+            )
+        ).alias("pos", "gh"),
+    )
+    wg = Window.partitionBy("gh").orderBy(id_col, "pos")
+    redundant = (
+        grams.withColumn("rn", F.row_number().over(wg))
+        .filter(F.col("rn") > 1)
+        .select(id_col, "pos")
+    )
+    wd = Window.partitionBy(id_col).orderBy("pos")
+    spans = (
+        redundant.withColumn("prev", F.lag("pos").over(wd))
+        .withColumn(
+            "new_isl",
+            F.when(
+                F.col("prev").isNull() | (F.col("pos") - F.col("prev") > l), 1
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("new_isl").over(wd))
+        .groupBy(id_col, "island")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + l).alias("e"))
+        .groupBy(id_col)
+        .agg(F.collect_list(F.struct("s", "e")).alias("spans"))
+    )
+    joined = base.join(spans, id_col, "left")
+    kept = F.when(F.col("spans").isNull(), F.col("tk")).otherwise(
+        F.filter(
+            F.col("tk"),
+            lambda x, i: ~F.exists(
+                F.col("spans"), lambda sp: (i >= sp["s"]) & (i < sp["e"])
+            ),
+        )
+    )
+    return joined.select(
+        id_col,
+        F.concat_ws(" ", kept).alias("kept_text"),
+        F.size("tk").cast("long").alias("n_tokens"),
+        (F.size("tk") - F.size(kept)).cast("long").alias("n_removed"),
+    )

@@ -1782,3 +1782,71 @@ def dedup_dup_spans(spark, sf_dir):
     from .dedup import duplicate_spans
 
     return duplicate_spans(t(spark, sf_dir, "documents"), l=8)
+
+
+@q(
+    "dedup_span_rewrite",
+    """WITH d AS (
+         SELECT doc_id,
+                string_split_regex(trim(lower(text)), '\\s+') AS tk
+         FROM documents WHERE length(trim(text)) > 0
+       ),
+       grams AS (
+         SELECT doc_id, CAST(g.k - 1 AS INT) AS pos,
+                md5(array_to_string(list_slice(tk, g.k, g.k + 7), ' ')) AS gh
+         FROM d, LATERAL (SELECT unnest(range(1, len(tk) - 6)) AS k) g
+         WHERE len(tk) >= 8
+       ),
+       red AS (
+         SELECT doc_id, pos FROM (
+           SELECT doc_id, pos,
+                  row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos)
+                    AS rn
+           FROM grams) WHERE rn > 1
+       ),
+       isl AS (
+         SELECT doc_id, pos,
+                sum(CASE WHEN prev IS NULL OR pos - prev > 8
+                         THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         FROM (SELECT doc_id, pos,
+                      lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                        AS prev
+               FROM red)
+       ),
+       spans AS (
+         SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
+         FROM isl GROUP BY doc_id, island
+       ),
+       toks AS (
+         SELECT doc_id, t.tok, CAST(t.i - 1 AS INT) AS idx
+         FROM d, LATERAL (SELECT unnest(tk) AS tok,
+                                 generate_subscripts(tk, 1) AS i) t
+       ),
+       keep AS (
+         SELECT tk2.doc_id, tk2.tok, tk2.idx
+         FROM toks tk2
+         WHERE NOT EXISTS (SELECT 1 FROM spans sp
+                           WHERE sp.doc_id = tk2.doc_id
+                             AND tk2.idx >= sp.s AND tk2.idx < sp.e)
+       )
+       SELECT d.doc_id,
+              coalesce((SELECT string_agg(tok, ' ' ORDER BY idx)
+                        FROM keep k WHERE k.doc_id = d.doc_id), '')
+                AS kept_text,
+              CAST(len(tk) AS BIGINT) AS n_tokens,
+              CAST(len(tk) - (SELECT count(*) FROM keep k
+                              WHERE k.doc_id = d.doc_id) AS BIGINT)
+                AS n_removed
+       FROM d""",
+)
+def dedup_span_rewrite(spark, sf_dir):
+    """Self-dedup rewrite (Lee et al. 2021, second half): duplicated
+    8-grams keep only the globally-first occurrence (ordered by
+    (doc_id, pos)); later occurrences merge into maximal spans whose
+    tokens are cut from the doc. The rewrite is an indexed filter() HOF
+    over the token array — the corpus is never re-exploded for
+    reassembly. Docs shorter than l pass through unchanged."""
+    from .dedup import span_dedup_rewrite
+
+    return span_dedup_rewrite(t(spark, sf_dir, "documents"), l=8)

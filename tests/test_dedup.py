@@ -576,3 +576,44 @@ def test_duplicate_spans_whole_doc_dup(spark):
     for r in duplicate_spans(docs, l=8).collect():
         assert (r["span_start"], r["span_end"]) == (0, 30)
         assert r["n_windows"] == 23
+
+
+def test_span_rewrite_first_occurrence_survives(spark):
+    """The globally-first copy of a duplicated passage (lowest (doc_id,
+    pos)) keeps its text; the later copy loses exactly the passage."""
+    from sparkdu.dedup import span_dedup_rewrite
+
+    passage = " ".join(f"dup{i}" for i in range(10))
+    pre = " ".join(f"pre{i}" for i in range(5))
+    docs = spark.createDataFrame(
+        [
+            (0, passage + " " + " ".join(f"a{i}" for i in range(6))),
+            (1, f"{pre} {passage}"),
+            (2, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in span_dedup_rewrite(docs, l=8).collect()}
+    assert out[0]["n_removed"] == 0  # first occurrence untouched
+    assert out[1]["n_removed"] == 10
+    assert out[1]["kept_text"] == pre
+    assert out[2]["n_removed"] == 0 and out[2]["kept_text"] == "short doc"
+    # token accounting holds
+    for r in out.values():
+        assert r["n_tokens"] - r["n_removed"] == len(
+            [w for w in r["kept_text"].split(" ") if w]
+        )
+
+
+def test_span_rewrite_idempotent_on_unique_corpus(spark):
+    """A high-entropy corpus with no repeated 8-gram comes back verbatim
+    (lowercased recipe aside — inputs here are already lowercase)."""
+    from sparkdu.dedup import span_dedup_rewrite
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(25))) for i in range(6)],
+        "doc_id long, text string",
+    )
+    for r in span_dedup_rewrite(docs, l=8).collect():
+        assert r["n_removed"] == 0
+        assert r["kept_text"].startswith(f"w{r['doc_id']}x0 ")
