@@ -1850,3 +1850,213 @@ def dedup_span_rewrite(spark, sf_dir):
     from .dedup import span_dedup_rewrite
 
     return span_dedup_rewrite(t(spark, sf_dir, "documents"), l=8)
+
+
+@q(
+    "text_topgram_frac",
+    """WITH toks AS (
+         SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+         WHERE len(string_split(text, ' ')) >= 3
+       ),
+       g2 AS (
+         SELECT doc_id, text,
+                unnest(list_transform(range(1, len(t)),
+                                      i -> array_to_string(t[i:i+1], ' ')))
+                  AS g
+         FROM toks
+       ),
+       g3 AS (
+         SELECT doc_id, text,
+                unnest(list_transform(range(1, len(t) - 1),
+                                      i -> array_to_string(t[i:i+2], ' ')))
+                  AS g
+         FROM toks
+       ),
+       top2 AS (
+         SELECT doc_id, g, c, text FROM (
+           SELECT doc_id, text, g, count(*) AS c,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY count(*) DESC, g) AS rn
+           FROM g2 GROUP BY doc_id, text, g) WHERE rn = 1
+       ),
+       top3 AS (
+         SELECT doc_id, g, c, text FROM (
+           SELECT doc_id, text, g, count(*) AS c,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY count(*) DESC, g) AS rn
+           FROM g3 GROUP BY doc_id, text, g) WHERE rn = 1
+       )
+       SELECT t2.doc_id,
+              round(t2.c * length(t2.g) * 1.0 / length(t2.text), 6)
+                AS top2_frac,
+              round(t3.c * length(t3.g) * 1.0 / length(t3.text), 6)
+                AS top3_frac
+       FROM top2 t2 JOIN top3 t3 USING (doc_id)""",
+)
+def text_topgram_frac(spark, sf_dir):
+    """Gopher quality signal: fraction of document characters covered by
+    occurrences of the single most frequent word bigram / trigram
+    (count x gram length / text length). The mode gram ties break
+    lexicographically so both engines agree. Shape at scale: explode ->
+    per-(doc, gram) count -> per-doc window top-1; all three phases key
+    on doc_id (the gram count composite-keys on it), so one logical
+    partitioning serves the whole plan and docs never cross-talk."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents").filter(
+        F.size(F.split("text", " ")) >= 3
+    ).select("doc_id", "text", F.split("text", " ").alias("t"))
+
+    def top_frac(n: int, out: str):
+        grams = docs.select(
+            "doc_id", "text",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, n)),
+                )
+            ).alias("g"),
+        )
+        w = Window.partitionBy("doc_id").orderBy(
+            F.col("c").desc(), F.col("g")
+        )
+        return (
+            grams.groupBy("doc_id", "text", "g").agg(F.count("*").alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "doc_id",
+                F.round(
+                    F.col("c") * F.length("g") * 1.0 / F.length("text"), 6
+                ).alias(out),
+            )
+        )
+
+    return top_frac(2, "top2_frac").join(top_frac(3, "top3_frac"), "doc_id")
+
+
+_BLOCKLIST = ["site3.example", "site11.example", "cdn.site5.example"]
+
+
+@q(
+    "filter_domain_blocklist",
+    f"""WITH p AS (
+          SELECT url,
+                 CASE WHEN length(url) % 2 = 0
+                      THEN 'cdn.' || regexp_extract(url, '://([^/]+)/', 1)
+                      ELSE regexp_extract(url, '://([^/]+)/', 1)
+                 END AS host
+          FROM read_parquet('{fx("pages")}')),
+        hosts AS (
+          SELECT url, host, string_split(host, '.') AS parts FROM p),
+        bl AS (SELECT * FROM (VALUES
+                 ('site3.example'), ('site11.example'),
+                 ('cdn.site5.example')) AS v(domain))
+        SELECT url, host FROM hosts h
+        WHERE NOT EXISTS (
+          SELECT 1 FROM bl,
+               LATERAL (SELECT unnest(list_transform(
+                          range(1, len(h.parts) + 1),
+                          i -> array_to_string(h.parts[i:len(h.parts)], '.')))
+                        AS sfx) s
+          WHERE s.sfx = bl.domain)""",
+)
+def filter_domain_blocklist(spark, sf_dir):
+    """UT1-style domain blocklist filter with parent-domain semantics: a
+    page is dropped when its host OR any parent domain appears in the
+    blocklist ('site3.example' blocks 'cdn.site3.example' too — the
+    registrable-domain suffix walk every crawl pipeline needs). Hosts
+    explode into their dot-suffix chain (max ~6 rows per page) and
+    left-anti join the broadcast blocklist; at 100 TB the blocklist
+    (UT1 is ~4M rows) still broadcasts, and no per-row regex list scan
+    ever happens. A synthetic 'cdn.' prefix on half the pages makes the
+    suffix (not just equality) path do real work against the fixture."""
+    pages = f(spark, "pages").select("url")
+    host = F.regexp_extract("url", "://([^/]+)/", 1)
+    p = pages.select(
+        "url",
+        F.when(F.length("url") % 2 == 0, F.concat(F.lit("cdn."), host))
+        .otherwise(host)
+        .alias("host"),
+    ).withColumn("parts", F.split("host", r"\."))
+    sfx = p.select(
+        "url", "host",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("parts")),
+                lambda i: F.array_join(
+                    F.slice(F.col("parts"), i, F.size("parts")), "."
+                ),
+            )
+        ).alias("sfx"),
+    )
+    bl = spark.createDataFrame([(d,) for d in _BLOCKLIST], "domain string")
+    blocked = sfx.join(
+        F.broadcast(bl), sfx.sfx == bl.domain, "left_semi"
+    ).select("url").distinct()
+    return p.join(blocked, "url", "left_anti").select("url", "host")
+
+
+@q(
+    "text_inverted_postings",
+    """SELECT tok AS token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+              list_sort(list(DISTINCT doc_id)) AS postings
+       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             FROM documents)
+       GROUP BY tok""",
+)
+def text_inverted_postings(spark, sf_dir):
+    """Inverted-index build: token -> sorted posting list + document
+    frequency. One explode + one shuffle on token; posting lists stay
+    sorted/deduped JVM-side (collect_set + sort_array). At 100 TB the
+    output is written bucketed by token so query-time lookups are
+    pruned scans; hot stopword tokens are the skew risk — their
+    postings are the rows a real deployment caps or tiers (documented,
+    not silently truncated here: the fixture vocabulary is small)."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    return toks.groupBy("token").agg(
+        F.count_distinct("doc_id").alias("df"),
+        F.sort_array(F.collect_set("doc_id")).alias("postings"),
+    )
+
+
+@q(
+    "text_boolean_search",
+    """WITH tf AS (
+         SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+               FROM documents)
+         GROUP BY doc_id, tok
+       )
+       SELECT t1.doc_id, (t1.c + t2.c) AS score
+       FROM (SELECT doc_id, c FROM tf WHERE tok = 'table') t1
+       JOIN (SELECT doc_id, c FROM tf WHERE tok = 'query') t2
+         USING (doc_id)
+       WHERE NOT EXISTS (SELECT 1 FROM tf b
+                         WHERE b.doc_id = t1.doc_id AND b.tok = 'stream')""",
+)
+def text_boolean_search(spark, sf_dir):
+    """Boolean retrieval over the exploded term-frequency table:
+    'table AND query AND NOT stream', scored by summed tf. Each positive
+    term is an equi-join on doc_id (postings intersection), the negative
+    term a left-anti join — the relational form of posting-list
+    intersect/subtract, which Catalyst turns into hash joins that AQE
+    can reorder. Term filters push into the tf scan so only matching
+    postings shuffle."""
+    docs = t(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    t1 = tf.filter(F.col("tok") == "table").select("doc_id", F.col("c").alias("c1"))
+    t2 = tf.filter(F.col("tok") == "query").select("doc_id", F.col("c").alias("c2"))
+    bad = tf.filter(F.col("tok") == "stream").select("doc_id")
+    return (
+        t1.join(t2, "doc_id")
+        .join(bad, "doc_id", "left_anti")
+        .select("doc_id", (F.col("c1") + F.col("c2")).alias("score"))
+    )
