@@ -58,6 +58,7 @@ import os
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def _snap_dir(out_dir: str) -> str:
@@ -267,3 +268,58 @@ def compact_partitions(spark: SparkSession, out_dir: str,
         "files_after": sum(len(v) for v in replaced.values()),
         "snapshot_id": sid,
     }
+
+
+def snapshot_diff(spark: SparkSession, out_dir: str, from_id: int,
+                  to_id: int, key_cols: list[str],
+                  value_cols: Optional[list[str]] = None) -> DataFrame:
+    """Row-level change feed between two committed snapshots (the
+    Iceberg/Delta CDC read shape): partitions whose file lists are
+    IDENTICAL in both manifests are pruned before any data is read —
+    at scale an incremental wave touches a handful of partitions and
+    the diff cost is proportional to the change, not the table. The
+    surviving partitions full-outer join on `key_cols`; rows only in
+    `to` are 'insert', only in `from` are 'delete', present in both
+    with a differing value fingerprint are 'update' (unchanged rows
+    drop out). Returns key columns + change_type."""
+    mf, mt = load_manifest(out_dir, from_id), load_manifest(out_dir, to_id)
+    if mf is None or mt is None:
+        raise ValueError("both snapshot ids must exist")
+    pf, pt = mf["partition_keys"], mt["partition_keys"]
+    changed = sorted(
+        k for k in set(pf) | set(pt) if pf.get(k, []) != pt.get(k, [])
+    )
+
+    def read_side(m, keys):
+        files = [os.path.join(out_dir, f)
+                 for k in keys for f in m["partition_keys"].get(k, [])]
+        if not files:
+            return None
+        return spark.read.option(
+            "basePath", os.path.join(out_dir, "extracted")
+        ).parquet(*files)
+
+    a = read_side(mf, changed)
+    b = read_side(mt, changed)
+    if a is None and b is None:
+        raise ValueError("no changed partitions between the two snapshots")
+    fp_cols = value_cols
+    if fp_cols is None:
+        probe = b if b is not None else a
+        fp_cols = [c for c in probe.columns
+                   if c not in key_cols and c != "partition_key"]
+    fp = F.sha2(F.to_json(F.struct(*[F.col(c) for c in sorted(fp_cols)])), 256)
+    if a is None:
+        return b.select(*key_cols).withColumn("change_type", F.lit("insert"))
+    if b is None:
+        return a.select(*key_cols).withColumn("change_type", F.lit("delete"))
+    av = a.select(*key_cols, fp.alias("_fp_a"))
+    bv = b.select(*key_cols, fp.alias("_fp_b"))
+    j = av.join(bv, key_cols, "full_outer")
+    return j.select(
+        *key_cols,
+        F.when(F.col("_fp_a").isNull(), "insert")
+        .when(F.col("_fp_b").isNull(), "delete")
+        .when(F.col("_fp_a") != F.col("_fp_b"), "update")
+        .alias("change_type"),
+    ).filter(F.col("change_type").isNotNull())

@@ -2060,3 +2060,46 @@ def text_boolean_search(spark, sf_dir):
         .join(bad, "doc_id", "left_anti")
         .select("doc_id", (F.col("c1") + F.col("c2")).alias("score"))
     )
+
+
+@q("snapshot_diff")  # rows-only: commit protocol + local tmp dir are engine-side
+def snapshot_diff(spark, sf_dir):
+    """Row-level CDC between consecutive snapshots: a 2-wave extract job
+    commits snapshot per wave; diffing 1 -> 2 must list exactly the
+    wave-2 urls as inserts (wave 1's partitions are untouched, so the
+    manifest-level pruning reads none of their files), and diffing a
+    snapshot against itself is empty. Returns (change_type, n) counts
+    plus the self-diff row."""
+    import tempfile
+
+    from . import snapshots as S
+    from .lineage import ExtractJobConfig, run_extract_job
+    from .tables import PAGES_SCHEMA
+
+    pages = (
+        spark.read.schema(PAGES_SCHEMA).parquet(fx("pages"))
+        .filter(F.pmod(F.xxhash64(F.concat(F.col("url"), F.lit("s"))), F.lit(4)) == 0)
+    )
+    d = tempfile.mkdtemp(prefix="sparkdu_cdc_")
+    try:
+        run_extract_job(spark, pages, ExtractJobConfig(
+            run_id="harness", out_dir=d, num_partitions=8, waves=2))
+        hist = [m["snapshot_id"] for m in S.snapshot_history(d)]
+        diff = S.snapshot_diff(spark, d, hist[0], hist[-1], ["url"])
+        counts = [
+            (r["change_type"], r["n"])
+            for r in diff.groupBy("change_type").agg(
+                F.count("*").alias("n")).collect()
+        ]
+        try:
+            S.snapshot_diff(spark, d, hist[-1], hist[-1], ["url"])
+            counts.append(("self_diff_rows", -1))  # should not happen
+        except ValueError:
+            counts.append(("self_diff_rows", 0))  # no changed partitions
+    finally:
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(counts, "change_type string, n long").orderBy(
+        "change_type"
+    )

@@ -268,3 +268,65 @@ def test_compaction_rewrites_small_files_preserving_history(spark, tmp_path):
     assert res["expired"] == 1 and res["deleted_files"] == 4
     assert len(g.glob(os.path.join(pdir, "*.parquet"))) == n_files_before_gc - 4
     assert S.read_snapshot(spark, out).count() == pages.count()
+
+
+def test_snapshot_diff_cdc(spark, tmp_path):
+    """CDC diff between wave snapshots: wave-2 urls appear as inserts,
+    untouched partitions are pruned at the manifest level (no files of
+    theirs read), updates are detected via the value fingerprint, and a
+    self-diff refuses with 'no changed partitions'."""
+    import os
+
+    import pytest as _pytest
+
+    from sparkdu import snapshots as S
+    from sparkdu.harness import fx
+    from sparkdu.lineage import ExtractJobConfig, run_extract_job
+    from sparkdu.tables import PAGES_SCHEMA
+    from pyspark.sql import functions as F
+
+    pages = (
+        spark.read.schema(PAGES_SCHEMA).parquet(fx("pages"))
+        .filter(F.pmod(F.xxhash64(F.concat(F.col("url"), F.lit("s"))), F.lit(4)) == 0)
+    )
+    d = str(tmp_path / "cdc")
+    run_extract_job(spark, pages, ExtractJobConfig(
+        run_id="t", out_dir=d, num_partitions=8, waves=2))
+    hist = S.snapshot_history(d)
+    s1, s2 = hist[0]["snapshot_id"], hist[-1]["snapshot_id"]
+
+    diff = S.snapshot_diff(spark, d, s1, s2, ["url"]).collect()
+    assert diff and all(r["change_type"] == "insert" for r in diff)
+    n1 = S.read_snapshot(spark, d, snapshot_id=s1).count()
+    n2 = S.read_snapshot(spark, d, snapshot_id=s2).count()
+    assert len(diff) == n2 - n1
+
+    # reverse direction: the same rows come back as deletes
+    rev = S.snapshot_diff(spark, d, s2, s1, ["url"]).collect()
+    assert len(rev) == len(diff)
+    assert all(r["change_type"] == "delete" for r in rev)
+
+    with _pytest.raises(ValueError, match="no changed partitions"):
+        S.snapshot_diff(spark, d, s2, s2, ["url"])
+
+    # update detection: rewrite one committed file with a mutated row,
+    # commit as a replace snapshot, and diff
+    m = S.load_manifest(d, s2)
+    pk, files = next((k, v) for k, v in m["partition_keys"].items() if v)
+    full = os.path.join(d, files[0])
+    part = spark.read.option(
+        "basePath", os.path.join(d, "extracted")).parquet(full)
+    mutated = part.withColumn(
+        "n_blocks",
+        F.when(F.col("url") == part.limit(1).collect()[0]["url"],
+               F.col("n_blocks") + 1).otherwise(F.col("n_blocks")),
+    ).drop("partition_key")
+    newdir = os.path.join(d, "extracted", f"partition_key={int(pk)}_v2")
+    mutated.coalesce(1).write.parquet(newdir)
+    newfiles = sorted(
+        os.path.relpath(os.path.join(newdir, f), d)
+        for f in os.listdir(newdir) if f.endswith(".parquet")
+    )
+    S.commit_replace_snapshot(d, "t", {pk: newfiles})
+    upd = S.snapshot_diff(spark, d, s2, s2 + 1, ["url"]).collect()
+    assert [r["change_type"] for r in upd].count("update") == 1
