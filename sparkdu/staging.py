@@ -2103,3 +2103,96 @@ def snapshot_diff(spark, sf_dir):
     return spark.createDataFrame(counts, "change_type string, n long").orderBy(
         "change_type"
     )
+
+
+@q(
+    "win_event_funnel",
+    """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+                  WHERE event_type = 'view' GROUP BY 1),
+        c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+              JOIN v ON v.user_id = e.user_id AND e.ts > v.t_view
+              WHERE e.event_type = 'click' GROUP BY 1),
+        p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+              JOIN c ON c.user_id = e.user_id AND e.ts > c.t_click
+              WHERE e.event_type = 'purchase' GROUP BY 1)
+       SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+              CAST(CASE WHEN p.t_purchase IS NOT NULL THEN 3
+                        WHEN c.t_click IS NOT NULL THEN 2
+                        ELSE 1 END AS INT) AS stage
+       FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""",
+)
+def win_event_funnel(spark, sf_dir):
+    """Ordered funnel detection (the MATCH_RECOGNIZE-shaped analytics
+    op): earliest view, then earliest click strictly after it, then
+    earliest purchase strictly after that, per user; stage = how far the
+    user got. Three min-aggregations all keyed on user_id — one logical
+    partitioning serves the chain, and every timestamp in the output is
+    a selected (never computed) value, so engines agree exactly."""
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id", "t_view", "t_click", "t_purchase",
+            F.when(F.col("t_purchase").isNotNull(), 3)
+            .when(F.col("t_click").isNotNull(), 2)
+            .otherwise(1)
+            .cast("int")
+            .alias("stage"),
+        )
+    )
+
+
+@q(
+    "layout_zorder",
+    """SELECT doc_id,
+              CAST(list_sum(list_transform(range(0, 16), i ->
+                     (((doc_id & 65535) >> i & 1) << (2 * i))
+                     + (((n_chars & 65535) >> i & 1) << (2 * i + 1))))
+                   AS BIGINT) AS zvalue
+       FROM documents""",
+)
+def layout_zorder(spark, sf_dir):
+    """Z-order (Morton) interleave of two 16-bit key columns — the
+    multi-dimensional clustering value behind Delta OPTIMIZE ZORDER /
+    Iceberg sort orders: range-partitioning output files by zvalue
+    co-locates rows close in BOTH dimensions, so min/max file stats
+    prune scans filtered on either column. Pure integer bit arithmetic
+    via an aggregate() HOF — exact on every engine, no UDF. At 100 TB
+    this is the write-side sort key; the pruning benefit is the
+    read-side file-skip rate."""
+    docs = t(spark, sf_dir, "documents")
+
+    def bit_term(colname, i, off):
+        # shiftleft/shiftright take only literal bit counts, so the
+        # variable shifts become exact power-of-two float arithmetic
+        # (all values < 2^33 — doubles are exact there on every engine)
+        b = F.floor(
+            F.col(colname).bitwiseAND(65535) / F.pow(F.lit(2.0), i)
+        ).cast("long") % 2
+        return (b.cast("double") * F.pow(F.lit(2.0), i * 2 + off)).cast("long")
+
+    z = F.aggregate(
+        F.sequence(F.lit(0), F.lit(15)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc + bit_term("doc_id", i, 0)
+        + bit_term("n_chars", i, 1),
+    )
+    return docs.select("doc_id", z.cast("long").alias("zvalue"))
