@@ -195,3 +195,39 @@ def test_image_decode_is_pure_python_map(spark):
     plan = _plan(image_pixel_stats(f(spark, "images_px").select("img_id", "payload")))
     assert not re.findall(r"\(\d+\) Exchange", plan)
     assert plan.count("MapInPandas") + plan.count("ArrowEvalPython") >= 1
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """Bucketed write + bucket-aware read: two tables bucketed by the
+    join key on the same bucket count sort-merge join with ZERO
+    Exchange — the co-located-join layout for repeated 100 TB joins
+    (pay the shuffle once at write time, never again per query)."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    # warehouse dir is a static conf — unique table names + DROP in the
+    # session default warehouse instead
+    a = f"ba_{uuid.uuid4().hex[:8]}"
+    b = f"bb_{uuid.uuid4().hex[:8]}"
+    try:
+        spark.range(10_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+        ).write.bucketBy(8, "k").sortBy("k").saveAsTable(a)
+        spark.range(5_000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
+        ).write.bucketBy(8, "k").sortBy("k").saveAsTable(b)
+        # disable broadcast so the join would otherwise need a shuffle
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = (
+            spark.table(a).join(spark.table(b), "k")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        n = spark.table(a).join(spark.table(b), "k").count()
+        assert n == 5_000
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql(f"DROP TABLE IF EXISTS {a}")
+        spark.sql(f"DROP TABLE IF EXISTS {b}")
