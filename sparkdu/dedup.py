@@ -827,7 +827,8 @@ def duplicate_spans(docs: DataFrame, l: int = 8, id_col: str = "doc_id",
 
 
 def span_dedup_rewrite(docs: DataFrame, l: int = 8, id_col: str = "doc_id",
-                       text_col: str = "text") -> DataFrame:
+                       text_col: str = "text",
+                       lowercase: bool = True) -> DataFrame:
     """Self-dedup rewrite (the second half of the Lee et al. recipe):
     every duplicated l-gram keeps only its globally-first occurrence
     (ordered by (doc_id, pos) — deterministic and engine-agnostic); all
@@ -838,8 +839,12 @@ def span_dedup_rewrite(docs: DataFrame, l: int = 8, id_col: str = "doc_id",
     Scale shape: same three shuffles as duplicate_spans plus a doc_id
     join of the per-doc span list back onto the token arrays; the token
     drop is an indexed JVM filter() HOF — no Python, no explode of the
-    full corpus for the rewrite."""
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    full corpus for the rewrite. lowercase=False matches grams
+    case-sensitively AND preserves original token casing in kept_text
+    (the curate-pipeline mode — rewritten docs keep their text, minus
+    the cut spans)."""
+    base_txt = F.trim(F.col(text_col))
+    toks = F.split(F.lower(base_txt) if lowercase else base_txt, r"\s+")
     base = docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
         id_col, toks.alias("tk")
     )

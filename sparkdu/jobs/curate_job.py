@@ -33,7 +33,8 @@ MAX_TEXT_CHARS = 4000  # LSH signature prefix — routing MUST use the same valu
 
 def curate(spark: SparkSession, pages: DataFrame, min_quality: float = 0.35,
            min_chars: int = 200, jaccard_bands: int = 8,
-           cc_clusters: bool = False) -> dict[str, DataFrame]:
+           cc_clusters: bool = False,
+           span_dedup: bool = False) -> dict[str, DataFrame]:
     from sparkdu.api import ExtractConfig, extract_pages
     from sparkdu.dedup import minhash_lsh_pairs
 
@@ -142,6 +143,24 @@ def curate(spark: SparkSession, pages: DataFrame, min_quality: float = 0.35,
         drop = pairs.select(F.col("b_id").alias("url")).distinct().cache()
     curated = long_docs.join(drop, "url", "left_anti").unionByName(short_kept)
 
+    if span_dedup:
+        # exact-substring pass on the fuzzy-deduped survivors (the
+        # RefinedWeb ordering): duplicated >=8-token spans keep only
+        # their globally-first occurrence; later copies are cut from the
+        # text. Case-preserving mode — the rewrite edits docs, it does
+        # not normalize them.
+        from sparkdu.dedup import span_dedup_rewrite
+
+        rew = span_dedup_rewrite(
+            curated, l=8, id_col="url", text_col="extracted_text",
+            lowercase=False,
+        )
+        curated = (
+            curated.drop("extracted_text")
+            .join(rew, "url")
+            .withColumnRenamed("kept_text", "extracted_text")
+        )
+
     return {"extracted": extracted, "scored": scored, "kept": kept,
             "exact_deduped": exact_deduped, "short_docs": short,
             "short_kept": short_kept, "curated": curated,
@@ -160,6 +179,8 @@ def main(argv=None) -> None:
     ap.add_argument("--master", default=None)
     ap.add_argument("--cc", action="store_true",
                     help="cluster-canonical near-dup policy (connected components)")
+    ap.add_argument("--span-dedup", action="store_true",
+                    help="exact duplicated-substring rewrite on the survivors")
     args = ap.parse_args(argv)
 
     from sparkdu.session import get_spark
@@ -169,7 +190,7 @@ def main(argv=None) -> None:
     pages = spark.read.schema(PAGES_SCHEMA).parquet(args.input)
     t0 = time.time()
     stages = curate(spark, pages, min_quality=args.min_quality,
-                    cc_clusters=args.cc)
+                    cc_clusters=args.cc, span_dedup=args.span_dedup)
     lsh_stats = stages.pop("_lsh_stats")
     cached = stages.pop("_cached")
 

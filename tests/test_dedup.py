@@ -617,3 +617,32 @@ def test_span_rewrite_idempotent_on_unique_corpus(spark):
     for r in span_dedup_rewrite(docs, l=8).collect():
         assert r["n_removed"] == 0
         assert r["kept_text"].startswith(f"w{r['doc_id']}x0 ")
+
+
+def test_curate_span_dedup_stage(spark):
+    """--span-dedup curate mode: survivor count is unchanged (the stage
+    rewrites, never drops), removal totals are consistent, and with
+    lowercase=False the surviving text keeps its original casing."""
+    from sparkdu.harness import f
+    from sparkdu.jobs.curate_job import curate
+
+    pages = f(spark, "pages").limit(200)
+    plain = curate(spark, pages)
+    withspans = curate(spark, pages, span_dedup=True)
+    try:
+        base = {r["url"]: r["extracted_text"]
+                for r in plain["curated"].collect()}
+        rew = {r["url"]: r for r in withspans["curated"].collect()}
+        assert set(base) == set(rew)
+        changed = 0
+        for url, r in rew.items():
+            assert r["n_removed"] >= 0
+            if r["n_removed"] > 0:
+                changed += 1
+                assert len(r["extracted_text"]) < len(base[url])
+            else:
+                # whitespace-collapse aside, unchanged docs keep their text
+                assert r["extracted_text"] == " ".join(base[url].split())
+    finally:
+        for c in plain["_cached"] + withspans["_cached"]:
+            c.unpersist()
