@@ -2196,3 +2196,94 @@ def layout_zorder(spark, sf_dir):
         + bit_term("n_chars", i, 1),
     )
     return docs.select("doc_id", z.cast("long").alias("zvalue"))
+
+
+@q(
+    "text_chunk_windows",
+    """WITH d AS (
+         SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+         WHERE len(string_split(text, ' ')) >= 1
+       )
+       SELECT doc_id, CAST(g.k AS INT) AS chunk_idx,
+              CAST((g.k * 24) AS BIGINT) AS tok_start,
+              CAST(least(g.k * 24 + 32, len(tk)) AS BIGINT) AS tok_end,
+              array_to_string(
+                list_slice(tk, g.k * 24 + 1,
+                           least(g.k * 24 + 32, len(tk))), ' ') AS chunk
+       FROM d, LATERAL (SELECT unnest(range(0,
+                 greatest((len(tk) - 32 + 23) // 24, 0) + 1)) AS k) g""",
+)
+def text_chunk_windows(spark, sf_dir):
+    """RAG-style overlapping chunker: 32-token windows advancing by 24
+    (8-token overlap), final partial chunk kept, token offsets carried so
+    chunks map back into the source. All sequence/slice HOFs — a pure
+    map, no shuffle, no Python; the explode multiplies rows ~len/stride,
+    the write-side cost every embedding pipeline pays anyway. Chunk
+    count = floor((len-32+23)/24)+1 clamped at >=1 so short docs yield
+    exactly one chunk."""
+    W, S = 32, 24
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("tk")
+    ).filter(F.size("tk") >= 1)
+    n_chunks = F.greatest(
+        F.floor((F.size("tk") - W + (S - 1)) / S).cast("int"), F.lit(0)
+    ) + 1
+    return docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), n_chunks),
+                lambda i: F.struct(
+                    ((i - 1) * S).cast("long").alias("tok_start"),
+                    F.least((i - 1) * S + W, F.size("tk"))
+                    .cast("long").alias("tok_end"),
+                    F.concat_ws(
+                        " ",
+                        F.slice(
+                            F.col("tk"), (i - 1) * S + 1,
+                            F.least(
+                                F.lit(W), F.size("tk") - (i - 1) * S
+                            ),
+                        ),
+                    ).alias("chunk"),
+                ),
+            )
+        ).alias("chunk_idx", "c"),
+    ).select(
+        "doc_id", F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("c.tok_start").alias("tok_start"),
+        F.col("c.tok_end").alias("tok_end"),
+        F.col("c.chunk").alias("chunk"),
+    )
+
+
+@q(
+    "split_domain_disjoint",
+    f"""SELECT url, host,
+               CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM (SELECT url, host,
+                     CAST(('0x' || substr(md5(host || '|split-salt'), 1, 8))
+                          AS BIGINT) % 100 AS b
+              FROM (SELECT url, regexp_extract(url, '://([^/]+)/', 1) AS host
+                    FROM read_parquet('{fx("pages")}')))""",
+)
+def split_domain_disjoint(spark, sf_dir):
+    """Leakage-guarded train/valid/test split: the bucket key is the
+    DOMAIN hash (first 8 hex digits of md5(host|salt) mod 100, identical
+    in both engines), never the page hash — so near-duplicate pages from
+    one site can never straddle train and test, the classic web-corpus
+    eval leak. Content-stable: corpus growth or repartitioning never
+    moves an existing domain. Pure map, fuses into any scan; the
+    all-pages-of-a-domain-agree invariant is pytest-gated."""
+    pages = f(spark, "pages").select("url")
+    host = F.regexp_extract("url", "://([^/]+)/", 1)
+    b = (
+        F.conv(F.substring(F.md5(F.concat(host, F.lit("|split-salt"))), 1, 8),
+               16, 10).cast("long") % 100
+    )
+    return pages.select(
+        "url", host.alias("host"),
+        F.when(b < 80, "train").when(b < 90, "valid").otherwise("test")
+        .alias("split"),
+    )

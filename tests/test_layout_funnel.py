@@ -87,3 +87,63 @@ def test_zorder_locality_beats_single_column_sort(spark):
     # doc_id order leaves n_chars ranges near-full-width per chunk;
     # z-order must cut the total spread at least 4x
     assert z_spread * 4 <= id_spread, (z_spread, id_spread)
+
+
+def test_chunker_covers_every_token_with_overlap(spark):
+    """Chunk windows tile each doc completely: starts advance by the
+    stride, consecutive chunks overlap by W-S tokens, the final chunk
+    ends exactly at len, and reassembling non-overlap regions
+    reconstructs the doc."""
+    from sparkdu.staging import text_chunk_windows
+
+    import sparkdu.staging as st
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(f"t{i}" for i in range(100))),   # multiple chunks
+         (1, " ".join(f"s{i}" for i in range(32))),    # exactly one window
+         (2, "tiny doc"),                              # sub-window
+         (3, " ".join(f"u{i}" for i in range(33)))],   # one full + partial
+        "doc_id long, text string",
+    )
+    orig = st.t
+    st.t = lambda s, d, name: docs
+    try:
+        rows = text_chunk_windows(spark, "x").collect()
+    finally:
+        st.t = orig
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        n_toks = len(docs.collect()[doc_id]["text"].split(" "))
+        assert chunks[0]["tok_start"] == 0
+        assert chunks[-1]["tok_end"] == n_toks
+        for a, b in zip(chunks, chunks[1:]):
+            assert b["tok_start"] - a["tok_start"] == 24  # stride
+            assert a["tok_end"] > b["tok_start"]          # overlap
+        # non-overlap reassembly: take [tok_start, next.tok_start) slices
+        toks = []
+        for i, c in enumerate(chunks):
+            words = c["chunk"].split(" ")
+            upto = (chunks[i + 1]["tok_start"] - c["tok_start"]
+                    if i + 1 < len(chunks) else len(words))
+            toks.extend(words[:upto])
+        assert " ".join(toks) == docs.collect()[doc_id]["text"]
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk"] == "tiny doc"
+    assert len(by_doc[1]) == 1 and len(by_doc[3]) == 2
+
+
+def test_domain_split_no_leakage(spark):
+    """Every page of a domain lands in the same split (the anti-leak
+    invariant) and all three splits are populated at fixture scale."""
+    from sparkdu.staging import split_domain_disjoint
+
+    out = split_domain_disjoint(spark, "x")
+    per_host = out.groupBy("host").agg(
+        __import__("pyspark").sql.functions.count_distinct("split").alias("k")
+    ).collect()
+    assert per_host and all(r["k"] == 1 for r in per_host)
+    splits = {r["split"] for r in out.select("split").distinct().collect()}
+    assert splits == {"train", "valid", "test"}
