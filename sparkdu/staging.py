@@ -2287,3 +2287,35 @@ def split_domain_disjoint(spark, sf_dir):
         F.when(b < 80, "train").when(b < 90, "valid").otherwise("test")
         .alias("split"),
     )
+
+
+@q("sketch_countmin")  # rows-only: sketch bytes are engine-internal
+def sketch_countmin(spark, sf_dir):
+    """Count-min frequency sketch over the token stream (the mergeable
+    heavy-hitter structure for 10^12-token streams where an exact
+    per-token groupBy is the thing you're avoiding): one JVM aggregation
+    produces the sketch; per-key estimates are read from the merged
+    ~KB-sized result driver-side. Returns (token, exact, estimate) for
+    the exact top-10 tokens — the over-estimate-only guarantee
+    (estimate >= exact, within eps*N with prob 1-delta) is both
+    pytest-gated and visible in the output. Mergeability (sketch(A) ++
+    sketch(B) == sketch(A ∪ B) estimates) is pytest-gated too."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    sk = toks.agg(
+        F.count_min_sketch("tok", F.lit(0.0001), F.lit(0.99), F.lit(42))
+        .alias("s")
+    ).collect()[0]["s"]
+    jvm = spark._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytes(sk))
+    )
+    top = (
+        toks.groupBy("tok").count()
+        .orderBy(F.col("count").desc(), "tok").limit(10).collect()
+    )
+    rows = [(r["tok"], r["count"], int(cms.estimateCount(r["tok"])))
+            for r in top]
+    return spark.createDataFrame(
+        rows, "token string, exact long, estimate long"
+    ).orderBy(F.col("exact").desc(), "token")

@@ -646,3 +646,46 @@ def test_curate_span_dedup_stage(spark):
     finally:
         for c in plain["_cached"] + withspans["_cached"]:
             c.unpersist()
+
+
+def test_countmin_overestimate_and_merge(spark):
+    """CMS guarantees: estimate >= exact for every key, the top-key
+    estimates are within eps*N, and two half-corpus sketches merged via
+    the JVM API give the same estimates as the single full sketch."""
+    from pyspark.sql import functions as F
+
+    from sparkdu.harness import f
+
+    toks = f(spark, "pages").select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
+    ).filter(F.length("tok") > 0).cache()
+    try:
+        n = toks.count()
+        eps = 0.0001
+        args = (F.lit(eps), F.lit(0.99), F.lit(7))
+
+        def sketch(df):
+            b = df.agg(F.count_min_sketch("tok", *args).alias("s")).collect()
+            jvm = spark._jvm
+            return jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+                jvm.java.io.ByteArrayInputStream(bytes(b[0]["s"]))
+            )
+
+        full = sketch(toks)
+        exact = {r["tok"]: r["count"] for r in
+                 toks.groupBy("tok").count().orderBy(
+                     F.col("count").desc()).limit(20).collect()}
+        for tok, c in exact.items():
+            est = full.estimateCount(tok)
+            assert est >= c, (tok, est, c)
+            assert est <= c + eps * n * 3, (tok, est, c, n)
+
+        h = F.pmod(F.xxhash64("tok"), F.lit(2))
+        a = sketch(toks.filter(h == 0))
+        b = sketch(toks.filter(h == 1))
+        a.mergeInPlace(b)
+        assert a.totalCount() == full.totalCount()
+        for tok in exact:
+            assert a.estimateCount(tok) == full.estimateCount(tok), tok
+    finally:
+        toks.unpersist()
