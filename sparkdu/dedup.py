@@ -894,3 +894,123 @@ def span_dedup_rewrite(docs: DataFrame, l: int = 8, id_col: str = "doc_id",
         F.size("tk").cast("long").alias("n_tokens"),
         (F.size("tk") - F.size(kept)).cast("long").alias("n_removed"),
     )
+
+
+def ann_ivfpq_topk(emb: DataFrame, dim: int, coarse_k: int = 8,
+                   nprobe: int = 2, m: int = 4, ksub: int = 16,
+                   n_queries: int = 3, k: int = 10,
+                   rerank: int = 0) -> DataFrame:
+    """IVF-PQ — the production 10^12-vector retrieval shape (FAISS
+    IndexIVFPQ, public method): a coarse quantizer confines search to
+    `nprobe` probed cells, and within them asymmetric PQ distances are
+    computed on RESIDUALS (x - coarse_centroid), which quantize far
+    better than raw vectors. Both fits reuse the deterministic Lloyd's
+    iterations (frozen-artifact two-phase rule: at scale fit on a
+    sample, freeze, assign in one pass). Search cost: |corpus| x
+    nprobe/coarse_k code reads, zero fp32 database reads; rerank > 0
+    re-scores the ADC shortlist on exact fp32 via a broadcast join.
+
+    At scale the coded table is written partitioned by cell, so a probe
+    is partition pruning; here cells are computed inline."""
+    cents = ivf_fit(emb, dim, k=coarse_k)
+    assigned = with_ivf_cell(emb, cents)
+    cent_arr = _book_lit(cents)
+    resid = F.zip_with(
+        "embedding",
+        F.element_at(cent_arr, F.col("cell") + 1),
+        lambda a, b: a.cast("double") - b,
+    )
+    rtab = assigned.select("vec_id", "cell", resid.alias("embedding"))
+    books = pq_fit(rtab, dim, m=m, ksub=ksub)
+    coded = pq_encode(rtab, books).select("vec_id", "cell", "codes")
+
+    # query side: nprobe nearest coarse cells (same half-norm argmax),
+    # one row per (query, probed cell) with the per-cell residual query
+    qscores = []
+    for c in cents:
+        half = sum(v * v for v in c) / 2.0
+        qscores.append(_dot("embedding", c) - F.lit(half))
+    qarr = F.array(*qscores)
+    probed = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            F.explode(
+                F.slice(
+                    F.transform(
+                        F.array_sort(
+                            F.zip_with(
+                                qarr,
+                                F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+                                lambda s, i: F.struct(
+                                    (-s).alias("neg"), i.alias("cell")
+                                ),
+                            )
+                        ),
+                        lambda st: st["cell"],
+                    ),
+                    1, nprobe,
+                )
+            ).alias("cell"),
+        )
+        .withColumn(
+            "q_resid",
+            F.zip_with(
+                "q_emb",
+                F.element_at(cent_arr, F.col("cell") + 1),
+                lambda a, b: a.cast("double") - b,
+            ),
+        )
+    )
+    # ADC inside probed cells only: equi-join on cell (partition pruning
+    # at scale), residual query vs residual codes
+    dsub = dim // m
+    cand = F.broadcast(probed).join(coded, "cell").filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    dist = None
+    for j, cbook in enumerate(books):
+        cent = F.element_at(_book_lit(cbook), F.col("codes").getItem(j) + 1)
+        qslice = F.slice("q_resid", j * dsub + 1, dsub)
+        d = F.aggregate(
+            F.zip_with(qslice, cent, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        dist = d if dist is None else dist + d
+    scored = cand.select("q_id", "q_emb", "vec_id",
+                         F.round(dist, 6).alias("adc_dist"))
+    w = Window.partitionBy("q_id").orderBy(F.col("adc_dist").asc(), "vec_id")
+    if not rerank:
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(f"rk <= {k}")
+            .select("q_id", "vec_id", "adc_dist")
+        )
+    shortlist = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(f"rk <= {rerank}")
+        .select("q_id", "q_emb", "vec_id")
+    )
+    exact = F.broadcast(shortlist).join(emb, "vec_id").select(
+        "q_id", "vec_id",
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("q_emb"), F.col("embedding"),
+                    lambda a, b: (a.cast("double") - b.cast("double"))
+                    * (a.cast("double") - b.cast("double")),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("dist"),
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), "vec_id")
+    return (
+        exact.withColumn("rk", F.row_number().over(w2))
+        .filter(f"rk <= {k}")
+        .select("q_id", "vec_id", "dist")
+    )

@@ -2319,3 +2319,20 @@ def sketch_countmin(spark, sf_dir):
     return spark.createDataFrame(
         rows, "token string, exact long, estimate long"
     ).orderBy(F.col("exact").desc(), "token")
+
+
+@q("sim_ann_ivfpq")  # rows-only: codebooks come from iterative k-means fits
+def sim_ann_ivfpq(spark, sf_dir):
+    """IVF-PQ ANN (FAISS IndexIVFPQ shape, public method): coarse
+    quantizer -> nprobe cell probe -> asymmetric PQ distances on
+    RESIDUALS within probed cells only -> exact fp32 rerank of the
+    shortlist. The full-corpus scan reads nprobe/coarse_k of the codes
+    and zero fp32 vectors; at 10^12 vectors the coded table is
+    partitioned by cell so a probe is partition pruning. Recall vs brute
+    force and the residual-beats-raw quantization property are
+    pytest-gated (tests/test_dedup.py)."""
+    from .dedup import ann_ivfpq_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    return ann_ivfpq_topk(e, dim=64, coarse_k=8, nprobe=4, m=4, ksub=16,
+                          n_queries=3, k=10, rerank=50)
