@@ -985,3 +985,29 @@ def synth_avi_bytes(vid_id: int) -> tuple:
         cut = payload.find(b"movi") + 4 + len(movi_body) // 2
         return payload[:cut], None, None, None, None, None, None, None
     return payload, w, h, fps, n_frames, channels, means, shas
+
+
+# ---------------------------------------------------------------------------
+# link graph fixture (crawl hyperlink analogue) — deterministic, host-skewed
+# ---------------------------------------------------------------------------
+
+def gen_links(urls: list) -> list:
+    """Deterministic crawl-style link edges (src_url, dst_host, nofollow).
+
+    Models the hyperlink graph a Common-Crawl pipeline derives from WAT
+    records: each page emits 1-6 out-links whose destination host follows a
+    quadratic preferential skew (low-numbered sites are hubs — site0 draws
+    ~sqrt-share of all links), plus ~10% rel=nofollow edges a ranking job
+    must drop. Seeded per-source-url so any url subset regenerates the same
+    edges (shard-stable, like every other fixture generator here).
+    """
+    import random as _random
+
+    n_hosts = 20
+    out = []
+    for u in sorted(urls):
+        rng = _random.Random(f"links|{u}")
+        for _ in range(1 + rng.randrange(6)):
+            dst = f"site{int(n_hosts * rng.random() ** 2.5)}.example"
+            out.append((u, dst, rng.random() < 0.10))
+    return out

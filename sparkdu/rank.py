@@ -1,0 +1,76 @@
+"""Host-graph PageRank over crawl link edges.
+
+The link-authority signal a web corpus pipeline derives from WAT-style
+link records (upstream locus: TranskribusDU has no link graph — this is
+training-data-pipeline surface, like dedup/quality; the algorithm is the
+public Page et al. 1999 formulation with uniform teleport).
+
+Scale shape (10^12 edges): the per-iteration work is one shuffle — edges
+joined to ranks on src (both sides pre-partitioned on src, so co-located
+after the first iteration), contributions aggregated on dst. The rank
+table is |hosts| rows (~10^8 at web scale), orders of magnitude smaller
+than the edge table; edges are read once, cached, and re-partitioned on
+src exactly once. Dangling mass (hosts with no out-links) is folded back
+uniformly each iteration so the ranks stay a probability distribution —
+computed as 1 - sum(contributed mass), a single scalar agg on the small
+rank table, not a scan of the edge table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pagerank(edges: DataFrame, damping: float = 0.85, iters: int = 20,
+             src: str = "src", dst: str = "dst") -> DataFrame:
+    """Iterate r' = (1-d)/N + d * (M r + dangling/N) for `iters` rounds.
+
+    `edges` rows are directed (src, dst) pairs; parallel edges act as
+    weight (a host linking twice contributes twice the mass share).
+    Returns (host, rank) with ranks summing to 1.
+    """
+    spark = edges.sparkSession
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("host"))
+        .union(e.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    # weighted out-degree once, up front; per-edge share = w / outdeg
+    w = e.groupBy("src", "dst").agg(F.count("*").alias("w"))
+    outdeg = w.groupBy("src").agg(F.sum("w").alias("outdeg"))
+    share = (
+        w.join(outdeg, "src")
+        .select("src", "dst", (F.col("w") / F.col("outdeg")).alias("share"))
+        .repartition("src")
+        .cache()
+    )
+    n_nodes = nodes.count()
+
+    ranks = nodes.select("host", F.lit(1.0 / n_nodes).alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            share.join(ranks, share.src == ranks.host)
+            .groupBy("dst")
+            .agg(F.sum(F.col("share") * F.col("rank")).alias("c"))
+        )
+        new = nodes.join(
+            contrib, nodes.host == contrib.dst, "left"
+        ).select("host", F.coalesce("c", F.lit(0.0)).alias("c"))
+        # dangling + numeric-drift mass: whatever of d's share didn't land
+        dangling = new.agg(
+            (F.lit(damping) * (1.0 - F.sum("c"))).alias("m")
+        )
+        ranks = new.crossJoin(F.broadcast(dangling)).select(
+            "host",
+            (
+                F.lit((1.0 - damping) / n_nodes)
+                + F.lit(damping) * F.col("c")
+                + F.col("m") / n_nodes
+            ).alias("rank"),
+        )
+        # cut the lineage each round: 20 chained joins would otherwise
+        # build a plan Catalyst re-analyzes quadratically (and at scale,
+        # recomputes); localCheckpoint materializes the small rank table
+        ranks = ranks.localCheckpoint(eager=False)
+    return ranks

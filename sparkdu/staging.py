@@ -2336,3 +2336,261 @@ def sim_ann_ivfpq(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
     return ann_ivfpq_topk(e, dim=64, coarse_k=8, nprobe=4, m=4, ksub=16,
                           n_queries=3, k=10, rerank=50)
+
+
+@q(
+    "corpus_links",
+    f"""SELECT url, href, anchor,
+               CASE WHEN href LIKE '/%'
+                    THEN regexp_extract(url, '^(https?://[^/]+)', 1) || href
+                    ELSE href END AS dst_abs
+        FROM (SELECT url, unnest(regexp_extract_all(
+                       decode(html), '<a href="[^"]*"[^>]*>[^<]*</a>')) AS a
+              FROM read_parquet('{fx("pages")}') WHERE lang != 'fr'),
+             LATERAL (SELECT
+               regexp_extract(a, '<a href="([^"]*)"', 1) AS href,
+               regexp_extract(a, '>([^<]*)</a>', 1) AS anchor)""",
+)
+def corpus_links(spark, sf_dir):
+    """WAT-style link extraction: every <a href> tag in the raw HTML ->
+    (url, href, anchor_text, resolved absolute target). Pure JVM regex
+    over the page payload — regexp_extract_all + explode + two group
+    extracts, zero Python, fuses into the page scan (at 100 TB this IS
+    the scan: one pass emits the link table the ranking/graph jobs
+    consume). Relative hrefs resolve against the page's scheme+host.
+    The fixture's charset-variant rows (the fr slice holds the latin-1
+    pages; charset sniffing itself is F11, pytest-gated in parse) are
+    excluded so both engines decode the same utf-8 bytes."""
+    pages = f(spark, "pages").filter(F.col("lang") != "fr")
+    tags = pages.select(
+        "url",
+        F.explode(
+            F.regexp_extract_all(
+                F.col("html").cast("string"),
+                F.lit('<a href="[^"]*"[^>]*>[^<]*</a>'),
+                0,
+            )
+        ).alias("a"),
+    )
+    href = F.regexp_extract("a", '<a href="([^"]*)"', 1)
+    anchor = F.regexp_extract("a", ">([^<]*)</a>", 1)
+    host = F.regexp_extract("url", "^(https?://[^/]+)", 1)
+    return tags.select(
+        "url",
+        href.alias("href"),
+        anchor.alias("anchor"),
+        F.when(href.startswith("/"), F.concat(host, href))
+        .otherwise(href)
+        .alias("dst_abs"),
+    )
+
+
+@q(
+    "corpus_indegree",
+    f"""SELECT dst_host,
+               CAST(count(*) AS BIGINT) AS n_links,
+               CAST(count(DISTINCT regexp_extract(src_url, '://([^/]+)/', 1))
+                    AS BIGINT) AS n_src_hosts
+        FROM read_parquet('{fx("links")}')
+        WHERE NOT nofollow
+        GROUP BY dst_host""",
+)
+def corpus_indegree(spark, sf_dir):
+    """Host in-degree over the crawl link-graph fixture: followed-link
+    count + distinct referring hosts per destination. The first-order
+    authority signal (and the join-key skew probe: the fixture graph is
+    preferentially attached, so site0 holds ~30% of all edges — exactly
+    the hub-host skew a real link table has; the n_src_hosts
+    count_distinct is the expensive half and is bounded by |hosts|)."""
+    links = f(spark, "links").filter(~F.col("nofollow"))
+    return links.groupBy("dst_host").agg(
+        F.count("*").alias("n_links"),
+        F.count_distinct(
+            F.regexp_extract("src_url", "://([^/]+)/", 1)
+        ).alias("n_src_hosts"),
+    )
+
+
+@q("graph_pagerank")  # rows-only: 20 float iterations, not SQL-expressible
+def graph_pagerank(spark, sf_dir):
+    """PageRank over the host graph derived from the links fixture
+    (followed edges only, src host -> dst host, parallel edges as
+    weight). 20 damped iterations (d=0.85) with dangling-mass fold-back;
+    ranks sum to 1. Convergence to the numpy power-iteration fixpoint
+    and the hub-dominance ordering are pytest-gated
+    (tests/test_rank_bloom.py)."""
+    from .rank import pagerank
+
+    links = f(spark, "links").filter(~F.col("nofollow"))
+    edges = links.select(
+        F.regexp_extract("src_url", "://([^/]+)/", 1).alias("src"),
+        F.col("dst_host").alias("dst"),
+    )
+    return (
+        pagerank(edges, damping=0.85, iters=20)
+        .select("host", F.round("rank", 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), "host")
+    )
+
+
+@q("dedup_bloom_prefilter")  # rows-only: bitmap internals are engine-side
+def dedup_bloom_prefilter(spark, sf_dir):
+    """Bloom-filter incremental-dedup prefilter: build an m=4096-bit
+    filter over a reference url set (half the golden urls) with a
+    DISTRIBUTED bit_or aggregation, then membership-test every crawled
+    url with a broadcast join against the 64-row bitmap table — zero
+    Python, zero driver-side key scans. Returns the confusion counts;
+    false_neg is structurally 0 (the Bloom guarantee — pytest-gated with
+    the fp-rate bound in tests/test_rank_bloom.py). m is sized small on
+    purpose so the fp row is non-trivially exercised."""
+    from .bloom import bloom_build, bloom_maybe_contains
+
+    M, K = 4096, 5
+    urls = f(spark, "pages").select("url").distinct()
+    ref = urls.filter(F.pmod(F.xxhash64("url", F.lit(99)), F.lit(2)) == 0)
+    bitmap = bloom_build(ref, "url", m_bits=M, k=K)
+    tagged = bloom_maybe_contains(urls, "url", bitmap, m_bits=M, k=K)
+    truth = tagged.join(
+        ref.withColumn("is_member", F.lit(True)), "url", "left"
+    ).select(
+        "url", "maybe_member",
+        F.coalesce("is_member", F.lit(False)).alias("is_member"),
+    )
+    return truth.agg(
+        F.count("*").alias("n_test"),
+        F.sum(F.col("is_member").cast("long")).alias("n_ref"),
+        F.sum(F.col("maybe_member").cast("long")).alias("n_flagged"),
+        F.sum((F.col("maybe_member") & F.col("is_member")).cast("long"))
+        .alias("n_true_pos"),
+        F.sum((F.col("maybe_member") & ~F.col("is_member")).cast("long"))
+        .alias("n_false_pos"),
+        F.sum((~F.col("maybe_member") & F.col("is_member")).cast("long"))
+        .alias("n_false_neg"),
+    )
+
+
+@q(
+    "text_quality_gopher",
+    """SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_words,
+              round(list_sum(list_transform(tk, w -> len(w))) * 1.0
+                    / len(tk), 6) AS mean_word_len,
+              CAST(len(list_filter(tk,
+                    w -> list_contains(['the','a','and','of','is'], w)))
+                   AS BIGINT) AS n_stop,
+              (len(tk) BETWEEN 10 AND 10000
+               AND list_sum(list_transform(tk, w -> len(w))) * 1.0
+                   / len(tk) BETWEEN 3.0 AND 10.0
+               AND len(list_filter(tk,
+                     w -> list_contains(['the','a','and','of','is'], w)))
+                   >= 2) AS kept
+       FROM (SELECT doc_id, string_split(text, ' ') AS tk
+             FROM documents)""",
+)
+def text_quality_gopher(spark, sf_dir):
+    """Gopher-style composite quality rules (Rae et al. 2021, public):
+    word-count bounds, mean-word-length band, minimum stopword evidence —
+    each rule a pure JVM array HOF over the token list, all fused into
+    the scan (no shuffle, no Python). Emits the per-rule inputs alongside
+    the verdict so filter attrition is auditable (the curate-job pattern:
+    never drop rows without accounting). Thresholds follow the paper's
+    shape, adapted to the fixture vocabulary."""
+    STOP = ["the", "a", "and", "of", "is"]
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("tk")
+    )
+    mwl = F.aggregate(
+        F.transform("tk", F.length),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    ) * 1.0 / F.size("tk")
+    n_stop = F.size(F.filter("tk", lambda w: w.isin(STOP)))
+    kept = (
+        F.size("tk").between(10, 10000)
+        & mwl.between(3.0, 10.0)
+        & (n_stop >= 2)
+    )
+    return docs.select(
+        "doc_id",
+        F.size("tk").cast("long").alias("n_words"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        n_stop.cast("long").alias("n_stop"),
+        kept.alias("kept"),
+    )
+
+
+@q(
+    "text_dsir_weight",
+    """WITH dg AS (
+         SELECT doc_id, lang,
+                CAST(('0x' || substr(md5(tk[i] || ' ' || tk[i+1]), 1, 8))
+                     AS BIGINT) % 256 AS b
+         FROM (SELECT doc_id, lang, string_split(text, ' ') AS tk
+               FROM documents
+               WHERE len(string_split(text, ' ')) >= 2),
+              LATERAL (SELECT unnest(range(1, len(tk))) AS i)
+       ),
+       raw AS (SELECT b, count(*) AS c FROM dg GROUP BY b),
+       tgt AS (SELECT b, count(*) AS c FROM dg WHERE lang = 'en' GROUP BY b),
+       tot AS (SELECT (SELECT count(*) FROM dg) AS r,
+                      (SELECT count(*) FROM dg WHERE lang = 'en') AS t),
+       w AS (SELECT raw.b,
+                    ln((coalesce(tgt.c, 0) + 1.0) / (tot.t + 256))
+                    - ln((raw.c + 1.0) / (tot.r + 256)) AS wb
+             FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot)
+       SELECT dg.doc_id, round(sum(w.wb), 4) AS dsir_logweight
+       FROM dg JOIN w USING (b) GROUP BY dg.doc_id""",
+)
+def text_dsir_weight(spark, sf_dir):
+    """DSIR importance weight (Xie et al. 2023, public): hashed-bigram
+    log-likelihood ratio of a target distribution (English docs) vs the
+    raw corpus, summed per doc — the resampling weight that tilts a
+    web-scale corpus toward a target domain without training a model.
+    256 md5 buckets (engine-portable hash), add-one smoothing on both
+    sides. Scale shape: the bucket LM is a 256-row broadcast; docs
+    explode to bigrams, aggregate per (doc, bucket) map-side, and the
+    only real shuffle is the per-doc sum — same key as every other
+    per-doc op. round-4 on the summed doubles absorbs engine
+    summation-order drift (ln itself agrees to ~1 ulp)."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split("text", " ").alias("tk")
+    ).filter(F.size("tk") >= 2)
+    grams = docs.select(
+        "doc_id", "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - 1),
+                lambda i: F.concat(
+                    F.element_at("tk", i), F.lit(" "),
+                    F.element_at("tk", i + 1),
+                ),
+            )
+        ).alias("g"),
+    ).select(
+        "doc_id", "lang",
+        (F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long") % 256)
+        .alias("b"),
+    )
+    raw = grams.groupBy("b").agg(F.count("*").alias("rc"))
+    tgt = grams.filter(F.col("lang") == "en").groupBy("b").agg(
+        F.count("*").alias("tc")
+    )
+    tot = grams.agg(
+        F.count("*").alias("r"),
+        F.sum((F.col("lang") == "en").cast("long")).alias("t"),
+    )
+    w = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            (
+                F.log((F.coalesce("tc", F.lit(0)) + 1.0) / (F.col("t") + 256))
+                - F.log((F.col("rc") + 1.0) / (F.col("r") + 256))
+            ).alias("wb"),
+        )
+    )
+    return (
+        grams.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("wb"), 4).alias("dsir_logweight"))
+    )

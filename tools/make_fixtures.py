@@ -593,6 +593,24 @@ def make_avis() -> None:
     )
 
 
+def make_links() -> None:
+    """Crawl link-graph fixture: edges from every distinct page url, with
+    preferential host skew + nofollow flags (sparkdu.fixtures.gen_links)."""
+    rows = fixtures.gen_rows(N_PAGES)
+    urls = sorted({r["url"] for r in rows})
+    edges = fixtures.gen_links(urls)
+    write(
+        "links.parquet",
+        pa.table(
+            {
+                "src_url": [e[0] for e in edges],
+                "dst_host": [e[1] for e in edges],
+                "nofollow": pa.array([e[2] for e in edges], pa.bool_()),
+            }
+        ),
+    )
+
+
 if __name__ == "__main__":
     main()
     make_edges()
@@ -605,3 +623,4 @@ if __name__ == "__main__":
     make_model_golden()
     make_model_golden("clf_v3_hi.json", "golden_extracted_model_v3.parquet")
     make_idf_table()
+    make_links()
