@@ -1,0 +1,123 @@
+"""robots.txt politeness evaluation over crawl tables.
+
+The crawl-side decision a web pipeline makes before fetching (and again
+before including a cached capture): parse each host's robots.txt into
+prefix rules for the wildcard agent, then decide every url by the
+longest-matching rule, Allow winning length ties (the public semantics
+documented in RFC 9309 / the Google robots spec). Implemented entirely
+JVM-side: line explode + regexp directive parse, a running-sum window to
+assign rule groups (consecutive stacked ``User-agent`` lines head ONE
+group), and a host-equi join with a prefix predicate for the decision.
+
+Scope, documented honestly: plain prefix rules only — ``*`` wildcards and
+``$`` anchors inside rule paths are not expanded (the fixture generator
+never emits them; a production build would compile such rules to Java
+regexes in the same join). Directive names are case-insensitive; rule
+paths are case-sensitive, per the spec.
+
+Scale shape: robots tables are |hosts| rows (~10^8 at web scale) — the
+parse is a pure map + one small window; the decision join is host-equi
+(hash/SMJ on host, prefix test as a residual filter), with the rules side
+orders of magnitude smaller than the url side and broadcast-able.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def robots_rules(robots: DataFrame, host: str = "host",
+                 txt: str = "robots") -> DataFrame:
+    """Parse robots.txt payloads into (host, is_allow, prefix, plen) rules
+    applying to the wildcard agent ``*``.
+
+    Comments strip at ``#``; blank/alien lines drop; a group is the run of
+    rules after one or more consecutive ``User-agent`` lines and belongs
+    to ``*`` iff any of those stacked lines names ``*``; empty rule values
+    ("Disallow:" = allow everything) are not rules.
+    """
+    lines = robots.select(
+        F.col(host).alias("host"),
+        F.posexplode(F.split(F.col(txt), "\n")).alias("ln", "raw"),
+    )
+    clean = F.trim(F.regexp_replace("raw", "#.*", ""))
+    parsed = lines.select(
+        "host",
+        "ln",
+        F.lower(F.regexp_extract(clean, r"^([A-Za-z-]+)\s*:", 1)).alias(
+            "directive"
+        ),
+        F.trim(F.regexp_extract(clean, r"^[A-Za-z-]+\s*:(.*)$", 1)).alias(
+            "value"
+        ),
+    ).filter(F.col("directive") != "")
+    w = Window.partitionBy("host").orderBy("ln")
+    grouped = (
+        parsed.withColumn("is_ua", F.col("directive") == "user-agent")
+        .withColumn(
+            "grp",
+            F.sum(
+                F.when(
+                    F.col("is_ua")
+                    & ~F.coalesce(F.lag("is_ua").over(w), F.lit(False)),
+                    1,
+                ).otherwise(0)
+            ).over(w),
+        )
+    )
+    star = (
+        grouped.filter(F.col("is_ua") & (F.col("value") == "*"))
+        .select("host", "grp")
+        .distinct()
+    )
+    return (
+        grouped.filter(
+            F.col("directive").isin("allow", "disallow")
+            & (F.col("value") != "")
+        )
+        .join(star, ["host", "grp"])
+        .select(
+            "host",
+            (F.col("directive") == "allow").alias("is_allow"),
+            F.col("value").alias("prefix"),
+            F.length("value").alias("plen"),
+        )
+    )
+
+
+def robots_allow(urls: DataFrame, rules: DataFrame,
+                 url: str = "url") -> DataFrame:
+    """Decide every url against the parsed rules.
+
+    Longest matching prefix wins; Allow beats Disallow at equal length;
+    no matching rule (or no ``*`` group for the host) means allowed.
+    Returns (url, path, allowed, rule_prefix, rule_type).
+    """
+    path_re = r"^https?://[^/]+(/.*)$"
+    raw_path = F.regexp_extract(url, path_re, 1)
+    u = urls.select(
+        F.col(url).alias("url"),
+        F.regexp_extract(url, r"^https?://([^/]+)", 1).alias("u_host"),
+        F.when(raw_path == "", "/").otherwise(raw_path).alias("path"),
+    )
+    m = u.join(
+        rules,
+        (u.u_host == rules.host) & u.path.startswith(rules.prefix),
+        "left",
+    )
+    w = Window.partitionBy("url").orderBy(
+        F.col("plen").desc(),
+        F.col("is_allow").cast("int").desc(),
+        F.col("prefix"),
+    )
+    best = m.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    return best.select(
+        "url",
+        "path",
+        F.coalesce("is_allow", F.lit(True)).alias("allowed"),
+        F.col("prefix").alias("rule_prefix"),
+        F.when(F.col("prefix").isNull(), F.lit(None).cast("string"))
+        .when(F.col("is_allow"), F.lit("allow"))
+        .otherwise(F.lit("disallow"))
+        .alias("rule_type"),
+    )

@@ -1011,3 +1011,43 @@ def gen_links(urls: list) -> list:
             dst = f"site{int(n_hosts * rng.random() ** 2.5)}.example"
             out.append((u, dst, rng.random() < 0.10))
     return out
+
+
+def gen_robots(n_hosts: int = 20) -> list:
+    """Deterministic robots.txt payloads, one per fixture host.
+
+    Exercises every branch of the (prefix-rule) robots evaluation:
+    longest-match precedence (Disallow /d vs the longer Allow /dd
+    carve-out), groups for other agents that must be ignored, stacked
+    User-agent lines heading one group, empty Disallow (no rule), inline
+    comments and blank lines, a fully-disallowed host (Disallow: /), and
+    a host with no ``*`` group at all (everything allowed). Hosts follow
+    the site{i}.example naming of gen_links.
+    """
+    out = []
+    for i in range(n_hosts):
+        host = f"site{i}.example"
+        lines = [f"# robots for {host}", ""]
+        if i % 7 == 3:
+            # no wildcard group: every url on this host is allowed
+            lines += ["User-agent: SpecialBot", "Disallow: /"]
+        elif i % 7 == 4:
+            lines += ["User-agent: *", "Disallow: /  # closed host"]
+        else:
+            lines += ["User-agent: FancyBot", "Disallow: /fancy", ""]
+            if i % 5 == 0:
+                # stacked UA lines: both agents share one rule group
+                lines += ["User-agent: OtherBot", "User-agent: *"]
+            else:
+                lines += ["User-agent: *"]
+            d = i % 10
+            lines += [
+                f"Disallow: /{d}",
+                f"Allow: /{d}{d}  # longest-match carve-out",
+            ]
+            if i % 4 == 1:
+                lines += ["Disallow:"]  # empty value: not a rule
+            if i % 3 == 0:
+                lines += [f"Disallow: /{(d + 1) % 10}"]
+        out.append((host, "\n".join(lines) + "\n"))
+    return out

@@ -74,3 +74,66 @@ def pagerank(edges: DataFrame, damping: float = 0.85, iters: int = 20,
         # recomputes); localCheckpoint materializes the small rank table
         ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+def hits(edges: DataFrame, iters: int = 20,
+         src: str = "src", dst: str = "dst") -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) by power iteration.
+
+    auth'(j) = sum_i w(i,j) hub(i);  hub'(i) = sum_j w(i,j) auth'(j);
+    each vector L1-normalized per half-step (sum = 1 — scale-free and
+    deterministic, unlike L2 whose sqrt is the only non-rational step).
+    Parallel edges act as weight. Returns (host, hub, auth).
+
+    Scale shape mirrors pagerank(): the weighted edge table is built and
+    repartitioned on its join key once per direction and cached; each
+    half-step is one broadcast-able join of the |hosts|-row score table
+    against a co-located edge table plus a groupBy on the other endpoint.
+    Normalization is a scalar agg on the small score table. localCheckpoint
+    per round stops quadratic plan growth.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("host"))
+        .union(e.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    w = e.groupBy("src", "dst").agg(F.count("*").cast("double").alias("w"))
+    fwd = w.repartition("src").cache()   # hub -> auth step joins on src
+    rev = w.repartition("dst").cache()   # auth -> hub step joins on dst
+    n_nodes = nodes.count()
+
+    hub = nodes.select("host", F.lit(1.0 / n_nodes).alias("hub"))
+    auth = None
+    for _ in range(iters):
+        a_raw = (
+            fwd.join(hub, fwd.src == hub.host)
+            .groupBy("dst")
+            .agg(F.sum(F.col("w") * F.col("hub")).alias("a"))
+        )
+        a_tot = a_raw.agg(F.sum("a").alias("s"))
+        auth = (
+            nodes.join(a_raw, nodes.host == a_raw.dst, "left")
+            .crossJoin(F.broadcast(a_tot))
+            .select(
+                "host",
+                (F.coalesce("a", F.lit(0.0)) / F.col("s")).alias("auth"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        h_raw = (
+            rev.join(auth, rev.dst == auth.host)
+            .groupBy("src")
+            .agg(F.sum(F.col("w") * F.col("auth")).alias("h"))
+        )
+        h_tot = h_raw.agg(F.sum("h").alias("s"))
+        hub = (
+            nodes.join(h_raw, nodes.host == h_raw.src, "left")
+            .crossJoin(F.broadcast(h_tot))
+            .select(
+                "host",
+                (F.coalesce("h", F.lit(0.0)) / F.col("s")).alias("hub"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return hub.join(auth, "host")

@@ -2594,3 +2594,233 @@ def text_dsir_weight(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.round(F.sum("wb"), 4).alias("dsir_logweight"))
     )
+
+
+@q(
+    "corpus_anchor_text",
+    f"""WITH links AS (
+          SELECT url, regexp_extract(a, '<a href="([^"]*)"', 1) AS href,
+                 regexp_extract(a, '>([^<]*)</a>', 1) AS anchor
+          FROM (SELECT url, unnest(regexp_extract_all(
+                         decode(html), '<a href="[^"]*"[^>]*>[^<]*</a>')) AS a
+                FROM read_parquet('{fx("pages")}') WHERE lang != 'fr')),
+        terms AS (
+          SELECT regexp_extract(
+                   CASE WHEN href LIKE '/%'
+                        THEN regexp_extract(url, '^(https?://[^/]+)', 1) || href
+                        ELSE href END, '^https?://([^/]+)', 1) AS dst_host,
+                 unnest(string_split_regex(lower(anchor), '[^a-z]+')) AS term
+          FROM links),
+        counts AS (
+          SELECT dst_host, term, CAST(count(*) AS BIGINT) AS n
+          FROM terms WHERE term != '' AND dst_host != ''
+          GROUP BY dst_host, term)
+        SELECT dst_host, term, n, rk FROM (
+          SELECT *, CAST(row_number() OVER (
+                   PARTITION BY dst_host ORDER BY n DESC, term) AS INT) AS rk
+          FROM counts) WHERE rk <= 3""",
+)
+def corpus_anchor_text(spark, sf_dir):
+    """Anchor-text aggregation — the classic link-derived relevance signal
+    (what other pages CALL a host): tokenize every followed-or-not anchor
+    from the corpus_links extraction, count per (dst_host, term), keep the
+    top 3 terms per host with a deterministic (count desc, term asc)
+    tie-break. All JVM: regexp tokenize + explode, one (host, term)
+    aggregation with map-side partials, a per-host WindowGroupLimit for
+    the top-k. At web scale anchor text is sharded exactly like this —
+    group key (dst_host, term), then a tiny per-host window."""
+    from pyspark.sql import Window
+
+    links = corpus_links(spark, sf_dir)
+    terms = links.select(
+        F.regexp_extract("dst_abs", "^https?://([^/]+)", 1).alias("dst_host"),
+        F.explode(F.split(F.lower("anchor"), "[^a-z]+")).alias("term"),
+    ).filter((F.col("term") != "") & (F.col("dst_host") != ""))
+    counts = terms.groupBy("dst_host", "term").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("dst_host").orderBy(F.col("n").desc(), "term")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("dst_host", "term", "n", "rk")
+    )
+
+
+@q(
+    "corpus_link_hygiene",
+    f"""WITH e AS (
+          SELECT regexp_extract(src_url, '://([^/]+)/', 1) AS src_host,
+                 dst_host, nofollow
+          FROM read_parquet('{fx("links")}')),
+        base AS (
+          SELECT src_host,
+                 CAST(count(*) AS BIGINT) AS n_out,
+                 CAST(sum(CASE WHEN nofollow THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_nofollow,
+                 CAST(sum(CASE WHEN dst_host = src_host THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_self,
+                 CAST(count(DISTINCT dst_host) AS BIGINT) AS n_dst_hosts
+          FROM e GROUP BY src_host),
+        pairs AS (SELECT DISTINCT src_host, dst_host FROM e
+                  WHERE NOT nofollow AND dst_host != src_host),
+        recip AS (
+          SELECT p.src_host, CAST(count(*) AS BIGINT) AS n_pairs,
+                 CAST(sum(CASE WHEN r.src_host IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_recip
+          FROM pairs p LEFT JOIN pairs r
+            ON r.src_host = p.dst_host AND r.dst_host = p.src_host
+          GROUP BY p.src_host)
+        SELECT base.src_host, n_out, n_nofollow, n_self, n_dst_hosts,
+               coalesce(n_pairs, 0) AS n_pairs, coalesce(n_recip, 0) AS n_recip,
+               floor(coalesce(n_recip * 1.0 / nullif(n_pairs, 0), 0.0) * 1e6
+                     + 0.5) / 1e6 AS recip_rate
+        FROM base LEFT JOIN recip ON base.src_host = recip.src_host""",
+)
+def corpus_link_hygiene(spark, sf_dir):
+    """Per-source-host link-hygiene signals a ranking pipeline feeds its
+    spam heuristics: out-degree, nofollow and self-link counts, distinct
+    destinations, and host-pair reciprocity (fraction of followed non-self
+    host edges whose reverse edge exists — link-exchange rings score ~1).
+    Reciprocity is a self-join on the DISTINCT host-pair table (|hosts|^2
+    bounded, not |edges|^2); rate rounding uses the floor(x*1e6+0.5)
+    half-up recipe so both engines agree at ties."""
+    e = f(spark, "links").select(
+        F.regexp_extract("src_url", "://([^/]+)/", 1).alias("src_host"),
+        "dst_host",
+        "nofollow",
+    )
+    base = e.groupBy("src_host").agg(
+        F.count("*").alias("n_out"),
+        F.sum(F.col("nofollow").cast("long")).alias("n_nofollow"),
+        F.sum((F.col("dst_host") == F.col("src_host")).cast("long")).alias(
+            "n_self"
+        ),
+        F.count_distinct("dst_host").alias("n_dst_hosts"),
+    )
+    pairs = (
+        e.filter(~F.col("nofollow") & (F.col("dst_host") != F.col("src_host")))
+        .select("src_host", "dst_host")
+        .distinct()
+    )
+    rev = pairs.select(
+        F.col("src_host").alias("r_src"), F.col("dst_host").alias("r_dst")
+    )
+    recip = (
+        pairs.join(
+            rev,
+            (F.col("r_src") == F.col("dst_host"))
+            & (F.col("r_dst") == F.col("src_host")),
+            "left",
+        )
+        .groupBy("src_host")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.col("r_src").isNotNull().cast("long")).alias("n_recip"),
+        )
+    )
+    joined = base.join(recip, "src_host", "left")
+    rate = F.coalesce(
+        F.col("n_recip") * 1.0 / F.nullif(F.col("n_pairs"), F.lit(0)),
+        F.lit(0.0),
+    )
+    return joined.select(
+        "src_host",
+        "n_out",
+        "n_nofollow",
+        "n_self",
+        "n_dst_hosts",
+        F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+        F.coalesce("n_recip", F.lit(0)).alias("n_recip"),
+        (F.floor(rate * 1e6 + 0.5) / 1e6).alias("recip_rate"),
+    )
+
+
+@q("graph_hits")  # rows-only: 20 float iterations, not SQL-expressible
+def graph_hits(spark, sf_dir):
+    """HITS hubs & authorities over the followed host graph (sparkdu.rank
+    .hits): 20 L1-normalized power-iteration rounds; complements PageRank
+    (authority flows INTO hubs here, hub quality flows out). Convergence
+    to an independent numpy fixpoint is pytest-gated
+    (tests/test_crawl_graph.py)."""
+    from .rank import hits
+
+    links = f(spark, "links").filter(~F.col("nofollow"))
+    edges = links.select(
+        F.regexp_extract("src_url", "://([^/]+)/", 1).alias("src"),
+        F.col("dst_host").alias("dst"),
+    )
+    return (
+        hits(edges, iters=20)
+        .select(
+            "host",
+            F.round("hub", 6).alias("hub"),
+            F.round("auth", 6).alias("auth"),
+        )
+        .orderBy(F.col("auth").desc(), "host")
+    )
+
+
+@q(
+    "crawl_robots_allow",
+    f"""WITH lines AS (
+          SELECT host, i AS ln, trim(regexp_replace(sp[i], '#.*', '')) AS clean
+          FROM (SELECT host, string_split(robots, chr(10)) AS sp
+                FROM read_parquet('{fx("robots")}')),
+               LATERAL (SELECT unnest(range(1, len(sp) + 1)) AS i)),
+        parsed AS (
+          SELECT host, ln,
+                 lower(regexp_extract(clean, '^([A-Za-z-]+)\\s*:', 1))
+                   AS directive,
+                 trim(regexp_extract(clean, '^[A-Za-z-]+\\s*:(.*)$', 1))
+                   AS value
+          FROM lines
+          WHERE regexp_extract(clean, '^([A-Za-z-]+)\\s*:', 1) != ''),
+        flagged AS (
+          SELECT *, (directive = 'user-agent') AS is_ua,
+                 lag(directive = 'user-agent')
+                   OVER (PARTITION BY host ORDER BY ln) AS prev_ua
+          FROM parsed),
+        grouped AS (
+          SELECT *, sum(CASE WHEN is_ua AND NOT coalesce(prev_ua, false)
+                             THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY host ORDER BY ln) AS grp
+          FROM flagged),
+        star AS (SELECT DISTINCT host, grp FROM grouped
+                 WHERE is_ua AND value = '*'),
+        rules AS (
+          SELECT g.host, (directive = 'allow') AS is_allow,
+                 value AS prefix, len(value) AS plen
+          FROM grouped g JOIN star USING (host, grp)
+          WHERE directive IN ('allow', 'disallow') AND value != ''),
+        u AS (
+          SELECT url, regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+                 CASE WHEN regexp_extract(url, '^https?://[^/]+(/.*)$', 1) = ''
+                      THEN '/' ELSE regexp_extract(url,
+                           '^https?://[^/]+(/.*)$', 1) END AS path
+          FROM (SELECT DISTINCT url FROM read_parquet('{fx("pages")}'))),
+        m AS (
+          SELECT u.url, u.path, r.is_allow, r.prefix,
+                 row_number() OVER (PARTITION BY u.url
+                   ORDER BY r.plen DESC, CAST(r.is_allow AS INT) DESC,
+                            r.prefix) AS rk
+          FROM u LEFT JOIN rules r
+            ON r.host = u.host AND starts_with(u.path, r.prefix))
+        SELECT url, path, coalesce(is_allow, true) AS allowed,
+               prefix AS rule_prefix,
+               CASE WHEN prefix IS NULL THEN NULL
+                    WHEN is_allow THEN 'allow' ELSE 'disallow' END AS rule_type
+        FROM m WHERE rk = 1""",
+)
+def crawl_robots_allow(spark, sf_dir):
+    """robots.txt politeness decision for every distinct corpus url
+    (sparkdu.crawl): parse each host's payload into wildcard-agent prefix
+    rules (comment strip, stacked User-agent groups via a running-sum
+    window, empty values dropped), then longest-match with Allow winning
+    ties. The fixture exercises carve-outs (Allow /dd under Disallow /d),
+    a closed host, a host with no * group, stacked UA lines and inline
+    comments; a differential pytest checks the whole decision table
+    against an independent line-walking Python evaluator."""
+    from .crawl import robots_allow, robots_rules
+
+    rules = robots_rules(f(spark, "robots"))
+    urls = f(spark, "pages").select("url").distinct()
+    return robots_allow(urls, rules)

@@ -1,0 +1,221 @@
+"""Differential tests for the crawl-politeness (robots.txt) evaluator and
+the HITS link-analysis operator.
+
+Both get an independently-written oracle: robots decisions are re-derived
+by a line-walking pure-Python evaluator that shares no parsing code with
+sparkdu.crawl (it never tokenizes into directive/value regexes — it walks
+lines imperatively); HITS is checked against a dense numpy power
+iteration with the same L1 normalization recipe.
+"""
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from sparkdu.crawl import robots_allow, robots_rules
+from sparkdu.fixtures import gen_robots
+from sparkdu.rank import hits
+
+FIXDIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures_data"
+)
+
+
+# ---------------------------------------------------------------- robots
+
+
+def _py_robots_rules(txt: str) -> list:
+    """Independent imperative parse: walk lines, track whether the current
+    user-agent block includes '*', collect (is_allow, prefix) rules."""
+    rules = []
+    in_star = False
+    prev_was_ua = False
+    for raw in txt.split("\n"):
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            prev_was_ua = False
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if not prev_was_ua:
+                in_star = False  # a new group starts; reset membership
+            if val == "*":
+                in_star = True
+            prev_was_ua = True
+        else:
+            prev_was_ua = False
+            if key in ("allow", "disallow") and val and in_star:
+                rules.append((key == "allow", val))
+    return rules
+
+
+def _py_decide(path: str, rules: list):
+    """Longest matching prefix wins; Allow beats Disallow on ties;
+    no match -> allowed with no rule."""
+    best = None  # (plen, is_allow, prefix)
+    for is_allow, prefix in rules:
+        if path.startswith(prefix):
+            cand = (len(prefix), is_allow, prefix)
+            if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+                best = cand
+    if best is None:
+        return True, None, None
+    return best[1], best[2], "allow" if best[1] else "disallow"
+
+
+def test_robots_fixture_covers_branches():
+    rows = dict(gen_robots())
+    texts = "\n".join(rows.values())
+    assert "Disallow: /\n" in texts or "Disallow: /  #" in texts  # closed host
+    assert "User-agent: OtherBot\nUser-agent: *" in texts  # stacked UAs
+    assert any("User-agent: *" not in t for t in rows.values())  # no * group
+    assert "Disallow:\n" in texts or texts.endswith("Disallow:")  # empty value
+
+
+def test_robots_rules_group_semantics(spark):
+    df = spark.createDataFrame(gen_robots(), "host string, robots string")
+    got = {
+        (r["host"], r["is_allow"], r["prefix"])
+        for r in robots_rules(df).collect()
+    }
+    expect = set()
+    for host, txt in gen_robots():
+        for is_allow, prefix in _py_robots_rules(txt):
+            expect.add((host, is_allow, prefix))
+    assert got == expect
+
+
+def test_robots_allow_differential(spark):
+    """Every distinct fixture url decided identically by the Spark join
+    pipeline and the imperative Python evaluator."""
+    robots = spark.createDataFrame(gen_robots(), "host string, robots string")
+    pages = pq.read_table(
+        os.path.join(FIXDIR, "pages.parquet"), columns=["url"]
+    )
+    urls = sorted(set(pages["url"].to_pylist()))
+    got = {
+        r["url"]: (r["allowed"], r["rule_prefix"], r["rule_type"])
+        for r in robots_allow(
+            spark.createDataFrame([(u,) for u in urls], "url string"),
+            robots_rules(robots),
+        ).collect()
+    }
+    assert len(got) == len(urls)
+
+    py_rules = {h: _py_robots_rules(t) for h, t in gen_robots()}
+    n_denied = 0
+    for u in urls:
+        rest = u.split("://", 1)[1]
+        host, slash, path = rest.partition("/")
+        path = slash + path if slash else "/"
+        expect = _py_decide(path, py_rules.get(host, []))
+        assert got[u] == expect, (u, got[u], expect)
+        n_denied += 0 if expect[0] else 1
+    # the fixture must actually exercise both outcomes
+    assert 0 < n_denied < len(urls)
+
+
+def test_robots_edge_paths(spark):
+    """Hand-built corner cases: bare-host url maps to '/', carve-out
+    Allow beats shorter Disallow, equal-length Allow wins the tie."""
+    txt = (
+        "User-agent: *\n"
+        "Disallow: /a\n"
+        "Allow: /ab\n"
+        "Disallow: /x\n"
+        "Allow: /y\n"  # same length as /x: tie broken by kind, not order
+        "Disallow: /\n"
+    )
+    rules = robots_rules(
+        spark.createDataFrame([("h.example", txt)], "host string, robots string")
+    )
+    urls = spark.createDataFrame(
+        [
+            ("http://h.example",),  # bare host -> path '/'
+            ("http://h.example/ab/deep",),  # carve-out wins over /a
+            ("http://h.example/a/other",),
+            ("http://h.example/y",),
+        ],
+        "url string",
+    )
+    got = {r["url"]: r for r in robots_allow(urls, rules).collect()}
+    r0 = got["http://h.example"]
+    assert (r0["path"], r0["allowed"], r0["rule_prefix"]) == ("/", False, "/")
+    assert got["http://h.example/ab/deep"]["allowed"] is True
+    assert got["http://h.example/ab/deep"]["rule_prefix"] == "/ab"
+    assert got["http://h.example/a/other"]["allowed"] is False
+    assert got["http://h.example/y"]["allowed"] is True
+
+
+# ------------------------------------------------------------------ HITS
+
+
+def _numpy_hits(edges, iters=20):
+    """Dense reference: same recipe — weighted adjacency from parallel
+    edges, auth then hub half-steps, each L1-normalized."""
+    nodes = sorted({e[0] for e in edges} | {e[1] for e in edges})
+    idx = {h: i for i, h in enumerate(nodes)}
+    n = len(nodes)
+    W = np.zeros((n, n))
+    for s, t in edges:
+        W[idx[s], idx[t]] += 1.0
+    hub = np.full(n, 1.0 / n)
+    auth = None
+    for _ in range(iters):
+        auth = W.T @ hub
+        auth /= auth.sum()
+        hub = W @ auth
+        hub /= hub.sum()
+    return {h: (hub[idx[h]], auth[idx[h]]) for h in nodes}
+
+
+def _fixture_host_edges():
+    t = pq.read_table(os.path.join(FIXDIR, "links.parquet"))
+    return [
+        (s.split("/")[2], h)
+        for s, h, nf in zip(
+            t["src_url"].to_pylist(),
+            t["dst_host"].to_pylist(),
+            t["nofollow"].to_pylist(),
+        )
+        if not nf
+    ]
+
+
+def test_hits_matches_power_iteration(spark):
+    edges = _fixture_host_edges()
+    expect = _numpy_hits(edges)
+    got = {
+        r["host"]: (r["hub"], r["auth"])
+        for r in hits(
+            spark.createDataFrame(edges, "src string, dst string")
+        ).collect()
+    }
+    assert set(got) == set(expect)
+    for h in expect:
+        assert abs(got[h][0] - expect[h][0]) < 1e-9, h
+        assert abs(got[h][1] - expect[h][1]) < 1e-9, h
+    # both vectors are L1-normalized probability-like scores
+    assert abs(sum(v[0] for v in got.values()) - 1.0) < 1e-9
+    assert abs(sum(v[1] for v in got.values()) - 1.0) < 1e-9
+
+
+def test_hits_star_graph(spark):
+    """Star into one center: the center holds all authority, the spokes
+    split hub mass evenly, the center's own hub score is 0."""
+    edges = [(f"s{i}", "center") for i in range(4)]
+    got = {
+        r["host"]: (r["hub"], r["auth"])
+        for r in hits(
+            spark.createDataFrame(edges, "src string, dst string"), iters=5
+        ).collect()
+    }
+    assert abs(got["center"][1] - 1.0) < 1e-12
+    assert abs(got["center"][0]) < 1e-12
+    for i in range(4):
+        assert abs(got[f"s{i}"][0] - 0.25) < 1e-12
+        assert abs(got[f"s{i}"][1]) < 1e-12

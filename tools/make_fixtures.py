@@ -611,6 +611,21 @@ def make_links() -> None:
     )
 
 
+def make_robots() -> None:
+    """robots.txt fixture: one deterministic payload per link-graph host
+    (sparkdu.fixtures.gen_robots), for the crawl-politeness decision join."""
+    rows = fixtures.gen_robots()
+    write(
+        "robots.parquet",
+        pa.table(
+            {
+                "host": [r[0] for r in rows],
+                "robots": [r[1] for r in rows],
+            }
+        ),
+    )
+
+
 if __name__ == "__main__":
     main()
     make_edges()
@@ -624,3 +639,4 @@ if __name__ == "__main__":
     make_model_golden("clf_v3_hi.json", "golden_extracted_model_v3.parquet")
     make_idf_table()
     make_links()
+    make_robots()
