@@ -121,3 +121,61 @@ def robots_allow(urls: DataFrame, rules: DataFrame,
         .otherwise(F.lit("disallow"))
         .alias("rule_type"),
     )
+
+
+def frontier(candidates: DataFrame, crawled: DataFrame, rules: DataFrame,
+             per_host_k: int = 5) -> DataFrame:
+    """Build the next politeness-bounded fetch batch from discovered links.
+
+    candidates: (url, n_ref_hosts) — discovered targets with a priority
+    signal (how many distinct hosts link there). crawled: (url) — already
+    fetched. rules: robots_rules() output. Pipeline: drop known urls
+    (left-anti join — at web scale the crawled side is the big one, so
+    this is the shuffle), drop robots-denied urls, then keep the top-k
+    per destination host by (n_ref_hosts desc, url) — the per-host
+    politeness budget a frontier scheduler enforces so one mega-host
+    can't monopolize a fetch wave. Returns (host, url, n_ref_hosts, rk).
+
+    Scale shape: one anti-join shuffle on url, the robots decision join
+    on host (rules side broadcast-able), and a per-host WindowGroupLimit
+    — rank k prunes before the final sort, so the window never
+    materializes more than k rows per host per partition.
+    """
+    fresh = candidates.join(crawled.select("url"), "url", "left_anti")
+    allowed = (
+        robots_allow(fresh.select("url"), rules)
+        .filter(F.col("allowed"))
+        .select("url")
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col("n_ref_hosts").desc(), "url"
+    )
+    return (
+        fresh.join(allowed, "url")
+        .withColumn(
+            "host", F.regexp_extract("url", r"^https?://([^/]+)", 1)
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= per_host_k)
+        .select("host", "url", "n_ref_hosts", "rk")
+    )
+
+
+def recrawl_priority(pages: DataFrame, url: str = "url",
+                     html: str = "html", ts: str = "warc_ts") -> DataFrame:
+    """Per-url revisit statistics from the capture history: capture
+    count, distinct payload versions (raw-byte compare, no decode), the
+    observed change rate (version transitions / recrawl opportunities;
+    single-capture urls report 0), and the latest capture time. One
+    groupBy on url — at web scale this shuffles (url, payload-hash)
+    pairs from the capture index, never the payloads."""
+    return pages.groupBy(F.col(url).alias("url")).agg(
+        F.count("*").alias("n_captures"),
+        F.count_distinct(html).alias("n_versions"),
+        F.round(
+            (F.count_distinct(html) - 1)
+            / F.greatest(F.count("*") - 1, F.lit(1)),
+            6,
+        ).alias("change_rate"),
+        F.max(ts).alias("last_ts"),
+    )

@@ -2824,3 +2824,231 @@ def crawl_robots_allow(spark, sf_dir):
     rules = robots_rules(f(spark, "robots"))
     urls = f(spark, "pages").select("url").distinct()
     return robots_allow(urls, rules)
+
+
+@q(
+    "crawl_recrawl_priority",
+    f"""SELECT url,
+               CAST(count(*) AS BIGINT) AS n_captures,
+               CAST(count(DISTINCT html) AS BIGINT) AS n_versions,
+               round((count(DISTINCT html) - 1) * 1.0 /
+                     greatest(count(*) - 1, 1), 6) AS change_rate,
+               max(warc_ts) AS last_ts
+        FROM read_parquet('{fx("pages")}')
+        GROUP BY url""",
+)
+def crawl_recrawl_priority(spark, sf_dir):
+    """Recrawl scheduling signal from the capture history: per url, how
+    many captures exist, how many DISTINCT payload versions among them,
+    and the observed change rate (changed transitions / recrawl
+    opportunities) — the statistic an incremental crawler feeds its
+    revisit policy (fast-changing urls refresh first, static ones decay).
+    Versions compare the raw html bytes directly (count_distinct on
+    binary — no decode, so charset-broken payloads still count honestly);
+    one groupBy on url, all JVM. At web scale this runs over the capture
+    index, not the payloads: a 10^12-row groupBy shuffling (url, hash)
+    pairs."""
+    from .crawl import recrawl_priority
+
+    return recrawl_priority(f(spark, "pages"))
+
+
+@q(
+    "crawl_frontier",
+    f"""WITH raw AS (
+          SELECT url AS src_url,
+                 regexp_extract(a, '<a href="([^"]*)"', 1) AS href
+          FROM (SELECT url, unnest(regexp_extract_all(
+                         decode(html), '<a href="[^"]*"[^>]*>[^<]*</a>')) AS a
+                FROM read_parquet('{fx("pages")}') WHERE lang != 'fr')),
+        cand AS (
+          SELECT dst AS url,
+                 CAST(count(DISTINCT src_host) AS BIGINT) AS n_ref_hosts
+          FROM (SELECT regexp_extract(src_url, '^https?://([^/]+)', 1)
+                         AS src_host,
+                       CASE WHEN href LIKE '/%'
+                            THEN regexp_extract(src_url,
+                                   '^(https?://[^/]+)', 1) || href
+                            ELSE href END AS dst
+                FROM raw)
+          WHERE dst LIKE 'http%' GROUP BY dst),
+        fresh AS (
+          SELECT c.* FROM cand c
+          WHERE NOT EXISTS (SELECT 1 FROM read_parquet('{fx("pages")}') p
+                            WHERE p.url = c.url)),
+        lines AS (
+          SELECT host, i AS ln, trim(regexp_replace(sp[i], '#.*', '')) AS clean
+          FROM (SELECT host, string_split(robots, chr(10)) AS sp
+                FROM read_parquet('{fx("robots")}')),
+               LATERAL (SELECT unnest(range(1, len(sp) + 1)) AS i)),
+        parsed AS (
+          SELECT host, ln,
+                 lower(regexp_extract(clean, '^([A-Za-z-]+)\\s*:', 1))
+                   AS directive,
+                 trim(regexp_extract(clean, '^[A-Za-z-]+\\s*:(.*)$', 1))
+                   AS value
+          FROM lines
+          WHERE regexp_extract(clean, '^([A-Za-z-]+)\\s*:', 1) != ''),
+        flagged AS (
+          SELECT *, (directive = 'user-agent') AS is_ua,
+                 lag(directive = 'user-agent')
+                   OVER (PARTITION BY host ORDER BY ln) AS prev_ua
+          FROM parsed),
+        grouped AS (
+          SELECT *, sum(CASE WHEN is_ua AND NOT coalesce(prev_ua, false)
+                             THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY host ORDER BY ln) AS grp
+          FROM flagged),
+        star AS (SELECT DISTINCT host, grp FROM grouped
+                 WHERE is_ua AND value = '*'),
+        rules AS (
+          SELECT g.host, (directive = 'allow') AS is_allow,
+                 value AS prefix, len(value) AS plen
+          FROM grouped g JOIN star USING (host, grp)
+          WHERE directive IN ('allow', 'disallow') AND value != ''),
+        u AS (
+          SELECT url, regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+                 CASE WHEN regexp_extract(url, '^https?://[^/]+(/.*)$', 1) = ''
+                      THEN '/' ELSE regexp_extract(url,
+                           '^https?://[^/]+(/.*)$', 1) END AS path
+          FROM fresh),
+        decided AS (
+          SELECT url, is_allow,
+                 row_number() OVER (PARTITION BY url
+                   ORDER BY plen DESC, CAST(is_allow AS INT) DESC, prefix) AS rk
+          FROM u LEFT JOIN rules r
+            ON r.host = u.host AND starts_with(u.path, r.prefix)),
+        ok AS (SELECT url FROM decided
+               WHERE rk = 1 AND coalesce(is_allow, true))
+        SELECT host, url, n_ref_hosts, rk FROM (
+          SELECT regexp_extract(f2.url, '^https?://([^/]+)', 1) AS host,
+                 f2.url, f2.n_ref_hosts,
+                 CAST(row_number() OVER (
+                   PARTITION BY regexp_extract(f2.url, '^https?://([^/]+)', 1)
+                   ORDER BY f2.n_ref_hosts DESC, f2.url) AS INT) AS rk
+          FROM fresh f2 JOIN ok USING (url))
+        WHERE rk <= 5""",
+)
+def crawl_frontier(spark, sf_dir):
+    """Next-fetch-batch scheduling (sparkdu.crawl.frontier): candidate
+    urls discovered by the corpus_links extraction, prioritized by how
+    many distinct hosts reference them, minus already-crawled urls
+    (left-anti join — on this fixture the discovered nav/rel targets are
+    all new, so the anti-join removes 0 rows; its filtering behavior is
+    pytest-gated on a synthetic graph in tests/test_crawl_graph.py),
+    minus robots-denied urls (the fixture's closed hosts drop here),
+    capped at the top 5 per destination host — the politeness budget.
+    One anti-join shuffle + a broadcast-able robots decision + a per-host
+    WindowGroupLimit."""
+    from .crawl import frontier, robots_rules
+
+    links = corpus_links(spark, sf_dir)
+    cand = (
+        links.filter(F.col("dst_abs").startswith("http"))
+        .select(
+            F.col("dst_abs").alias("url"),
+            F.regexp_extract("url", r"^https?://([^/]+)", 1).alias(
+                "src_host"
+            ),
+        )
+        .groupBy("url")
+        .agg(F.count_distinct("src_host").alias("n_ref_hosts"))
+    )
+    crawled = f(spark, "pages").select("url")
+    rules = robots_rules(f(spark, "robots"))
+    out = frontier(cand, crawled, rules, per_host_k=5)
+    return out.select("host", "url", "n_ref_hosts", F.col("rk").cast("int").alias("rk"))
+
+
+@q(
+    "text_bm25_topk",
+    """WITH stats AS (
+         SELECT CAST(count(*) AS DOUBLE) AS n,
+                avg(len(string_split(text, ' '))) AS avgdl
+         FROM documents),
+       dl AS (
+         SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+         FROM documents),
+       tfq AS (
+         SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+               FROM documents)
+         WHERE tok IN ('table', 'query')
+         GROUP BY doc_id, tok),
+       dfq AS (
+         SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tfq GROUP BY tok),
+       scored AS (
+         SELECT t.doc_id,
+                round(sum(
+                  ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                  * t.tf * 2.2
+                  / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))
+                ), 4) AS score
+         FROM tfq t
+         JOIN dfq d USING (tok) JOIN dl l USING (doc_id) CROSS JOIN stats s
+         GROUP BY t.doc_id)
+       SELECT doc_id, score, rk FROM (
+         SELECT doc_id, score,
+                CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+                  AS rk
+         FROM scored)
+       WHERE rk <= 10""",
+)
+def text_bm25_topk(spark, sf_dir):
+    """BM25 ranked retrieval (Robertson-Sparck Jones, k1=1.2 b=0.75) for
+    the two-term OR query {table, query} over the documents table:
+    per-term idf = ln((N-df+.5)/(df+.5)+1), tf saturation with
+    length normalization against the corpus-average doc length, summed
+    per doc, global top-10 by (rounded score, doc_id) — ranking on the
+    ROUNDED score keeps the cross-engine comparison deterministic where
+    raw ln() ulps could reorder near-ties. The term filter pushes below
+    the tf groupBy so only query-term postings shuffle; N/avgdl and the
+    per-term df are scalar/2-row broadcast sides. The global top-10 is
+    orderBy+limit — TakeOrderedAndProject, a per-partition partial top-k
+    then one k-row merge (plan-asserted in tests/test_crawl_graph.py);
+    the rank column is a window over only the k survivors."""
+    return bm25_topk(t(spark, sf_dir, "documents"), ("table", "query"), 10)
+
+
+def bm25_topk(docs, terms, k, k1=1.2, b=0.75):
+    """BM25 OR-query scorer over (doc_id, text): see text_bm25_topk."""
+    stats = docs.agg(
+        F.count("*").cast("double").alias("n"),
+        F.avg(F.size(F.split("text", " "))).alias("avgdl"),
+    )
+    dl = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("double").alias("dl")
+    )
+    tfq = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok").isin(*terms))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dfq = tfq.groupBy("tok").agg(F.count("*").cast("double").alias("df"))
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    per_term = (
+        tfq.join(F.broadcast(dfq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                idf
+                * F.col("tf")
+                * (k1 + 1.0)
+                / (F.col("tf")
+                   + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+            ).alias("s"),
+        )
+    )
+    scored = per_term.groupBy("doc_id").agg(
+        F.round(F.sum("s"), 4).alias("score")
+    )
+    from pyspark.sql import Window
+
+    top = scored.orderBy(F.col("score").desc(), "doc_id").limit(k)
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return top.select(
+        "doc_id", "score", F.row_number().over(w).cast("int").alias("rk")
+    )

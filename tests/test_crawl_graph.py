@@ -219,3 +219,135 @@ def test_hits_star_graph(spark):
     for i in range(4):
         assert abs(got[f"s{i}"][0] - 0.25) < 1e-12
         assert abs(got[f"s{i}"][1]) < 1e-12
+
+
+# ------------------------------------------------- frontier & recrawl
+
+
+def test_frontier_anti_join_robots_and_budget(spark):
+    """Synthetic graph exercising every stage: already-crawled urls drop
+    (the fixture-based harness key can't show this — its discovered
+    targets are all new), robots-denied urls drop, and the per-host
+    budget caps at k in priority order."""
+    from sparkdu.crawl import frontier, robots_rules
+
+    cand = spark.createDataFrame(
+        [("http://a.example/p%d" % i, 10 - i) for i in range(8)]
+        + [("http://a.example/blocked/x", 99),
+           ("http://b.example/only", 1),
+           ("http://a.example/seen", 50)],
+        "url string, n_ref_hosts long",
+    )
+    crawled = spark.createDataFrame(
+        [("http://a.example/seen",)], "url string"
+    )
+    robots = spark.createDataFrame(
+        [("a.example", "User-agent: *\nDisallow: /blocked\n")],
+        "host string, robots string",
+    )
+    got = frontier(cand, crawled, robots_rules(robots), per_host_k=3)
+    rows = {r["url"]: r for r in got.collect()}
+    assert "http://a.example/seen" not in rows        # anti-join
+    assert "http://a.example/blocked/x" not in rows   # robots deny
+    assert "http://b.example/only" in rows            # no rules -> allowed
+    a_urls = [u for u in rows if u.startswith("http://a.example")]
+    assert len(a_urls) == 3                           # politeness budget
+    # priority order: highest n_ref_hosts first
+    assert sorted(a_urls) == [f"http://a.example/p{i}" for i in range(3)]
+    assert rows["http://a.example/p0"]["rk"] == 1
+
+
+def test_recrawl_priority_change_rates(spark):
+    """Hand-built capture histories: single capture -> 0, unchanged
+    recapture -> 0, changed recapture -> 1, 3 captures / 2 versions
+    -> 0.5; last_ts is the max capture time."""
+    import datetime as dt
+
+    from sparkdu.crawl import recrawl_priority
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        ("u1", b"v1", t0),
+        ("u2", b"v1", t0), ("u2", b"v1", t0 + dt.timedelta(days=1)),
+        ("u3", b"v1", t0), ("u3", b"v2", t0 + dt.timedelta(days=2)),
+        ("u4", b"v1", t0), ("u4", b"v1", t0 + dt.timedelta(days=1)),
+        ("u4", b"v2", t0 + dt.timedelta(days=3)),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, html binary, warc_ts timestamp"
+    )
+    got = {r["url"]: r for r in recrawl_priority(pages).collect()}
+    assert (got["u1"]["n_captures"], got["u1"]["n_versions"],
+            got["u1"]["change_rate"]) == (1, 1, 0.0)
+    assert got["u2"]["change_rate"] == 0.0
+    assert got["u3"]["change_rate"] == 1.0
+    assert (got["u4"]["n_captures"], got["u4"]["n_versions"],
+            got["u4"]["change_rate"]) == (3, 2, 0.5)
+    assert got["u4"]["last_ts"] == t0 + dt.timedelta(days=3)
+
+
+# -------------------------------------------------------------- BM25
+
+
+def _py_bm25(corpus, terms, k1=1.2, b=0.75):
+    """Independent plain-Python BM25 over {doc_id: text}."""
+    import math
+
+    toks = {d: t.split(" ") for d, t in corpus.items()}
+    n = len(corpus)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df = {
+        q: sum(1 for v in toks.values() if q in v) for q in terms
+    }
+    out = {}
+    for d, v in toks.items():
+        s = 0.0
+        for q in terms:
+            tf = v.count(q)
+            if tf == 0 or df[q] == 0:
+                continue
+            idf = math.log((n - df[q] + 0.5) / (df[q] + 0.5) + 1.0)
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(v) / avgdl))
+        if s > 0:
+            out[d] = round(s, 4)
+    return out
+
+
+def test_bm25_matches_reference_and_ranks(spark):
+    from sparkdu.staging import bm25_topk
+
+    corpus = {
+        1: "table query table filler filler",
+        2: "table filler filler filler filler filler filler filler",
+        3: "query rare words here",
+        4: "nothing relevant at all",
+        5: "table table table table",  # heavy tf, saturates
+        6: "table query",              # short doc, length norm boost
+    }
+    docs = spark.createDataFrame(
+        [(d, t) for d, t in corpus.items()], "doc_id long, text string"
+    )
+    got = bm25_topk(docs, ("table", "query"), 10).collect()
+    expect = _py_bm25(corpus, ("table", "query"))
+    assert {r["doc_id"]: r["score"] for r in got} == expect
+    # rank column is 1..n in (score desc, doc_id) order
+    order = sorted(expect.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert [r["doc_id"] for r in sorted(got, key=lambda r: r["rk"])] == [
+        d for d, _ in order
+    ]
+    # doc 4 matches nothing and must be absent
+    assert 4 not in expect
+    # the short both-term doc must beat the long single-term doc
+    assert expect[6] > expect[2]
+
+
+def test_bm25_topk_cap(spark):
+    from sparkdu.staging import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(i, "table word%d" % i) for i in range(20)],
+        "doc_id long, text string",
+    )
+    got = bm25_topk(docs, ("table",), 7).collect()
+    assert len(got) == 7
+    assert sorted(r["rk"] for r in got) == list(range(1, 8))
