@@ -179,3 +179,70 @@ def recrawl_priority(pages: DataFrame, url: str = "url",
         ).alias("change_rate"),
         F.max(ts).alias("last_ts"),
     )
+
+
+def resolve_redirects(edges: DataFrame, max_hops: int = 16,
+                      src: str = "src_url", dst: str = "dst_url") -> DataFrame:
+    """Resolve every redirect source to its final landing url by pointer
+    doubling: each round composes the current successor table with
+    itself, so a chain of length L resolves in ceil(log2(L)) rounds of
+    one self-join each — the scale-correct form of redirect-chain
+    walking (a naive per-hop loop is O(max_hops) shuffles; this is
+    O(log max_hops), 4 joins for the standard 16-hop budget).
+
+    Each redirect source has exactly one successor (a url redirects to
+    one place), so the successor table is a functional graph; cycles and
+    chains longer than max_hops exhaust the budget and report
+    status='exceeded' with null final_url/n_hops — the "too many
+    redirects" a fetcher raises. Returns (src_url, final_url, n_hops,
+    status).
+    """
+    import math
+
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("nxt")).distinct()
+    srcs = e.select(F.col("u").alias("s")).distinct()
+    cur = (
+        e.join(srcs, e.nxt == srcs.s, "left")
+        .select(
+            "u",
+            "nxt",
+            F.col("s").isNull().alias("done"),
+            F.lit(1).alias("hops"),
+        )
+    )
+    for _ in range(max(1, math.ceil(math.log2(max_hops)))):
+        m = cur.select(
+            F.col("u").alias("m_u"),
+            F.col("nxt").alias("m_nxt"),
+            F.col("done").alias("m_done"),
+            F.col("hops").alias("m_hops"),
+        )
+        # done rows pass through; live rows jump to their successor's
+        # successor, inheriting its done flag and accumulated hop count
+        cur = (
+            cur.join(m, cur.nxt == m.m_u, "left")
+            .select(
+                "u",
+                F.when(F.col("done") | F.col("m_u").isNull(), F.col("nxt"))
+                .otherwise(F.col("m_nxt"))
+                .alias("nxt"),
+                (
+                    F.col("done")
+                    | F.col("m_u").isNull()
+                    | F.col("m_done")
+                ).alias("done"),
+                F.when(F.col("done") | F.col("m_u").isNull(), F.col("hops"))
+                .otherwise(F.col("hops") + F.col("m_hops"))
+                .alias("hops"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    ok = F.col("done") & (F.col("hops") <= max_hops)
+    return cur.select(
+        F.col("u").alias("src_url"),
+        F.when(ok, F.col("nxt")).alias("final_url"),
+        F.when(ok, F.col("hops").cast("int")).alias("n_hops"),
+        F.when(ok, F.lit("landed")).otherwise(F.lit("exceeded")).alias(
+            "status"
+        ),
+    )

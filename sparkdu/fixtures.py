@@ -1051,3 +1051,36 @@ def gen_robots(n_hosts: int = 20) -> list:
                 lines += [f"Disallow: /{(d + 1) % 10}"]
         out.append((host, "\n".join(lines) + "\n"))
     return out
+
+
+def gen_redirects(n_chains: int = 60, seed: int = 77) -> list:
+    """Deterministic redirect graph: (src_url, dst_url, status) edges.
+
+    Chains of length 1..6 ending at a terminal landing page, ~15% of
+    chains instead closing into a 2- or 3-cycle (the pathological case a
+    resolver must bound), plus a handful of diamond fan-ins (two sources
+    redirecting into the same chain). Statuses alternate 301/302/307/308
+    deterministically.
+    """
+    import random
+
+    rng = random.Random(seed)
+    statuses = [301, 302, 307, 308]
+    out = []
+    for c in range(n_chains):
+        length = 1 + (c % 6)
+        hops = [f"https://r{c}.example/hop{j}" for j in range(length)]
+        cyclic = c % 7 == 3  # ~15%: chain ends in a cycle, never lands
+        if cyclic:
+            hops.append(hops[max(0, length - min(3, length))])
+        else:
+            hops.append(f"https://r{c}.example/landing")
+        for j in range(len(hops) - 1):
+            out.append((hops[j], hops[j + 1], statuses[(c + j) % 4]))
+        if c % 5 == 0:  # diamond fan-in: an extra source joins mid-chain
+            out.append(
+                (f"https://r{c}.example/alt", hops[length // 2],
+                 statuses[c % 4])
+            )
+        rng.random()  # keep the stream position stable if branches change
+    return out

@@ -3052,3 +3052,42 @@ def bm25_topk(docs, terms, k, k1=1.2, b=0.75):
     return top.select(
         "doc_id", "score", F.row_number().over(w).cast("int").alias("rk")
     )
+
+
+@q(
+    "crawl_redirect_resolve",
+    f"""WITH RECURSIVE walk AS (
+          SELECT src_url AS src, dst_url AS cur, 1 AS hops
+          FROM read_parquet('{fx("redirects")}')
+          UNION ALL
+          SELECT w.src, e.dst_url, w.hops + 1
+          FROM walk w JOIN read_parquet('{fx("redirects")}') e
+            ON e.src_url = w.cur
+          WHERE w.hops < 16),
+        landed AS (
+          SELECT w.src, w.cur AS final_url, w.hops
+          FROM walk w
+          WHERE NOT EXISTS (SELECT 1
+                            FROM read_parquet('{fx("redirects")}') r
+                            WHERE r.src_url = w.cur))
+        SELECT s.src_url, l.final_url, CAST(l.hops AS INT) AS n_hops,
+               CASE WHEN l.src IS NULL THEN 'exceeded'
+                    ELSE 'landed' END AS status
+        FROM (SELECT DISTINCT src_url
+              FROM read_parquet('{fx("redirects")}')) s
+        LEFT JOIN landed l ON l.src = s.src_url""",
+)
+def crawl_redirect_resolve(spark, sf_dir):
+    """Redirect-chain resolution (sparkdu.crawl.resolve_redirects):
+    every source url in the redirect graph resolved to its final landing
+    url + hop count by POINTER DOUBLING — ceil(log2(16)) = 4 self-join
+    rounds instead of a 16-round per-hop loop, the difference between 4
+    and 16 shuffles at web scale. Cycles (the fixture plants 2-/3-cycles
+    and a self-loop) and over-budget chains exhaust the hop budget and
+    report status='exceeded' with null final/hops, exactly like the
+    oracle's bounded recursive CTE. Diamond fan-ins share chain suffixes
+    without interference (the successor table is functional: one row per
+    source)."""
+    from .crawl import resolve_redirects
+
+    return resolve_redirects(f(spark, "redirects"), max_hops=16)

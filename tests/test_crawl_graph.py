@@ -351,3 +351,75 @@ def test_bm25_topk_cap(spark):
     got = bm25_topk(docs, ("table",), 7).collect()
     assert len(got) == 7
     assert sorted(r["rk"] for r in got) == list(range(1, 8))
+
+
+# --------------------------------------------------------- redirects
+
+
+def _py_resolve(edges, max_hops=16):
+    """Independent per-source walk with an explicit hop budget."""
+    nxt = {s: d for s, d, *_ in edges}
+    out = {}
+    for s in nxt:
+        cur, hops = s, 0
+        while cur in nxt and hops < max_hops:
+            cur = nxt[cur]
+            hops += 1
+        if cur in nxt:  # budget exhausted mid-graph
+            out[s] = (None, None, "exceeded")
+        else:
+            out[s] = (cur, hops, "landed")
+    return out
+
+
+def test_redirect_resolver_differential(spark):
+    """Whole fixture graph (chains, 2-/3-cycles, a self-loop, diamond
+    fan-ins) resolved identically by pointer doubling and a plain
+    per-source Python walk."""
+    from sparkdu.crawl import resolve_redirects
+    from sparkdu.fixtures import gen_redirects
+
+    edges = gen_redirects()
+    df = spark.createDataFrame(
+        edges, "src_url string, dst_url string, status int"
+    )
+    got = {
+        r["src_url"]: (r["final_url"], r["n_hops"], r["status"])
+        for r in resolve_redirects(df).collect()
+    }
+    expect = _py_resolve(edges)
+    assert got == expect
+    # the fixture genuinely exercises both outcomes
+    statuses = {v[2] for v in got.values()}
+    assert statuses == {"landed", "exceeded"}
+    # diamond fan-in: the alt source lands at the same page as the chain head
+    assert got["https://r0.example/alt"][0] == got["https://r0.example/hop0"][0]
+
+
+def test_redirect_hop_budget_boundary(spark):
+    """A chain of exactly max_hops lands; one hop longer is exceeded —
+    including when max_hops is not a power of two (doubling covers more
+    ground than the budget; the final check must still enforce it)."""
+    from sparkdu.crawl import resolve_redirects
+
+    def chain(n):
+        return [(f"u{i}", f"u{i+1}") for i in range(n)]
+
+    for budget in (6, 8):
+        df = spark.createDataFrame(
+            chain(budget), "src_url string, dst_url string"
+        )
+        got = {r["src_url"]: r for r in
+               resolve_redirects(df, max_hops=budget).collect()}
+        assert got["u0"]["status"] == "landed"
+        assert got["u0"]["n_hops"] == budget
+        assert got["u0"]["final_url"] == f"u{budget}"
+
+        df2 = spark.createDataFrame(
+            chain(budget + 1), "src_url string, dst_url string"
+        )
+        got2 = {r["src_url"]: r for r in
+                resolve_redirects(df2, max_hops=budget).collect()}
+        assert got2["u0"]["status"] == "exceeded"
+        assert got2["u0"]["final_url"] is None
+        assert got2["u1"]["status"] == "landed"  # one closer: fits

@@ -626,6 +626,22 @@ def make_robots() -> None:
     )
 
 
+def make_redirects() -> None:
+    """Redirect-graph fixture: deterministic chains/cycles/fan-ins
+    (sparkdu.fixtures.gen_redirects), for the pointer-doubling resolver."""
+    rows = fixtures.gen_redirects()
+    write(
+        "redirects.parquet",
+        pa.table(
+            {
+                "src_url": [r[0] for r in rows],
+                "dst_url": [r[1] for r in rows],
+                "status": pa.array([r[2] for r in rows], pa.int32()),
+            }
+        ),
+    )
+
+
 if __name__ == "__main__":
     main()
     make_edges()
@@ -640,3 +656,4 @@ if __name__ == "__main__":
     make_idf_table()
     make_links()
     make_robots()
+    make_redirects()
