@@ -246,3 +246,39 @@ def resolve_redirects(edges: DataFrame, max_hops: int = 16,
             "status"
         ),
     )
+
+
+def url_templates(urls: DataFrame, url: str = "url",
+                  min_frac: float = 0.5, min_urls: int = 10) -> DataFrame:
+    """URL template mining / crawler-trap detection: collapse each url's
+    path to a template (hex runs of 8+ -> {hex} BEFORE digit runs -> {n},
+    so a 32-char session id never splits into digit fragments), count
+    urls per (host, template), and flag templates that dominate a host —
+    the calendar/session-id/pagination shapes a frontier rate-limits.
+    Returns (host, template, n_urls, host_urls, frac, trap_suspect)."""
+    path = F.regexp_extract(url, r"^https?://[^/]+(/.*)$", 1)
+    seg = urls.select(F.col(url).alias("url")).distinct().select(
+        F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("host"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.when(path == "", "/").otherwise(path),
+                r"[0-9a-f]{8,}", "{hex}",
+            ),
+            r"[0-9]+", "{n}",
+        ).alias("template"),
+    )
+    counts = seg.groupBy("host", "template").agg(
+        F.count("*").alias("n_urls")
+    )
+    tot = counts.groupBy("host").agg(F.sum("n_urls").alias("host_urls"))
+    frac = F.col("n_urls") / F.col("host_urls")
+    return counts.join(tot, "host").select(
+        "host",
+        "template",
+        "n_urls",
+        "host_urls",
+        F.round(frac, 6).alias("frac"),
+        ((frac > min_frac) & (F.col("n_urls") >= min_urls)).alias(
+            "trap_suspect"
+        ),
+    )

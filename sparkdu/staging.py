@@ -3091,3 +3091,41 @@ def crawl_redirect_resolve(spark, sf_dir):
     from .crawl import resolve_redirects
 
     return resolve_redirects(f(spark, "redirects"), max_hops=16)
+
+
+@q(
+    "crawl_url_templates",
+    f"""WITH seg AS (
+          SELECT url,
+                 regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+                 regexp_replace(
+                   regexp_replace(
+                     coalesce(nullif(regexp_extract(url,
+                       '^https?://[^/]+(/.*)$', 1), ''), '/'),
+                     '[0-9a-f]{{8,}}', '{{hex}}', 'g'),
+                   '[0-9]+', '{{n}}', 'g') AS template
+          FROM (SELECT DISTINCT url FROM read_parquet('{fx("pages")}'))),
+        counts AS (
+          SELECT host, template, CAST(count(*) AS BIGINT) AS n_urls
+          FROM seg GROUP BY host, template),
+        tot AS (
+          SELECT host, CAST(sum(n_urls) AS BIGINT) AS host_urls
+          FROM counts GROUP BY host)
+        SELECT c.host, c.template, c.n_urls, t.host_urls,
+               round(c.n_urls * 1.0 / t.host_urls, 6) AS frac,
+               (c.n_urls * 1.0 / t.host_urls > 0.5 AND c.n_urls >= 10)
+                 AS trap_suspect
+        FROM counts c JOIN tot t USING (host)""",
+)
+def crawl_url_templates(spark, sf_dir):
+    """URL template mining — the crawler-trap / infinite-space detector:
+    collapse every distinct url's path to a template (long hex runs ->
+    {{hex}} first so numeric substitution can't split them, then digit
+    runs -> {{n}}), count urls per (host, template), and flag templates
+    that dominate a host (>50% of its urls AND >=10 absolute) — the
+    calendar/session-id/pagination shapes a frontier should rate-limit.
+    Pure JVM regexps + two host-partitioned aggregations (the second is
+    a rollup of the first, same key, no extra shuffle)."""
+    from .crawl import url_templates
+
+    return url_templates(f(spark, "pages"))

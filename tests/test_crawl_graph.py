@@ -423,3 +423,33 @@ def test_redirect_hop_budget_boundary(spark):
         assert got2["u0"]["status"] == "exceeded"
         assert got2["u0"]["final_url"] is None
         assert got2["u1"]["status"] == "landed"  # one closer: fits
+
+
+# ----------------------------------------------------- url templates
+
+
+def test_url_templates_collapse_and_trap_flag(spark):
+    """Hex ids collapse to {hex} before digits can fragment them; a
+    dominating numeric template trips the trap flag while a diverse
+    host stays clean."""
+    from sparkdu.crawl import url_templates
+
+    trap = [(f"http://trap.example/cal/2026/{m}/{d}",)
+            for m in range(1, 4) for d in range(1, 6)]
+    sess = [("http://trap.example/s/deadbeefcafe1234",)]
+    clean = [("http://ok.example/about",), ("http://ok.example/contact",),
+             ("http://ok.example/item/7",)]
+    df = spark.createDataFrame(trap + sess + clean, "url string")
+    rows = {(r["host"], r["template"]): r
+            for r in url_templates(df, min_urls=10).collect()}
+
+    t = rows[("trap.example", "/cal/{n}/{n}/{n}")]
+    assert (t["n_urls"], t["host_urls"], t["trap_suspect"]) == (15, 16, True)
+    s = rows[("trap.example", "/s/{hex}")]
+    assert s["trap_suspect"] is False  # 1 url: below min_urls
+    assert ("ok.example", "/item/{n}") in rows
+    assert not any(r["trap_suspect"] for (h, _), r in rows.items()
+                   if h == "ok.example")
+    # fractions per host sum to 1
+    assert abs(sum(r["frac"] for (h, _), r in rows.items()
+                   if h == "trap.example") - 1.0) < 1e-6
