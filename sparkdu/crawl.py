@@ -282,3 +282,47 @@ def url_templates(urls: DataFrame, url: str = "url",
             "trap_suspect"
         ),
     )
+
+
+def sitemap_gap(sitemaps: DataFrame, pages: DataFrame,
+                host: str = "host", xml: str = "sitemap") -> DataFrame:
+    """Sitemap-vs-crawl freshness audit: parse every <url> entry (loc +
+    optional lastmod) out of each host's sitemap.xml with JVM regexes
+    ((?s) so entries spanning lines match), join against the latest
+    capture per url, and classify: 'uncrawled' (declared, never
+    fetched), 'stale' (lastmod after the last capture), 'fresh'
+    (lastmod at/before it), 'unknown' (no lastmod). Returns (host, url,
+    lastmod, last_crawl, status) — the recrawl planner's sitemap-driven
+    complement to crawl_recrawl_priority's history-driven signal.
+
+    Scale shape: sitemap tables are |hosts| rows; the parse is a pure
+    map + explode. The join key is url against the capture index's
+    latest-per-url aggregate — one shuffle each side, sitemap side tiny.
+    """
+    ents = sitemaps.select(
+        F.col(host).alias("host"),
+        F.explode(
+            F.regexp_extract_all(
+                F.col(xml), F.lit(r"(?s)<url>.*?</url>"), 0
+            )
+        ).alias("e"),
+    )
+    lastmod_raw = F.regexp_extract("e", "<lastmod>([^<]*)</lastmod>", 1)
+    parsed = ents.select(
+        "host",
+        F.regexp_extract("e", "<loc>([^<]*)</loc>", 1).alias("url"),
+        F.when(lastmod_raw == "", None).otherwise(lastmod_raw).alias(
+            "lastmod"
+        ),
+    )
+    crawl = pages.groupBy("url").agg(F.max("warc_ts").alias("last_crawl"))
+    j = parsed.join(crawl, "url", "left")
+    status = (
+        F.when(F.col("last_crawl").isNull(), "uncrawled")
+        .when(F.col("lastmod").isNull(), "unknown")
+        .when(F.to_timestamp("lastmod") > F.col("last_crawl"), "stale")
+        .otherwise("fresh")
+    )
+    return j.select(
+        "host", "url", "lastmod", "last_crawl", status.alias("status")
+    )

@@ -1084,3 +1084,48 @@ def gen_redirects(n_chains: int = 60, seed: int = 77) -> list:
             )
         rng.random()  # keep the stream position stable if branches change
     return out
+
+
+def gen_sitemaps(urls: list) -> list:
+    """Deterministic sitemap.xml payloads per host: (host, xml).
+
+    Every 3rd crawled url of the host is listed (so most crawled urls are
+    sitemap-absent), alternating lastmod BEFORE the crawl window
+    (2025-12-15, capture is fresh) and AFTER it (2026-02-01, capture is
+    stale); every 4th listed entry omits <lastmod> entirely (unknown
+    freshness). Each host also declares 3 never-crawled /sm{k} urls.
+    Whitespace varies (some entries on one line) to keep the parse
+    honest.
+    """
+    from collections import defaultdict
+
+    by_host = defaultdict(list)
+    for u in sorted(set(urls)):
+        by_host[u.split("/")[2]].append(u)
+    out = []
+    for host, hurls in sorted(by_host.items()):
+        ents = []
+        for i, u in enumerate(hurls):
+            if i % 3:
+                continue
+            if (i // 3) % 4 == 3:
+                ents.append(f"  <url><loc>{u}</loc></url>")
+            else:
+                lastmod = "2025-12-15" if (i // 3) % 2 == 0 else "2026-02-01"
+                ents.append(
+                    f"  <url>\n    <loc>{u}</loc>\n"
+                    f"    <lastmod>{lastmod}</lastmod>\n  </url>"
+                )
+        for k in range(3):
+            ents.append(
+                f"  <url><loc>https://{host}/sm{k}</loc>"
+                f"<lastmod>2026-01-15</lastmod></url>"
+            )
+        xml = (
+            '<?xml version="1.0" encoding="UTF-8"?>\n'
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+            + "\n".join(ents)
+            + "\n</urlset>\n"
+        )
+        out.append((host, xml))
+    return out

@@ -3129,3 +3129,39 @@ def crawl_url_templates(spark, sf_dir):
     from .crawl import url_templates
 
     return url_templates(f(spark, "pages"))
+
+
+@q(
+    "crawl_sitemap_gap",
+    f"""WITH ents AS (
+          SELECT host, unnest(regexp_extract_all(
+                   sitemap, '<url>.*?</url>', 0, 's')) AS e
+          FROM read_parquet('{fx("sitemaps")}')),
+        parsed AS (
+          SELECT host, regexp_extract(e, '<loc>([^<]*)</loc>', 1) AS url,
+                 nullif(regexp_extract(e, '<lastmod>([^<]*)</lastmod>', 1),
+                        '') AS lastmod
+          FROM ents),
+        crawl AS (
+          SELECT url, max(warc_ts) AS last_crawl
+          FROM read_parquet('{fx("pages")}') GROUP BY url)
+        SELECT p.host, p.url, p.lastmod, c.last_crawl,
+               CASE WHEN c.url IS NULL THEN 'uncrawled'
+                    WHEN p.lastmod IS NULL THEN 'unknown'
+                    WHEN CAST(p.lastmod AS TIMESTAMP) > c.last_crawl
+                      THEN 'stale'
+                    ELSE 'fresh' END AS status
+        FROM parsed p LEFT JOIN crawl c ON c.url = p.url""",
+)
+def crawl_sitemap_gap(spark, sf_dir):
+    """Sitemap-driven recrawl audit (sparkdu.crawl.sitemap_gap): every
+    <url> entry across the per-host sitemap fixtures classified against
+    the latest capture per url — uncrawled / stale / fresh / unknown
+    (no lastmod). The fixture plants all four outcomes (never-crawled
+    /sm{{k}} urls, lastmod straddling the capture window, entries with
+    no lastmod, single-line and multi-line entry formatting). A
+    differential pytest re-derives the table with xml.etree — a real
+    XML parser vs the regex extraction."""
+    from .crawl import sitemap_gap
+
+    return sitemap_gap(f(spark, "sitemaps"), f(spark, "pages"))

@@ -453,3 +453,59 @@ def test_url_templates_collapse_and_trap_flag(spark):
     # fractions per host sum to 1
     assert abs(sum(r["frac"] for (h, _), r in rows.items()
                    if h == "trap.example") - 1.0) < 1e-6
+
+
+# ------------------------------------------------------------ sitemaps
+
+
+def test_sitemap_gap_differential_vs_xml_parser(spark):
+    """The regex extraction is checked against a REAL XML parser
+    (xml.etree) over the whole fixture, and every status branch must
+    occur."""
+    import xml.etree.ElementTree as ET
+
+    from sparkdu.crawl import sitemap_gap
+    from sparkdu.fixtures import gen_sitemaps
+
+    pages_t = pq.read_table(
+        os.path.join(FIXDIR, "pages.parquet"), columns=["url", "warc_ts"]
+    )
+    urls = pages_t["url"].to_pylist()
+    tss = pages_t["warc_ts"].to_pylist()
+    last = {}
+    for u, ts in zip(urls, tss):
+        if u not in last or ts > last[u]:
+            last[u] = ts
+
+    sitemaps = gen_sitemaps(sorted(set(urls)))
+    ns = "{http://www.sitemaps.org/schemas/sitemap/0.9}"
+    expect = {}
+    for host, xml in sitemaps:
+        for ent in ET.fromstring(xml).iter(f"{ns}url"):
+            loc = ent.find(f"{ns}loc").text
+            lm_el = ent.find(f"{ns}lastmod")
+            lm = lm_el.text if lm_el is not None else None
+            if loc not in last:
+                st = "uncrawled"
+            elif lm is None:
+                st = "unknown"
+            else:
+                import datetime as dt
+
+                st = (
+                    "stale"
+                    if dt.datetime.fromisoformat(lm) > last[loc]
+                    else "fresh"
+                )
+            expect[loc] = (host, lm, last.get(loc), st)
+
+    sm_df = spark.createDataFrame(sitemaps, "host string, sitemap string")
+    pages_df = spark.read.parquet(os.path.join(FIXDIR, "pages.parquet"))
+    got = {
+        r["url"]: (r["host"], r["lastmod"], r["last_crawl"], r["status"])
+        for r in sitemap_gap(sm_df, pages_df).collect()
+    }
+    assert got == expect
+    assert {v[3] for v in expect.values()} == {
+        "uncrawled", "stale", "fresh", "unknown"
+    }

@@ -626,6 +626,23 @@ def make_robots() -> None:
     )
 
 
+def make_sitemaps() -> None:
+    """Sitemap fixture: per-host XML listing a third of the host's crawled
+    urls (mixed fresh/stale/no-lastmod) plus 3 never-crawled urls."""
+    rows = fixtures.gen_rows(N_PAGES)
+    urls = sorted({r["url"] for r in rows})
+    sm = fixtures.gen_sitemaps(urls)
+    write(
+        "sitemaps.parquet",
+        pa.table(
+            {
+                "host": [s[0] for s in sm],
+                "sitemap": [s[1] for s in sm],
+            }
+        ),
+    )
+
+
 def make_redirects() -> None:
     """Redirect-graph fixture: deterministic chains/cycles/fan-ins
     (sparkdu.fixtures.gen_redirects), for the pointer-doubling resolver."""
@@ -657,3 +674,4 @@ if __name__ == "__main__":
     make_links()
     make_robots()
     make_redirects()
+    make_sitemaps()
