@@ -20,6 +20,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 DECODE_SCHEMA = T.StructType(
@@ -1121,3 +1122,32 @@ def video_frame_stats(df: DataFrame, payload_col: str = "payload",
             )
 
     return df.mapInPandas(fn, schema=VIDEO_FRAME_SCHEMA)
+
+
+def mime_expr(payload) -> "Column":
+    """JVM-side magic-byte MIME sniffing — the scale path for routing a
+    mixed Common-Crawl-style payload column to per-type decoders without
+    a Python crossing: hex the first 12 bytes once, then prefix/offset
+    tests. RIFF containers disambiguate on the format tag at byte 9
+    (WAVE vs 'AVI '); ISO-BMFF on 'ftyp' at byte 5. Returns a mime
+    string column; unrecognized payloads map to
+    application/octet-stream."""
+    hx = F.hex(F.substring(payload, 1, 12))
+    return (
+        F.when(hx.startswith("89504E47"), "image/png")
+        .when(hx.startswith("47494638"), "image/gif")
+        .when(hx.startswith("FFD8FF"), "image/jpeg")
+        .when(
+            hx.startswith("52494646")
+            & (F.substring(hx, 17, 8) == F.lit("57415645")),
+            "audio/wav",
+        )
+        .when(
+            hx.startswith("52494646")
+            & (F.substring(hx, 17, 8) == F.lit("41564920")),
+            "video/x-msvideo",
+        )
+        .when(F.substring(hx, 9, 8) == F.lit("66747970"), "video/mp4")
+        .when(hx.startswith("3C"), "text/html")
+        .otherwise("application/octet-stream")
+    )

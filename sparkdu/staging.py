@@ -3165,3 +3165,96 @@ def crawl_sitemap_gap(spark, sf_dir):
     from .crawl import sitemap_gap
 
     return sitemap_gap(f(spark, "sitemaps"), f(spark, "pages"))
+
+
+def _mime_sql_case(col: str) -> str:
+    """DuckDB mirror of multimodal.mime_expr over a blob column."""
+    # DuckDB substring() has no BLOB overload: hex the payload first
+    # (fixture payloads are small), then slice the hex string
+    hx = f"substring(hex({col}), 1, 24)"
+    return f"""CASE
+        WHEN starts_with({hx}, '89504E47') THEN 'image/png'
+        WHEN starts_with({hx}, '47494638') THEN 'image/gif'
+        WHEN starts_with({hx}, 'FFD8FF') THEN 'image/jpeg'
+        WHEN starts_with({hx}, '52494646')
+             AND substring({hx}, 17, 8) = '57415645' THEN 'audio/wav'
+        WHEN starts_with({hx}, '52494646')
+             AND substring({hx}, 17, 8) = '41564920' THEN 'video/x-msvideo'
+        WHEN substring({hx}, 9, 8) = '66747970' THEN 'video/mp4'
+        WHEN starts_with({hx}, '3C') THEN 'text/html'
+        ELSE 'application/octet-stream' END"""
+
+
+@q(
+    "mm_sniff_mime",
+    f"""WITH u AS (
+          SELECT 'image' AS src, CAST(img_id AS VARCHAR) AS item_id,
+                 payload FROM read_parquet('{fx("images")}')
+          UNION ALL
+          SELECT 'jpeg', CAST(img_id AS VARCHAR), payload
+          FROM read_parquet('{fx("images_jpeg")}')
+          UNION ALL
+          SELECT 'audio', CAST(audio_id AS VARCHAR), payload
+          FROM read_parquet('{fx("audio")}')
+          UNION ALL
+          SELECT 'video', CAST(vid_id AS VARCHAR), payload
+          FROM read_parquet('{fx("videos")}')
+          UNION ALL
+          SELECT 'avi', CAST(vid_id AS VARCHAR), payload
+          FROM read_parquet('{fx("videos_avi")}')
+          UNION ALL
+          SELECT 'page', url, html FROM read_parquet('{fx("pages")}'))
+        SELECT src, {_mime_sql_case("payload")} AS mime,
+               CAST(count(*) AS BIGINT) AS n
+        FROM u GROUP BY src, mime""",
+)
+def mm_sniff_mime(spark, sf_dir):
+    """Content-type routing for a mixed payload table (multimodal
+    .mime_expr): every multimodal fixture + the raw html pages unioned
+    into one binary column, MIME sniffed from magic bytes entirely
+    JVM-side (one hex of the 12-byte prefix, then prefix/offset tests —
+    RIFF disambiguated WAVE vs AVI at byte 9, ISO-BMFF ftyp at byte 5),
+    aggregated to (src, mime, n). The pytest cross-checks the sniff
+    against each fixture's declared format column and against the
+    Python sniff_format twin. This is the dispatch step a 100 TB mixed
+    crawl runs before per-type decode fan-out."""
+    from .multimodal import mime_expr
+
+    parts = [
+        f(spark, "images").select(
+            F.lit("image").alias("src"),
+            F.col("img_id").cast("string").alias("item_id"),
+            "payload",
+        ),
+        f(spark, "images_jpeg").select(
+            F.lit("jpeg").alias("src"),
+            F.col("img_id").cast("string").alias("item_id"),
+            "payload",
+        ),
+        f(spark, "audio").select(
+            F.lit("audio").alias("src"),
+            F.col("audio_id").cast("string").alias("item_id"),
+            "payload",
+        ),
+        f(spark, "videos").select(
+            F.lit("video").alias("src"),
+            F.col("vid_id").cast("string").alias("item_id"),
+            "payload",
+        ),
+        f(spark, "videos_avi").select(
+            F.lit("avi").alias("src"),
+            F.col("vid_id").cast("string").alias("item_id"),
+            "payload",
+        ),
+        f(spark, "pages").select(
+            F.lit("page").alias("src"),
+            F.col("url").alias("item_id"),
+            F.col("html").alias("payload"),
+        ),
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.select("src", mime_expr(F.col("payload")).alias("mime")).groupBy(
+        "src", "mime"
+    ).agg(F.count("*").alias("n"))

@@ -550,3 +550,48 @@ def test_video_frame_stats_spark_truth(spark):
         assert r["px_mean"] == tr["frame_means"][r["frame_idx"]]
         assert r["px_sha"] == tr["frame_shas"][r["frame_idx"]]
         assert (r["width"], r["height"]) == (tr["width"], tr["height"])
+
+
+def test_mime_expr_matches_declared_and_python_twin(spark):
+    """JVM magic sniffing agrees with each fixture's declared format and
+    with the Python sniff_format twin, including the RIFF WAVE/AVI
+    disambiguation and an octet-stream fallback."""
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from sparkdu.multimodal import mime_expr, sniff_format
+
+    fixdir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures_data",
+    )
+    t = pq.read_table(os.path.join(fixdir, "images.parquet"),
+                      columns=["payload", "fmt"])
+    declared = {"png": "image/png", "gif": "image/gif", "jpeg": "image/jpeg"}
+    payloads = [(bytes(p.as_py()), declared[f.as_py()])
+                for p, f in zip(t["payload"], t["fmt"])]
+    payloads += [
+        (b"RIFF\x10\x00\x00\x00WAVEfmt ____", "audio/wav"),
+        (b"RIFF\x10\x00\x00\x00AVI LIST____", "video/x-msvideo"),
+        (b"\x00\x00\x00\x18ftypisom____", "video/mp4"),
+        (b"<html><body>hi</body></html>", "text/html"),
+        (b"\x00\x01\x02 not a known format", "application/octet-stream"),
+        (b"RIFF\x10\x00\x00\x00XXXX____", "application/octet-stream"),
+    ]
+    df = spark.createDataFrame(
+        [(i, p) for i, (p, _) in enumerate(payloads)],
+        "i long, payload binary",
+    )
+    got = {r["i"]: r["mime"]
+           for r in df.select("i", mime_expr(F.col("payload")).alias("mime")).collect()}
+    py2mime = {"png": "image/png", "gif": "image/gif", "jpeg": "image/jpeg",
+               "wav": "audio/wav", "avi": "video/x-msvideo",
+               "mp4": "video/mp4", "html": "text/html",
+               "unknown": "application/octet-stream"}
+    for i, (p, want) in enumerate(payloads):
+        assert got[i] == want, (i, got[i], want)
+        tw = sniff_format(p)
+        if tw in py2mime and py2mime[tw] != "application/octet-stream":
+            assert got[i] == py2mime[tw], (i, tw)
