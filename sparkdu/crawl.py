@@ -326,3 +326,61 @@ def sitemap_gap(sitemaps: DataFrame, pages: DataFrame,
     return j.select(
         "host", "url", "lastmod", "last_crawl", status.alias("status")
     )
+
+
+def robots_crawl_delay(robots: DataFrame, default_s: float = 1.0,
+                       host: str = "host", txt: str = "robots") -> DataFrame:
+    """Extract the wildcard-agent Crawl-delay (seconds) per host, using
+    the same line/group parse as robots_rules; hosts whose ``*`` group
+    has no Crawl-delay (or no ``*`` group at all) get `default_s`. If a
+    group repeats the directive, the strictest (max) applies. Returns
+    one row per input host: (host, crawl_delay)."""
+    lines = robots.select(
+        F.col(host).alias("host"),
+        F.posexplode(F.split(F.col(txt), "\n")).alias("ln", "raw"),
+    )
+    clean = F.trim(F.regexp_replace("raw", "#.*", ""))
+    parsed = lines.select(
+        "host",
+        "ln",
+        F.lower(F.regexp_extract(clean, r"^([A-Za-z-]+)\s*:", 1)).alias(
+            "directive"
+        ),
+        F.trim(F.regexp_extract(clean, r"^[A-Za-z-]+\s*:(.*)$", 1)).alias(
+            "value"
+        ),
+    ).filter(F.col("directive") != "")
+    w = Window.partitionBy("host").orderBy("ln")
+    grouped = (
+        parsed.withColumn("is_ua", F.col("directive") == "user-agent")
+        .withColumn(
+            "grp",
+            F.sum(
+                F.when(
+                    F.col("is_ua")
+                    & ~F.coalesce(F.lag("is_ua").over(w), F.lit(False)),
+                    1,
+                ).otherwise(0)
+            ).over(w),
+        )
+    )
+    star = (
+        grouped.filter(F.col("is_ua") & (F.col("value") == "*"))
+        .select("host", "grp")
+        .distinct()
+    )
+    delays = (
+        grouped.filter(F.col("directive") == "crawl-delay")
+        .join(star, ["host", "grp"])
+        # try_cast: ANSI mode makes plain cast THROW on junk like
+        # "Crawl-delay: soon"; the spec-correct behavior is to ignore it
+        .select("host", F.col("value").try_cast("double").alias("d"))
+        .filter(F.col("d").isNotNull())
+        .groupBy("host")
+        .agg(F.max("d").alias("d"))
+    )
+    return robots.select(F.col(host).alias("host")).join(
+        delays, "host", "left"
+    ).select(
+        "host", F.coalesce("d", F.lit(float(default_s))).alias("crawl_delay")
+    )

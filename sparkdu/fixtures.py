@@ -1049,6 +1049,10 @@ def gen_robots(n_hosts: int = 20) -> list:
                 lines += ["Disallow:"]  # empty value: not a rule
             if i % 3 == 0:
                 lines += [f"Disallow: /{(d + 1) % 10}"]
+            if i % 3 == 1:
+                # fractional and integer delays; hosts without the
+                # directive fall back to the scheduler default
+                lines += [f"Crawl-delay: {(i % 4) + 0.5:g}"]
         out.append((host, "\n".join(lines) + "\n"))
     return out
 

@@ -137,3 +137,58 @@ def hits(edges: DataFrame, iters: int = 20,
             .localCheckpoint(eager=False)
         )
     return hub.join(auth, "host")
+
+
+def trustrank(edges: DataFrame, seeds: list, damping: float = 0.85,
+              iters: int = 20, src: str = "src",
+              dst: str = "dst") -> DataFrame:
+    """TrustRank (Gyongyi et al. 2004): PageRank with teleport biased to
+    a trusted seed set instead of uniform — trust flows out from seeds
+    along links, so link-farm hosts unreachable from trusted hosts score
+    ~0 however densely they interlink. r' = (1-d)*s + d*(M r + m*s)
+    where s is uniform over `seeds` and m is the dangling/drift mass
+    (teleported to seeds too, keeping sum(r)=1). Same per-iteration
+    shape as pagerank(): one co-located share-join + groupBy(dst), a
+    scalar agg for the lost mass, localCheckpoint per round."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("host"))
+        .union(e.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    w = e.groupBy("src", "dst").agg(F.count("*").alias("w"))
+    outdeg = w.groupBy("src").agg(F.sum("w").alias("outdeg"))
+    share = (
+        w.join(outdeg, "src")
+        .select("src", "dst", (F.col("w") / F.col("outdeg")).alias("share"))
+        .repartition("src")
+        .cache()
+    )
+    seed_mass = F.when(
+        F.col("host").isin(list(seeds)), 1.0 / len(seeds)
+    ).otherwise(0.0)
+    ranks = nodes.select("host", seed_mass.alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            share.join(ranks, share.src == ranks.host)
+            .groupBy("dst")
+            .agg(F.sum(F.col("share") * F.col("rank")).alias("c"))
+        )
+        new = nodes.join(
+            contrib, nodes.host == contrib.dst, "left"
+        ).select("host", F.coalesce("c", F.lit(0.0)).alias("c"))
+        lost = new.agg(
+            (F.lit(damping) * (1.0 - F.sum("c"))).alias("m")
+        )
+        ranks = (
+            new.crossJoin(F.broadcast(lost))
+            .select(
+                "host",
+                (
+                    (F.lit(1.0 - damping) + F.col("m")) * seed_mass
+                    + F.lit(damping) * F.col("c")
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

@@ -3258,3 +3258,127 @@ def mm_sniff_mime(spark, sf_dir):
     return u.select("src", mime_expr(F.col("payload")).alias("mime")).groupBy(
         "src", "mime"
     ).agg(F.count("*").alias("n"))
+
+
+@q("graph_trustrank")  # rows-only: 20 float iterations, not SQL-expressible
+def graph_trustrank(spark, sf_dir):
+    """TrustRank over the followed host graph (sparkdu.rank.trustrank):
+    teleport biased to the two hub seeds, so trust decays with link
+    distance from them instead of re-injecting uniformly. Convergence
+    to an independent numpy fixpoint, mass conservation, and the
+    link-farm property (a disconnected clique scores 0) are pytest-gated
+    in tests/test_crawl_graph.py."""
+    from .rank import trustrank
+
+    links = f(spark, "links").filter(~F.col("nofollow"))
+    edges = links.select(
+        F.regexp_extract("src_url", "://([^/]+)/", 1).alias("src"),
+        F.col("dst_host").alias("dst"),
+    )
+    return (
+        trustrank(edges, ["site0.example", "site1.example"], iters=20)
+        .select("host", F.round("rank", 6).alias("trust"))
+        .orderBy(F.col("trust").desc(), "host")
+    )
+
+
+@q(
+    "crawl_fetch_schedule",
+    f"""WITH lines AS (
+          SELECT host, i AS ln, trim(regexp_replace(sp[i], '#.*', '')) AS clean
+          FROM (SELECT host, string_split(robots, chr(10)) AS sp
+                FROM read_parquet('{fx("robots")}')),
+               LATERAL (SELECT unnest(range(1, len(sp) + 1)) AS i)),
+        parsed AS (
+          SELECT host, ln,
+                 lower(regexp_extract(clean, '^([A-Za-z-]+)\\s*:', 1))
+                   AS directive,
+                 trim(regexp_extract(clean, '^[A-Za-z-]+\\s*:(.*)$', 1))
+                   AS value
+          FROM lines
+          WHERE regexp_extract(clean, '^([A-Za-z-]+)\\s*:', 1) != ''),
+        flagged AS (
+          SELECT *, (directive = 'user-agent') AS is_ua,
+                 lag(directive = 'user-agent')
+                   OVER (PARTITION BY host ORDER BY ln) AS prev_ua
+          FROM parsed),
+        grouped AS (
+          SELECT *, sum(CASE WHEN is_ua AND NOT coalesce(prev_ua, false)
+                             THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY host ORDER BY ln) AS grp
+          FROM flagged),
+        star AS (SELECT DISTINCT host, grp FROM grouped
+                 WHERE is_ua AND value = '*'),
+        rules AS (
+          SELECT g.host, (directive = 'allow') AS is_allow,
+                 value AS prefix, len(value) AS plen
+          FROM grouped g JOIN star USING (host, grp)
+          WHERE directive IN ('allow', 'disallow') AND value != ''),
+        delays AS (
+          SELECT g.host, max(TRY_CAST(value AS DOUBLE)) AS d
+          FROM grouped g JOIN star USING (host, grp)
+          WHERE directive = 'crawl-delay'
+            AND TRY_CAST(value AS DOUBLE) IS NOT NULL
+          GROUP BY g.host),
+        u AS (
+          SELECT url, regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+                 CASE WHEN regexp_extract(url, '^https?://[^/]+(/.*)$', 1) = ''
+                      THEN '/' ELSE regexp_extract(url,
+                           '^https?://[^/]+(/.*)$', 1) END AS path
+          FROM (SELECT DISTINCT url FROM read_parquet('{fx("pages")}'))),
+        decided AS (
+          SELECT url, u.host, is_allow,
+                 row_number() OVER (PARTITION BY url
+                   ORDER BY plen DESC, CAST(is_allow AS INT) DESC, prefix) AS rk
+          FROM u LEFT JOIN rules r
+            ON r.host = u.host AND starts_with(u.path, r.prefix)),
+        ok AS (SELECT url, host FROM decided
+               WHERE rk = 1 AND coalesce(is_allow, true))
+        SELECT host, url, fetch_order, crawl_delay,
+               round((fetch_order - 1) * crawl_delay, 6) AS eta_s
+        FROM (SELECT o.host, o.url,
+                     CAST(row_number() OVER (PARTITION BY o.host
+                            ORDER BY o.url) AS INT) AS fetch_order,
+                     coalesce(d.d, 1.0) AS crawl_delay
+              FROM ok o LEFT JOIN delays d ON d.host = o.host)""",
+)
+def crawl_fetch_schedule(spark, sf_dir):
+    """Politeness pacing (sparkdu.crawl.robots_crawl_delay): every
+    robots-allowed corpus url gets a per-host fetch slot — fetch_order
+    by url within host, eta_s = (order-1) * the host's wildcard-group
+    Crawl-delay (strictest wins if repeated; hosts without the
+    directive, or without a * group, pace at the 1.0 s default). This
+    is the dispatcher table a fetch fleet executes host-partitioned:
+    same window shape at any scale, delays broadcast-able. The fixture
+    now plants fractional and integer delays on a third of the hosts."""
+    from .crawl import robots_allow, robots_crawl_delay, robots_rules
+
+    robots = f(spark, "robots")
+    allowed = (
+        robots_allow(
+            f(spark, "pages").select("url").distinct(),
+            robots_rules(robots),
+        )
+        .filter(F.col("allowed"))
+        .select("url")
+    )
+    delays = robots_crawl_delay(robots, default_s=1.0)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("host").orderBy("url")
+    return (
+        allowed.withColumn(
+            "host", F.regexp_extract("url", r"^https?://([^/]+)", 1)
+        )
+        .join(delays, "host", "left")
+        .select(
+            "host",
+            "url",
+            F.row_number().over(w).cast("int").alias("fetch_order"),
+            F.coalesce("crawl_delay", F.lit(1.0)).alias("crawl_delay"),
+        )
+        .withColumn(
+            "eta_s",
+            F.round((F.col("fetch_order") - 1) * F.col("crawl_delay"), 6),
+        )
+    )

@@ -509,3 +509,105 @@ def test_sitemap_gap_differential_vs_xml_parser(spark):
     assert {v[3] for v in expect.values()} == {
         "uncrawled", "stale", "fresh", "unknown"
     }
+
+
+# ----------------------------------------------------------- trustrank
+
+
+def _numpy_trustrank(edges, seeds, d=0.85, iters=20):
+    """Independent dense reference: same seed-teleport recipe."""
+    nodes = sorted({e[0] for e in edges} | {e[1] for e in edges})
+    idx = {h: i for i, h in enumerate(nodes)}
+    n = len(nodes)
+    M = np.zeros((n, n))
+    for s, t in edges:
+        M[idx[t], idx[s]] += 1.0
+    outdeg = M.sum(axis=0)
+    has_out = outdeg > 0
+    M[:, has_out] /= outdeg[has_out]
+    s_vec = np.zeros(n)
+    for s in seeds:
+        s_vec[idx[s]] = 1.0 / len(seeds)
+    r = s_vec.copy()
+    for _ in range(iters):
+        c = M @ r
+        lost = d * (1.0 - c.sum())
+        r = (1.0 - d + lost) * s_vec + d * c
+    return {h: r[idx[h]] for h in nodes}
+
+
+def test_trustrank_matches_power_iteration_and_conserves_mass(spark):
+    from sparkdu.rank import trustrank
+
+    edges = _fixture_host_edges()
+    seeds = ["site0.example", "site1.example"]
+    expect = _numpy_trustrank(edges, seeds)
+    got = {
+        r["host"]: r["rank"]
+        for r in trustrank(
+            spark.createDataFrame(edges, "src string, dst string"), seeds
+        ).collect()
+    }
+    assert set(got) == set(expect)
+    for h in expect:
+        assert abs(got[h] - expect[h]) < 1e-9, h
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_trustrank_link_farm_scores_zero(spark):
+    """A densely-interlinked clique with no path from the seeds gets no
+    trust, however high its internal link count — the anti-spam property
+    plain PageRank lacks."""
+    from sparkdu.rank import trustrank
+
+    edges = [("seed", "good"), ("good", "leaf")]
+    farm = [(f"f{i}", f"f{j}") for i in range(4) for j in range(4) if i != j]
+    got = {
+        r["host"]: r["rank"]
+        for r in trustrank(
+            spark.createDataFrame(edges + farm * 3, "src string, dst string"),
+            ["seed"],
+            iters=10,
+        ).collect()
+    }
+    for i in range(4):
+        assert got[f"f{i}"] == 0.0
+    assert got["good"] > 0.1
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_robots_crawl_delay_parse_and_default(spark):
+    """Delay comes only from the * group (other agents' delays ignored),
+    strictest wins on repeats, non-numeric values drop, absent directive
+    or absent * group falls back to the default."""
+    from sparkdu.crawl import robots_crawl_delay
+
+    rows = [
+        ("a.example", "User-agent: *\nCrawl-delay: 2.5\nDisallow: /x\n"),
+        ("b.example",
+         "User-agent: Fancy\nCrawl-delay: 9\n\nUser-agent: *\nDisallow: /\n"),
+        ("c.example", "User-agent: *\nCrawl-delay: 1\nCrawl-delay: 4\n"),
+        ("d.example", "User-agent: *\nCrawl-delay: soon\n"),
+        ("e.example", "User-agent: Only\nDisallow: /\n"),
+    ]
+    df = spark.createDataFrame(rows, "host string, robots string")
+    got = {r["host"]: r["crawl_delay"]
+           for r in robots_crawl_delay(df, default_s=3.0).collect()}
+    assert got == {"a.example": 2.5, "b.example": 3.0, "c.example": 4.0,
+                   "d.example": 3.0, "e.example": 3.0}
+    # one row per input host, even without any parseable directive
+    assert len(got) == len(rows)
+
+
+def test_fixture_robots_have_delays():
+    """The regenerated fixture plants Crawl-delay on the i%3==1 hosts
+    (fractional values included) so the schedule key exercises both the
+    parsed and the default path."""
+    from sparkdu.fixtures import gen_robots
+
+    texts = dict(gen_robots())
+    with_delay = {h for h, t in texts.items() if "Crawl-delay:" in t}
+    assert with_delay  # some hosts have it
+    assert len(with_delay) < len(texts)  # some fall back to the default
+    assert any("." in t.split("Crawl-delay:")[1].split("\n")[0]
+               for h, t in texts.items() if h in with_delay)
