@@ -323,3 +323,93 @@ def snapshot_diff(spark: SparkSession, out_dir: str, from_id: int,
         .when(F.col("_fp_a") != F.col("_fp_b"), "update")
         .alias("change_type"),
     ).filter(F.col("change_type").isNotNull())
+
+
+def merge_upsert(spark: SparkSession, out_dir: str, updates: DataFrame,
+                 key_cols: list[str], num_parts: int,
+                 route_col: str = "url", run_id: str = "merge") -> dict:
+    """Copy-on-write MERGE (Iceberg MERGE INTO analogue): upsert
+    `updates` into the snapshot table by `key_cols`. Update rows route
+    to their partition with THE SAME function the writer uses
+    (pmod(xxhash64(route_col), num_parts) — lineage.py:159), so only
+    the partitions that can contain a matching key are read or
+    rewritten; every untouched partition's files carry over at the
+    manifest level, zero data moved. Per affected partition: existing
+    rows whose key matches an update are dropped (left-anti), update
+    rows unioned in, the partition rewritten to NEW files (old files
+    stay on disk for time travel), and one replace snapshot committed.
+
+    The only driver-side action is collecting the affected partition-key
+    list (<= num_parts ints) and the in/updated counters — planning
+    metadata, the same information an Iceberg driver reads from
+    manifests. Returns {"snapshot_id", "partitions_touched",
+    "rows_matched", "rows_new"}.
+    """
+    import glob as _glob
+    import shutil
+
+    m = load_manifest(out_dir)
+    if m is None:
+        raise ValueError(f"no committed snapshot under {out_dir}")
+    routed = updates.withColumn(
+        "partition_key",
+        F.pmod(F.xxhash64(route_col), F.lit(num_parts)).cast("int"),
+    )
+    affected = sorted(
+        r["partition_key"]
+        for r in routed.select("partition_key").distinct().collect()
+    )
+    old_files = [
+        os.path.join(out_dir, f)
+        for k in affected
+        for f in m["partition_keys"].get(str(k), [])
+    ]
+    base = os.path.join(out_dir, "extracted")
+    if old_files:
+        old = spark.read.option("basePath", base).parquet(*old_files)
+        keep = old.join(
+            routed.select(*key_cols), key_cols, "left_anti"
+        ).select(*routed.columns)
+        rows_matched = old.join(
+            routed.select(*key_cols), key_cols, "left_semi"
+        ).count()
+        merged = keep.unionByName(routed)
+    else:
+        rows_matched = 0
+        merged = routed
+    rows_new = routed.count() - rows_matched
+
+    # ONE write job for all affected partitions (a per-partition loop
+    # would re-run the anti-join once per partition); files then move
+    # into the live partition dirs under fresh names — invisible until
+    # the manifest flips
+    tmp = os.path.join(out_dir, "_merge_tmp")
+    merged.write.mode("overwrite").partitionBy("partition_key").parquet(tmp)
+    replaced: dict[str, list[str]] = {}
+    for k in affected:
+        pdir = os.path.join(base, f"partition_key={k}")
+        os.makedirs(pdir, exist_ok=True)
+        news = []
+        for i, p in enumerate(
+            sorted(
+                _glob.glob(
+                    os.path.join(tmp, f"partition_key={k}", "*.parquet")
+                )
+            )
+        ):
+            dest = os.path.join(
+                pdir, f"merge-{m['snapshot_id']}-{k}-{i}.parquet"
+            )
+            os.replace(p, dest)
+            news.append(os.path.relpath(dest, out_dir))
+        replaced[str(k)] = news
+    shutil.rmtree(tmp, ignore_errors=True)
+    sid = commit_replace_snapshot(
+        out_dir, run_id=run_id, replaced=replaced
+    )
+    return {
+        "snapshot_id": sid,
+        "partitions_touched": len(affected),
+        "rows_matched": rows_matched,
+        "rows_new": rows_new,
+    }

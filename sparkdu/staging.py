@@ -3382,3 +3382,56 @@ def crawl_fetch_schedule(spark, sf_dir):
             F.round((F.col("fetch_order") - 1) * F.col("crawl_delay"), 6),
         )
     )
+
+
+@q("snapshot_merge")  # rows-only: commit protocol + local tmp dir are engine-side
+def snapshot_merge(spark, sf_dir):
+    """Copy-on-write MERGE INTO analogue (snapshots.merge_upsert): build
+    a 4-partition keyed table, upsert 3 rows (2 matches + 1 new key) —
+    only the url-hash partitions that can hold those keys rewrite, the
+    rest carry their files at the manifest level; time travel still
+    reads the pre-merge values. Returns the merge counters plus
+    post-merge row checks; full behavioral gate in
+    tests/test_resume.py::test_snapshot_merge_upsert."""
+    import tempfile
+
+    from . import snapshots as S
+
+    d = tempfile.mkdtemp(prefix="sparkdu_merge_")
+    try:
+        K = 4
+        base = spark.createDataFrame(
+            [(f"u{i}", i) for i in range(40)], "url string, v int"
+        ).withColumn(
+            "partition_key", F.pmod(F.xxhash64("url"), F.lit(K)).cast("int")
+        )
+        for k in range(K):
+            base.filter(F.col("partition_key") == k).drop(
+                "partition_key"
+            ).write.mode("overwrite").parquet(
+                os.path.join(d, "extracted", f"partition_key={k}")
+            )
+        S.commit_wave_snapshot(d, "w", 0, list(range(K)))
+        pre = S.load_manifest(d)["snapshot_id"]
+        updates = spark.createDataFrame(
+            [("u3", 300), ("u7", 700), ("new1", 1000)], "url string, v int"
+        )
+        res = S.merge_upsert(spark, d, updates, ["url"], num_parts=K)
+        cur = {r["url"]: r["v"] for r in S.read_snapshot(spark, d).collect()}
+        old = {
+            r["url"]: r["v"] for r in S.read_snapshot(spark, d, pre).collect()
+        }
+        rows = [
+            ("rows_matched", res["rows_matched"]),
+            ("rows_new", res["rows_new"]),
+            ("partitions_touched", res["partitions_touched"]),
+            ("rows_after", len(cur)),
+            ("u3_after", cur["u3"]),
+            ("u3_time_travel", old["u3"]),
+            ("new1_in_old_snapshot", int("new1" in old)),
+        ]
+    finally:
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, "metric string, n long").orderBy("metric")

@@ -330,3 +330,65 @@ def test_snapshot_diff_cdc(spark, tmp_path):
     S.commit_replace_snapshot(d, "t", {pk: newfiles})
     upd = S.snapshot_diff(spark, d, s2, s2 + 1, ["url"]).collect()
     assert [r["change_type"] for r in upd].count("update") == 1
+
+
+def test_snapshot_merge_upsert(spark, tmp_path):
+    """Copy-on-write MERGE: updates route to their url-hash partition;
+    only those partitions are rewritten (untouched partitions keep the
+    very same files at the manifest level), matched keys take the new
+    values, unmatched keys append, and time travel still reads the
+    pre-merge rows."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sparkdu import snapshots as S
+
+    out = str(tmp_path / "table")
+    K = 4
+    base = spark.createDataFrame(
+        [(f"u{i}", i) for i in range(40)], "url string, v int"
+    ).withColumn(
+        "partition_key", F.pmod(F.xxhash64("url"), F.lit(K)).cast("int")
+    )
+    for k in range(K):
+        base.filter(F.col("partition_key") == k).drop(
+            "partition_key"
+        ).write.mode("overwrite").parquet(
+            os.path.join(out, "extracted", f"partition_key={k}")
+        )
+    S.commit_wave_snapshot(out, "w", 0, list(range(K)))
+    before = S.load_manifest(out)
+
+    updates = spark.createDataFrame(
+        [("u3", 300), ("u7", 700), ("new1", 1000)], "url string, v int"
+    )
+    res = S.merge_upsert(spark, out, updates, ["url"], num_parts=K)
+    assert res["rows_matched"] == 2 and res["rows_new"] == 1
+
+    after = S.load_manifest(out)
+    touched = {
+        r["partition_key"]
+        for r in updates.withColumn(
+            "partition_key",
+            F.pmod(F.xxhash64("url"), F.lit(K)).cast("int"),
+        ).select("partition_key").distinct().collect()
+    }
+    assert res["partitions_touched"] == len(touched)
+    for k in range(K):
+        same = after["partition_keys"][str(k)] == before["partition_keys"][str(k)]
+        assert same == (k not in touched), k
+
+    cur = {r["url"]: r["v"] for r in S.read_snapshot(spark, out).collect()}
+    assert len(cur) == 41
+    assert cur["u3"] == 300 and cur["u7"] == 700 and cur["new1"] == 1000
+    assert cur["u5"] == 5  # untouched key keeps its value
+    # time travel: the pre-merge snapshot still shows the old values
+    old = {r["url"]: r["v"] for r in
+           S.read_snapshot(spark, out, before["snapshot_id"]).collect()}
+    assert old["u3"] == 3 and "new1" not in old and len(old) == 40
+    # idempotence: re-merging the same updates changes no values
+    res2 = S.merge_upsert(spark, out, updates, ["url"], num_parts=K)
+    assert res2["rows_matched"] == 3 and res2["rows_new"] == 0
+    cur2 = {r["url"]: r["v"] for r in S.read_snapshot(spark, out).collect()}
+    assert cur2 == cur
