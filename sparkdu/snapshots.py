@@ -413,3 +413,69 @@ def merge_upsert(spark: SparkSession, out_dir: str, updates: DataFrame,
         "rows_matched": rows_matched,
         "rows_new": rows_new,
     }
+
+
+def delete_keys(spark: SparkSession, out_dir: str, keys: DataFrame,
+                key_cols: list[str], num_parts: int,
+                route_col: str = "url", run_id: str = "delete") -> dict:
+    """Copy-on-write DELETE by key (Iceberg DELETE FROM analogue, the
+    MERGE's other half): key rows route to their partitions exactly like
+    merge_upsert, only those partitions are read and rewritten without
+    the matching rows; a partition left empty commits an EMPTY file list
+    (the partition disappears from the live view but time travel still
+    reads it). Returns {"snapshot_id", "partitions_touched",
+    "rows_deleted"}."""
+    import glob as _glob
+    import shutil
+
+    m = load_manifest(out_dir)
+    if m is None:
+        raise ValueError(f"no committed snapshot under {out_dir}")
+    routed = keys.withColumn(
+        "partition_key",
+        F.pmod(F.xxhash64(route_col), F.lit(num_parts)).cast("int"),
+    )
+    affected = sorted(
+        r["partition_key"]
+        for r in routed.select("partition_key").distinct().collect()
+        if str(r["partition_key"]) in m["partition_keys"]
+    )
+    base = os.path.join(out_dir, "extracted")
+    old_files = [
+        os.path.join(out_dir, f)
+        for k in affected
+        for f in m["partition_keys"][str(k)]
+    ]
+    if not old_files:
+        return {"snapshot_id": m["snapshot_id"], "partitions_touched": 0,
+                "rows_deleted": 0}
+    old = spark.read.option("basePath", base).parquet(*old_files)
+    keep = old.join(routed.select(*key_cols), key_cols, "left_anti")
+    rows_deleted = old.count() - keep.count()
+
+    tmp = os.path.join(out_dir, "_delete_tmp")
+    keep.write.mode("overwrite").partitionBy("partition_key").parquet(tmp)
+    replaced: dict[str, list[str]] = {}
+    for k in affected:
+        pdir = os.path.join(base, f"partition_key={k}")
+        news = []
+        for i, p in enumerate(
+            sorted(
+                _glob.glob(
+                    os.path.join(tmp, f"partition_key={k}", "*.parquet")
+                )
+            )
+        ):
+            dest = os.path.join(
+                pdir, f"delete-{m['snapshot_id']}-{k}-{i}.parquet"
+            )
+            os.replace(p, dest)
+            news.append(os.path.relpath(dest, out_dir))
+        replaced[str(k)] = news  # [] when the partition emptied out
+    shutil.rmtree(tmp, ignore_errors=True)
+    sid = commit_replace_snapshot(out_dir, run_id=run_id, replaced=replaced)
+    return {
+        "snapshot_id": sid,
+        "partitions_touched": len(affected),
+        "rows_deleted": rows_deleted,
+    }

@@ -3435,3 +3435,47 @@ def snapshot_merge(spark, sf_dir):
 
         shutil.rmtree(d, ignore_errors=True)
     return spark.createDataFrame(rows, "metric string, n long").orderBy("metric")
+
+
+@q("snapshot_delete")  # rows-only: commit protocol + local tmp dir are engine-side
+def snapshot_delete(spark, sf_dir):
+    """Copy-on-write DELETE by key (snapshots.delete_keys): same routed
+    partition pruning as snapshot_merge; deleting every key of one
+    partition commits an empty file list for it while time travel keeps
+    reading the old rows. Behavioral gate in
+    tests/test_resume.py::test_snapshot_delete_keys."""
+    import tempfile
+
+    from . import snapshots as S
+
+    d = tempfile.mkdtemp(prefix="sparkdu_del_")
+    try:
+        K = 4
+        base = spark.createDataFrame(
+            [(f"u{i}", i) for i in range(40)], "url string, v int"
+        ).withColumn(
+            "partition_key", F.pmod(F.xxhash64("url"), F.lit(K)).cast("int")
+        )
+        for k in range(K):
+            base.filter(F.col("partition_key") == k).drop(
+                "partition_key"
+            ).write.mode("overwrite").parquet(
+                os.path.join(d, "extracted", f"partition_key={k}")
+            )
+        S.commit_wave_snapshot(d, "w", 0, list(range(K)))
+        pre = S.load_manifest(d)["snapshot_id"]
+        keys = spark.createDataFrame(
+            [("u3",), ("u7",), ("ghost",)], "url string"
+        )
+        res = S.delete_keys(spark, d, keys, ["url"], num_parts=K)
+        rows = [
+            ("rows_deleted", res["rows_deleted"]),
+            ("partitions_touched", res["partitions_touched"]),
+            ("rows_after", S.read_snapshot(spark, d).count()),
+            ("rows_time_travel", S.read_snapshot(spark, d, pre).count()),
+        ]
+    finally:
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, "metric string, n long").orderBy("metric")

@@ -392,3 +392,55 @@ def test_snapshot_merge_upsert(spark, tmp_path):
     assert res2["rows_matched"] == 3 and res2["rows_new"] == 0
     cur2 = {r["url"]: r["v"] for r in S.read_snapshot(spark, out).collect()}
     assert cur2 == cur
+
+
+def test_snapshot_delete_keys(spark, tmp_path):
+    """Copy-on-write DELETE: matching rows vanish from the live view,
+    untouched partitions keep their files, an emptied partition commits
+    an empty file list, and time travel still reads everything."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sparkdu import snapshots as S
+
+    out = str(tmp_path / "table")
+    K = 4
+    base = spark.createDataFrame(
+        [(f"u{i}", i) for i in range(40)], "url string, v int"
+    ).withColumn(
+        "partition_key", F.pmod(F.xxhash64("url"), F.lit(K)).cast("int")
+    )
+    for k in range(K):
+        base.filter(F.col("partition_key") == k).drop(
+            "partition_key"
+        ).write.mode("overwrite").parquet(
+            os.path.join(out, "extracted", f"partition_key={k}")
+        )
+    S.commit_wave_snapshot(out, "w", 0, list(range(K)))
+    before = S.load_manifest(out)
+
+    # delete one whole partition's keys plus one key from another
+    pk_of = {
+        r["url"]: r["partition_key"] for r in base.collect()
+    }
+    victim_pk = pk_of["u0"]
+    whole = [u for u, k in pk_of.items() if k == victim_pk]
+    other = next(u for u, k in pk_of.items() if k != victim_pk)
+    keys = spark.createDataFrame(
+        [(u,) for u in whole + [other, "ghost"]], "url string"
+    )
+    res = S.delete_keys(spark, out, keys, ["url"], num_parts=K)
+    assert res["rows_deleted"] == len(whole) + 1  # ghost matches nothing
+
+    after = S.load_manifest(out)
+    assert after["partition_keys"][str(victim_pk)] == []  # emptied out
+    untouched = [k for k in range(K)
+                 if k not in {victim_pk, pk_of[other]}]
+    for k in untouched:
+        assert after["partition_keys"][str(k)] == before["partition_keys"][str(k)]
+
+    cur = {r["url"] for r in S.read_snapshot(spark, out).collect()}
+    assert cur == set(pk_of) - set(whole) - {other}
+    old = S.read_snapshot(spark, out, before["snapshot_id"])
+    assert old.count() == 40  # time travel unaffected
