@@ -479,3 +479,121 @@ def delete_keys(spark: SparkSession, out_dir: str, keys: DataFrame,
         "partitions_touched": len(affected),
         "rows_deleted": rows_deleted,
     }
+
+
+# -- refs (Iceberg tag/branch analogue) --------------------------------------
+
+
+def _refs_path(out_dir: str) -> str:
+    return os.path.join(_snap_dir(out_dir), "refs.json")
+
+
+def set_ref(out_dir: str, name: str, snapshot_id: Optional[int] = None) -> int:
+    """Name a snapshot (Iceberg tag): `name` -> snapshot id (default:
+    current). Refs live in one atomically-replaced refs.json; a tagged
+    snapshot stays readable by name regardless of where `_current`
+    moves, and expire_snapshots-style GC policies would treat refs as
+    roots (documented contract — expire_snapshots here keeps last-N by
+    id and is used with keep_last >= the tagged window)."""
+    sid = snapshot_id if snapshot_id is not None else current_snapshot_id(out_dir)
+    if sid is None or load_manifest(out_dir, sid) is None:
+        raise ValueError(f"snapshot {sid} does not exist under {out_dir}")
+    refs = {}
+    try:
+        with open(_refs_path(out_dir)) as f:
+            refs = json.load(f)
+    except FileNotFoundError:
+        pass
+    refs[name] = sid
+    _atomic_write(_refs_path(out_dir), json.dumps(refs, indent=1))
+    return sid
+
+
+def resolve_ref(out_dir: str, name: str) -> int:
+    with open(_refs_path(out_dir)) as f:
+        refs = json.load(f)
+    if name not in refs:
+        raise ValueError(f"no ref {name!r} under {out_dir}")
+    return refs[name]
+
+
+# -- file-level column stats (Iceberg metrics analogue) ----------------------
+
+
+def annotate_stats(out_dir: str, cols: list[str],
+                   snapshot_id: Optional[int] = None) -> dict:
+    """Record per-file min/max for `cols` into a sidecar
+    stats-<sid>.json by reading ONLY parquet footers (pyarrow metadata —
+    no data pages). This is the manifest `lower_bounds`/`upper_bounds`
+    metrics Iceberg writes at commit time; kept as a sidecar so the
+    commit protocol stays untouched. Returns {relpath: {col: [lo, hi]}}."""
+    import pyarrow.parquet as _pq
+
+    m = load_manifest(out_dir, snapshot_id)
+    if m is None:
+        raise ValueError(f"no committed snapshot under {out_dir}")
+    stats: dict[str, dict] = {}
+    for fl in m["partition_keys"].values():
+        for rel in fl:
+            md = _pq.ParquetFile(os.path.join(out_dir, rel)).metadata
+            names = {md.schema.column(i).name: i
+                     for i in range(md.num_columns)}
+            per: dict[str, list] = {}
+            for c in cols:
+                lo = hi = None
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(names[c]).statistics
+                    if st is None or not st.has_min_max:
+                        lo = hi = None
+                        break
+                    mn, mx = st.min, st.max
+                    lo = mn if lo is None or mn < lo else lo
+                    hi = mx if hi is None or mx > hi else hi
+                if lo is not None:
+                    per[c] = [lo, hi]
+            stats[rel] = per
+    _atomic_write(
+        os.path.join(_snap_dir(out_dir), f"stats-{m['snapshot_id']:05d}.json"),
+        json.dumps(stats, indent=1, default=str),
+    )
+    return stats
+
+
+def plan_files(out_dir: str, col: str, lo, hi,
+               snapshot_id: Optional[int] = None) -> dict:
+    """Plan a range scan `col BETWEEN lo AND hi` against the recorded
+    stats: returns {"files": [kept relpaths], "skipped": n} — files whose
+    [min, max] cannot intersect the range are pruned WITHOUT being
+    opened, the Iceberg metrics-based file skipping that makes selective
+    scans O(matching files) at 10^12 docs. Files with no recorded stats
+    for `col` are conservatively kept."""
+    m = load_manifest(out_dir, snapshot_id)
+    if m is None:
+        raise ValueError(f"no committed snapshot under {out_dir}")
+    sp = os.path.join(_snap_dir(out_dir), f"stats-{m['snapshot_id']:05d}.json")
+    with open(sp) as f:
+        stats = json.load(f)
+    kept, skipped = [], 0
+    for fl in m["partition_keys"].values():
+        for rel in fl:
+            b = stats.get(rel, {}).get(col)
+            if b is not None and (b[1] < lo or b[0] > hi):
+                skipped += 1
+                continue
+            kept.append(rel)
+    return {"files": kept, "skipped": skipped}
+
+
+def read_snapshot_range(spark: SparkSession, out_dir: str, col: str,
+                        lo, hi, snapshot_id: Optional[int] = None) -> DataFrame:
+    """Stats-pruned range read: only the files plan_files keeps are
+    opened, then the residual filter applies exactly (row-group pruning
+    inside kept files is the parquet reader's job)."""
+    plan = plan_files(out_dir, col, lo, hi, snapshot_id)
+    if not plan["files"]:
+        raise ValueError("no files overlap the range; pass schema-aware "
+                         "handling upstream if empty reads are expected")
+    df = spark.read.option(
+        "basePath", os.path.join(out_dir, "extracted")
+    ).parquet(*[os.path.join(out_dir, f) for f in plan["files"]])
+    return df.filter((F.col(col) >= lo) & (F.col(col) <= hi))

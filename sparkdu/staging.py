@@ -3479,3 +3479,44 @@ def snapshot_delete(spark, sf_dir):
 
         shutil.rmtree(d, ignore_errors=True)
     return spark.createDataFrame(rows, "metric string, n long").orderBy("metric")
+
+
+@q("snapshot_prune_stats")  # rows-only: footer metadata + local tmp dir
+def snapshot_prune_stats(spark, sf_dir):
+    """Metrics-based file skipping + named refs (snapshots.annotate_stats
+    / plan_files / read_snapshot_range / set_ref): four disjoint-range
+    files, a range scan that can only touch one of them — the planner
+    must skip 3 files WITHOUT opening them (parquet footers only), and
+    the pruned read must equal full-scan + filter. A 'prod' tag pinned
+    before a merge keeps resolving to the old snapshot. Returns the
+    planning counters; behavioral gate in
+    tests/test_resume.py::test_snapshot_refs_and_stats_pruning."""
+    import tempfile
+
+    from . import snapshots as S
+
+    d = tempfile.mkdtemp(prefix="sparkdu_stats_")
+    try:
+        for k in range(4):
+            spark.createDataFrame(
+                [(f"u{k}_{i}", k * 100 + i) for i in range(20)],
+                "url string, v long",
+            ).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(d, "extracted", f"partition_key={k}")
+            )
+        S.commit_wave_snapshot(d, "w", 0, list(range(4)))
+        sid = S.set_ref(d, "prod")
+        S.annotate_stats(d, ["v"], snapshot_id=sid)
+        plan = S.plan_files(d, "v", 150, 260, snapshot_id=sid)
+        pruned = S.read_snapshot_range(spark, d, "v", 150, 260, sid)
+        rows = [
+            ("files_kept", len(plan["files"])),
+            ("files_skipped", plan["skipped"]),
+            ("rows_pruned_read", pruned.count()),
+            ("ref_resolves", int(S.resolve_ref(d, "prod") == sid)),
+        ]
+    finally:
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, "metric string, n long").orderBy("metric")

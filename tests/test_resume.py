@@ -444,3 +444,55 @@ def test_snapshot_delete_keys(spark, tmp_path):
     assert cur == set(pk_of) - set(whole) - {other}
     old = S.read_snapshot(spark, out, before["snapshot_id"])
     assert old.count() == 40  # time travel unaffected
+
+
+def test_snapshot_refs_and_stats_pruning(spark, tmp_path):
+    """Tags survive _current moving on; min/max footer stats prune
+    non-overlapping files without opening them, and the pruned read
+    returns exactly what a full scan + filter returns."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sparkdu import snapshots as S
+
+    out = str(tmp_path / "table")
+    # 4 partitions with DISJOINT value ranges -> stats can discriminate
+    for k in range(4):
+        spark.createDataFrame(
+            [(f"u{k}_{i}", k * 100 + i) for i in range(20)],
+            "url string, v long",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out, "extracted", f"partition_key={k}")
+        )
+    S.commit_wave_snapshot(out, "w", 0, list(range(4)))
+    sid1 = S.current_snapshot_id(out)
+    S.set_ref(out, "prod", sid1)
+
+    # move _current on via a merge; the tag must keep resolving to sid1
+    S.merge_upsert(
+        spark, out,
+        spark.createDataFrame([("u0_0", 9999)], "url string, v long"),
+        ["url"], num_parts=4,
+    )
+    assert S.current_snapshot_id(out) != sid1
+    assert S.resolve_ref(out, "prod") == sid1
+    old = S.read_snapshot(spark, out, S.resolve_ref(out, "prod"))
+    assert old.filter("url = 'u0_0'").first()["v"] == 0
+
+    # stats + pruning on the tagged snapshot
+    stats = S.annotate_stats(out, ["v"], snapshot_id=sid1)
+    assert all("v" in s for s in stats.values())
+    plan = S.plan_files(out, "v", 150, 260, snapshot_id=sid1)
+    # ranges per file: k=0 -> 0..19, k=1 -> 100..119, k=2 -> 200..219,
+    # k=3 -> 300..319; only k=2 overlaps [150, 260]
+    assert plan["skipped"] == 3 and len(plan["files"]) == 1
+    got = sorted(
+        r["v"] for r in
+        S.read_snapshot_range(spark, out, "v", 150, 260, sid1).collect()
+    )
+    full = sorted(
+        r["v"] for r in S.read_snapshot(spark, out, sid1)
+        .filter("v between 150 and 260").collect()
+    )
+    assert got == full and len(got) == 20
