@@ -597,3 +597,33 @@ def read_snapshot_range(spark: SparkSession, out_dir: str, col: str,
         "basePath", os.path.join(out_dir, "extracted")
     ).parquet(*[os.path.join(out_dir, f) for f in plan["files"]])
     return df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+
+
+def read_appends_since(spark: SparkSession, out_dir: str, since_id: int,
+                       snapshot_id: Optional[int] = None) -> DataFrame:
+    """Incremental scan (Iceberg incremental-append read): rows in files
+    that joined the table AFTER `since_id`, up to `snapshot_id`
+    (default current) — the consumer-side complement of snapshot_diff
+    for append-mostly tables: a downstream job checkpoints the last
+    snapshot id it processed and reads only the new files, O(new data)
+    not O(table). File-level semantics, honestly documented: a
+    REWRITTEN partition's files (merge/compact) reappear in full — pair
+    with snapshot_diff when row-exact changes are needed."""
+    mf, mt = load_manifest(out_dir, since_id), load_manifest(out_dir, snapshot_id)
+    if mf is None or mt is None:
+        raise ValueError("both snapshot ids must exist")
+    old = {f for fl in mf["partition_keys"].values() for f in fl}
+    new = [
+        f
+        for fl in mt["partition_keys"].values()
+        for f in fl
+        if f not in old
+    ]
+    if not new:
+        raise ValueError(
+            f"no files appended between snapshots {mf['snapshot_id']} and "
+            f"{mt['snapshot_id']}"
+        )
+    return spark.read.option(
+        "basePath", os.path.join(out_dir, "extracted")
+    ).parquet(*[os.path.join(out_dir, f) for f in new])

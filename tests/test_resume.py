@@ -496,3 +496,35 @@ def test_snapshot_refs_and_stats_pruning(spark, tmp_path):
         .filter("v between 150 and 260").collect()
     )
     assert got == full and len(got) == 20
+
+
+def test_snapshot_incremental_append_read(spark, tmp_path):
+    """A consumer checkpointed at snapshot 1 reads ONLY wave-2's rows
+    from the incremental scan; with nothing new it raises instead of
+    rescanning the table."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sparkdu import snapshots as S
+
+    out = str(tmp_path / "table")
+    spark.createDataFrame(
+        [(f"a{i}", i) for i in range(10)], "url string, v long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out, "extracted", "partition_key=0")
+    )
+    S.commit_wave_snapshot(out, "w", 0, [0])
+    sid1 = S.current_snapshot_id(out)
+    spark.createDataFrame(
+        [(f"b{i}", i) for i in range(7)], "url string, v long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out, "extracted", "partition_key=1")
+    )
+    S.commit_wave_snapshot(out, "w", 1, [1])
+
+    inc = S.read_appends_since(spark, out, sid1)
+    assert sorted(r["url"] for r in inc.collect()) == [f"b{i}" for i in range(7)]
+    with pytest.raises(ValueError, match="no files appended"):
+        S.read_appends_since(spark, out, S.current_snapshot_id(out))
