@@ -26,16 +26,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
-def robots_rules(robots: DataFrame, host: str = "host",
-                 txt: str = "robots") -> DataFrame:
-    """Parse robots.txt payloads into (host, is_allow, prefix, plen) rules
-    applying to the wildcard agent ``*``.
-
-    Comments strip at ``#``; blank/alien lines drop; a group is the run of
-    rules after one or more consecutive ``User-agent`` lines and belongs
-    to ``*`` iff any of those stacked lines names ``*``; empty rule values
-    ("Disallow:" = allow everything) are not rules.
-    """
+def _star_directives(robots: DataFrame, host: str, txt: str) -> DataFrame:
+    """Shared robots.txt group parse: (host, directive, value) rows for
+    every directive inside a group that applies to the wildcard agent
+    ``*``. Comments strip at ``#``; blank/alien lines drop; a group is
+    the run of directives after one or more consecutive ``User-agent``
+    lines and applies to ``*`` iff any of those stacked lines names it.
+    Both robots consumers (rules, crawl-delay) MUST use this one parse
+    so group semantics can never diverge between them."""
     lines = robots.select(
         F.col(host).alias("host"),
         F.posexplode(F.split(F.col(txt), "\n")).alias("ln", "raw"),
@@ -70,12 +68,24 @@ def robots_rules(robots: DataFrame, host: str = "host",
         .select("host", "grp")
         .distinct()
     )
+    return grouped.join(star, ["host", "grp"]).select(
+        "host", "directive", "value"
+    )
+
+
+def robots_rules(robots: DataFrame, host: str = "host",
+                 txt: str = "robots") -> DataFrame:
+    """Parse robots.txt payloads into (host, is_allow, prefix, plen) rules
+    applying to the wildcard agent ``*`` (group semantics:
+    _star_directives). Empty rule values ("Disallow:" = allow
+    everything) are not rules.
+    """
     return (
-        grouped.filter(
+        _star_directives(robots, host, txt)
+        .filter(
             F.col("directive").isin("allow", "disallow")
             & (F.col("value") != "")
         )
-        .join(star, ["host", "grp"])
         .select(
             "host",
             (F.col("directive") == "allow").alias("is_allow"),
@@ -199,7 +209,17 @@ def resolve_redirects(edges: DataFrame, max_hops: int = 16,
     """
     import math
 
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("nxt")).distinct()
+    # enforce the functional-graph invariant: real crawl logs can record
+    # the same source redirecting to different targets across fetches;
+    # without a per-source dedup every doubling round would MULTIPLY the
+    # ambiguous rows (exponentially inside cycles). Deterministic pick:
+    # lexicographically smallest target (a deployment would keep the
+    # latest fetch's edge).
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("nxt"))
+        .groupBy("u")
+        .agg(F.min("nxt").alias("nxt"))
+    )
     srcs = e.select(F.col("u").alias("s")).distinct()
     cur = (
         e.join(srcs, e.nxt == srcs.s, "left")
@@ -262,7 +282,7 @@ def url_templates(urls: DataFrame, url: str = "url",
         F.regexp_replace(
             F.regexp_replace(
                 F.when(path == "", "/").otherwise(path),
-                r"[0-9a-f]{8,}", "{hex}",
+                r"[0-9a-fA-F]{8,}", "{hex}",
             ),
             r"[0-9]+", "{n}",
         ).alias("template"),
@@ -317,10 +337,13 @@ def sitemap_gap(sitemaps: DataFrame, pages: DataFrame,
     )
     crawl = pages.groupBy("url").agg(F.max("warc_ts").alias("last_crawl"))
     j = parsed.join(crawl, "url", "left")
+    # try_to_timestamp: ANSI to_timestamp THROWS on a malformed lastmod
+    # (real sitemaps contain them); unparseable dates classify 'unknown'
+    lm_ts = F.try_to_timestamp(F.col("lastmod"))
     status = (
         F.when(F.col("last_crawl").isNull(), "uncrawled")
-        .when(F.col("lastmod").isNull(), "unknown")
-        .when(F.to_timestamp("lastmod") > F.col("last_crawl"), "stale")
+        .when(F.col("lastmod").isNull() | lm_ts.isNull(), "unknown")
+        .when(lm_ts > F.col("last_crawl"), "stale")
         .otherwise("fresh")
     )
     return j.select(
@@ -335,43 +358,9 @@ def robots_crawl_delay(robots: DataFrame, default_s: float = 1.0,
     has no Crawl-delay (or no ``*`` group at all) get `default_s`. If a
     group repeats the directive, the strictest (max) applies. Returns
     one row per input host: (host, crawl_delay)."""
-    lines = robots.select(
-        F.col(host).alias("host"),
-        F.posexplode(F.split(F.col(txt), "\n")).alias("ln", "raw"),
-    )
-    clean = F.trim(F.regexp_replace("raw", "#.*", ""))
-    parsed = lines.select(
-        "host",
-        "ln",
-        F.lower(F.regexp_extract(clean, r"^([A-Za-z-]+)\s*:", 1)).alias(
-            "directive"
-        ),
-        F.trim(F.regexp_extract(clean, r"^[A-Za-z-]+\s*:(.*)$", 1)).alias(
-            "value"
-        ),
-    ).filter(F.col("directive") != "")
-    w = Window.partitionBy("host").orderBy("ln")
-    grouped = (
-        parsed.withColumn("is_ua", F.col("directive") == "user-agent")
-        .withColumn(
-            "grp",
-            F.sum(
-                F.when(
-                    F.col("is_ua")
-                    & ~F.coalesce(F.lag("is_ua").over(w), F.lit(False)),
-                    1,
-                ).otherwise(0)
-            ).over(w),
-        )
-    )
-    star = (
-        grouped.filter(F.col("is_ua") & (F.col("value") == "*"))
-        .select("host", "grp")
-        .distinct()
-    )
     delays = (
-        grouped.filter(F.col("directive") == "crawl-delay")
-        .join(star, ["host", "grp"])
+        _star_directives(robots, host, txt)
+        .filter(F.col("directive") == "crawl-delay")
         # try_cast: ANSI mode makes plain cast THROW on junk like
         # "Crawl-delay: soon"; the spec-correct behavior is to ignore it
         .select("host", F.col("value").try_cast("double").alias("d"))

@@ -1050,9 +1050,10 @@ def gen_robots(n_hosts: int = 20) -> list:
             if i % 3 == 0:
                 lines += [f"Disallow: /{(d + 1) % 10}"]
             if i % 3 == 1:
-                # fractional and integer delays; hosts without the
+                # mixed integer and fractional delays; hosts without the
                 # directive fall back to the scheduler default
-                lines += [f"Crawl-delay: {(i % 4) + 0.5:g}"]
+                dly = (i % 4) + 0.5 if i % 2 else (i % 4) + 1
+                lines += [f"Crawl-delay: {dly:g}"]
         out.append((host, "\n".join(lines) + "\n"))
     return out
 
@@ -1116,6 +1117,10 @@ def gen_sitemaps(urls: list) -> list:
                 ents.append(f"  <url><loc>{u}</loc></url>")
             else:
                 lastmod = "2025-12-15" if (i // 3) % 2 == 0 else "2026-02-01"
+                if (i // 3) % 5 == 2:
+                    # real sitemaps contain junk dates; the evaluator must
+                    # classify them 'unknown', never crash (ANSI casts throw)
+                    lastmod = "around mid-january"
                 ents.append(
                     f"  <url>\n    <loc>{u}</loc>\n"
                     f"    <lastmod>{lastmod}</lastmod>\n  </url>"

@@ -58,6 +58,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # INT96 (the legacy default) writes NO usable column statistics;
+        # TIMESTAMP_MICROS makes footer min/max available for the
+        # snapshots.annotate_stats/plan_files file-skipping path
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.driver.memory", os.environ.get("SPARKDU_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )

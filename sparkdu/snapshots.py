@@ -325,6 +325,56 @@ def snapshot_diff(spark: SparkSession, out_dir: str, from_id: int,
     ).filter(F.col("change_type").isNotNull())
 
 
+def _footer_rows(paths: list[str]) -> int:
+    """Total row count of parquet files from FOOTER metadata only — the
+    free way to derive DML counters without re-running a Spark scan."""
+    import pyarrow.parquet as _pq
+
+    return sum(_pq.ParquetFile(p).metadata.num_rows for p in paths)
+
+
+def _rewrite_partitions(out_dir: str, df, affected: list[int],
+                        prefix: str, parent_sid: int) -> dict[str, list[str]]:
+    """Shared copy-on-write partition rewrite (merge/delete): ONE
+    partitionBy write job into a tmp dir, then per-partition renames
+    into the live dirs under fresh `{prefix}-{sid}-{k}-{i}` names —
+    invisible until the caller commits the manifest. The crash-safety-
+    critical ordering (new files first, manifest flip second, old files
+    left for expire) lives HERE, once. Returns partition_key ->
+    out_dir-relative new files ([] when a partition emptied out)."""
+    import glob as _glob
+    import shutil
+
+    base = os.path.join(out_dir, "extracted")
+    tmp = os.path.join(out_dir, f"_{prefix}_tmp")
+    df.write.mode("overwrite").partitionBy("partition_key").parquet(tmp)
+    replaced: dict[str, list[str]] = {}
+    for k in affected:
+        pdir = os.path.join(base, f"partition_key={k}")
+        os.makedirs(pdir, exist_ok=True)
+        news = []
+        for i, p in enumerate(
+            sorted(
+                _glob.glob(
+                    os.path.join(tmp, f"partition_key={k}", "*.parquet")
+                )
+            )
+        ):
+            dest = os.path.join(pdir, f"{prefix}-{parent_sid}-{k}-{i}.parquet")
+            os.replace(p, dest)
+            news.append(os.path.relpath(dest, out_dir))
+        replaced[str(k)] = news
+    shutil.rmtree(tmp, ignore_errors=True)
+    return replaced
+
+
+def _route(df, route_col: str, num_parts: int):
+    return df.withColumn(
+        "partition_key",
+        F.pmod(F.xxhash64(route_col), F.lit(num_parts)).cast("int"),
+    )
+
+
 def merge_upsert(spark: SparkSession, out_dir: str, updates: DataFrame,
                  key_cols: list[str], num_parts: int,
                  route_col: str = "url", run_id: str = "merge") -> dict:
@@ -339,22 +389,26 @@ def merge_upsert(spark: SparkSession, out_dir: str, updates: DataFrame,
     rows unioned in, the partition rewritten to NEW files (old files
     stay on disk for time travel), and one replace snapshot committed.
 
-    The only driver-side action is collecting the affected partition-key
-    list (<= num_parts ints) and the in/updated counters — planning
-    metadata, the same information an Iceberg driver reads from
-    manifests. Returns {"snapshot_id", "partitions_touched",
-    "rows_matched", "rows_new"}.
+    Duplicate keys in `updates` raise (Iceberg MERGE INTO rejects
+    multiple source matches too — silently inserting both would break
+    the table's key uniqueness). Driver-side actions: the affected
+    partition-key list, the duplicate-key probe, and one count of the
+    (small) updates side — the rows_matched / rows_new counters come
+    from parquet FOOTERS, never a second scan of the table. Returns
+    {"snapshot_id", "partitions_touched", "rows_matched", "rows_new"}.
     """
-    import glob as _glob
-    import shutil
-
     m = load_manifest(out_dir)
     if m is None:
         raise ValueError(f"no committed snapshot under {out_dir}")
-    routed = updates.withColumn(
-        "partition_key",
-        F.pmod(F.xxhash64(route_col), F.lit(num_parts)).cast("int"),
-    )
+    routed = _route(updates, route_col, num_parts)
+    if (
+        routed.groupBy(*key_cols).count().filter(F.col("count") > 1)
+        .limit(1).count()
+    ):
+        raise ValueError(
+            "updates contain duplicate keys; arbitrate upstream (e.g. "
+            "keep the latest row per key) before merge_upsert"
+        )
     affected = sorted(
         r["partition_key"]
         for r in routed.select("partition_key").distinct().collect()
@@ -370,48 +424,25 @@ def merge_upsert(spark: SparkSession, out_dir: str, updates: DataFrame,
         keep = old.join(
             routed.select(*key_cols), key_cols, "left_anti"
         ).select(*routed.columns)
-        rows_matched = old.join(
-            routed.select(*key_cols), key_cols, "left_semi"
-        ).count()
         merged = keep.unionByName(routed)
     else:
-        rows_matched = 0
         merged = routed
-    rows_new = routed.count() - rows_matched
+    upd_total = routed.count()
 
-    # ONE write job for all affected partitions (a per-partition loop
-    # would re-run the anti-join once per partition); files then move
-    # into the live partition dirs under fresh names — invisible until
-    # the manifest flips
-    tmp = os.path.join(out_dir, "_merge_tmp")
-    merged.write.mode("overwrite").partitionBy("partition_key").parquet(tmp)
-    replaced: dict[str, list[str]] = {}
-    for k in affected:
-        pdir = os.path.join(base, f"partition_key={k}")
-        os.makedirs(pdir, exist_ok=True)
-        news = []
-        for i, p in enumerate(
-            sorted(
-                _glob.glob(
-                    os.path.join(tmp, f"partition_key={k}", "*.parquet")
-                )
-            )
-        ):
-            dest = os.path.join(
-                pdir, f"merge-{m['snapshot_id']}-{k}-{i}.parquet"
-            )
-            os.replace(p, dest)
-            news.append(os.path.relpath(dest, out_dir))
-        replaced[str(k)] = news
-    shutil.rmtree(tmp, ignore_errors=True)
-    sid = commit_replace_snapshot(
-        out_dir, run_id=run_id, replaced=replaced
+    replaced = _rewrite_partitions(
+        out_dir, merged, affected, "merge", m["snapshot_id"]
     )
+    sid = commit_replace_snapshot(out_dir, run_id=run_id, replaced=replaced)
+    old_total = _footer_rows(old_files)
+    new_total = _footer_rows(
+        [os.path.join(out_dir, f) for fl in replaced.values() for f in fl]
+    )
+    rows_matched = old_total + upd_total - new_total
     return {
         "snapshot_id": sid,
         "partitions_touched": len(affected),
         "rows_matched": rows_matched,
-        "rows_new": rows_new,
+        "rows_new": upd_total - rows_matched,
     }
 
 
@@ -423,18 +454,13 @@ def delete_keys(spark: SparkSession, out_dir: str, keys: DataFrame,
     merge_upsert, only those partitions are read and rewritten without
     the matching rows; a partition left empty commits an EMPTY file list
     (the partition disappears from the live view but time travel still
-    reads it). Returns {"snapshot_id", "partitions_touched",
-    "rows_deleted"}."""
-    import glob as _glob
-    import shutil
-
+    reads it). rows_deleted derives from parquet footers (old total -
+    new total), so the anti-join executes exactly once — in the write.
+    Returns {"snapshot_id", "partitions_touched", "rows_deleted"}."""
     m = load_manifest(out_dir)
     if m is None:
         raise ValueError(f"no committed snapshot under {out_dir}")
-    routed = keys.withColumn(
-        "partition_key",
-        F.pmod(F.xxhash64(route_col), F.lit(num_parts)).cast("int"),
-    )
+    routed = _route(keys, route_col, num_parts)
     affected = sorted(
         r["partition_key"]
         for r in routed.select("partition_key").distinct().collect()
@@ -451,33 +477,18 @@ def delete_keys(spark: SparkSession, out_dir: str, keys: DataFrame,
                 "rows_deleted": 0}
     old = spark.read.option("basePath", base).parquet(*old_files)
     keep = old.join(routed.select(*key_cols), key_cols, "left_anti")
-    rows_deleted = old.count() - keep.count()
 
-    tmp = os.path.join(out_dir, "_delete_tmp")
-    keep.write.mode("overwrite").partitionBy("partition_key").parquet(tmp)
-    replaced: dict[str, list[str]] = {}
-    for k in affected:
-        pdir = os.path.join(base, f"partition_key={k}")
-        news = []
-        for i, p in enumerate(
-            sorted(
-                _glob.glob(
-                    os.path.join(tmp, f"partition_key={k}", "*.parquet")
-                )
-            )
-        ):
-            dest = os.path.join(
-                pdir, f"delete-{m['snapshot_id']}-{k}-{i}.parquet"
-            )
-            os.replace(p, dest)
-            news.append(os.path.relpath(dest, out_dir))
-        replaced[str(k)] = news  # [] when the partition emptied out
-    shutil.rmtree(tmp, ignore_errors=True)
+    replaced = _rewrite_partitions(
+        out_dir, keep, affected, "delete", m["snapshot_id"]
+    )
     sid = commit_replace_snapshot(out_dir, run_id=run_id, replaced=replaced)
+    new_total = _footer_rows(
+        [os.path.join(out_dir, f) for fl in replaced.values() for f in fl]
+    )
     return {
         "snapshot_id": sid,
         "partitions_touched": len(affected),
-        "rows_deleted": rows_deleted,
+        "rows_deleted": _footer_rows(old_files) - new_total,
     }
 
 
@@ -543,6 +554,10 @@ def annotate_stats(out_dir: str, cols: list[str],
                 lo = hi = None
                 for rg in range(md.num_row_groups):
                     st = md.row_group(rg).column(names[c]).statistics
+                    # note: legacy INT96 timestamps carry no min/max —
+                    # such columns record no bounds and plan_files keeps
+                    # their files conservatively (session.py pins the
+                    # writer to TIMESTAMP_MICROS for this reason)
                     if st is None or not st.has_min_max:
                         lo = hi = None
                         break
@@ -550,13 +565,46 @@ def annotate_stats(out_dir: str, cols: list[str],
                     lo = mn if lo is None or mn < lo else lo
                     hi = mx if hi is None or mx > hi else hi
                 if lo is not None:
-                    per[c] = [lo, hi]
+                    per[c] = [_enc_bound(lo), _enc_bound(hi)]
             stats[rel] = per
     _atomic_write(
         os.path.join(_snap_dir(out_dir), f"stats-{m['snapshot_id']:05d}.json"),
-        json.dumps(stats, indent=1, default=str),
+        json.dumps(stats, indent=1),
     )
     return stats
+
+
+def _enc_bound(v):
+    """JSON-safe typed encoding of a stats bound: non-native types carry
+    a tag so plan_files can re-hydrate them and compare with TYPED query
+    bounds (a default=str dump would silently turn timestamp bounds into
+    strings and make every timestamp range scan raise TypeError)."""
+    if isinstance(v, _dt.datetime):
+        return {"t": "ts", "v": _naive_utc(v).isoformat()}
+    if isinstance(v, _dt.date):
+        return {"t": "date", "v": v.isoformat()}
+    if isinstance(v, (bytes, bytearray)):
+        return {"t": "bin", "v": bytes(v).hex()}
+    return v
+
+
+def _naive_utc(v: "_dt.datetime") -> "_dt.datetime":
+    """Timestamps compare naive-UTC everywhere here: pyarrow reports
+    Spark-written TIMESTAMP_MICROS stats tz-AWARE while query bounds are
+    usually naive — mixing the two raises TypeError in Python."""
+    if v.tzinfo is not None:
+        return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    return v
+
+
+def _dec_bound(v):
+    if isinstance(v, dict):
+        if v["t"] == "ts":
+            return _dt.datetime.fromisoformat(v["v"])
+        if v["t"] == "date":
+            return _dt.date.fromisoformat(v["v"])
+        return bytes.fromhex(v["v"])
+    return v
 
 
 def plan_files(out_dir: str, col: str, lo, hi,
@@ -573,13 +621,17 @@ def plan_files(out_dir: str, col: str, lo, hi,
     sp = os.path.join(_snap_dir(out_dir), f"stats-{m['snapshot_id']:05d}.json")
     with open(sp) as f:
         stats = json.load(f)
+    if isinstance(lo, _dt.datetime):
+        lo, hi = _naive_utc(lo), _naive_utc(hi)
     kept, skipped = [], 0
     for fl in m["partition_keys"].values():
         for rel in fl:
             b = stats.get(rel, {}).get(col)
-            if b is not None and (b[1] < lo or b[0] > hi):
-                skipped += 1
-                continue
+            if b is not None:
+                blo, bhi = _dec_bound(b[0]), _dec_bound(b[1])
+                if bhi < lo or blo > hi:
+                    skipped += 1
+                    continue
             kept.append(rel)
     return {"files": kept, "skipped": skipped}
 
@@ -600,7 +652,8 @@ def read_snapshot_range(spark: SparkSession, out_dir: str, col: str,
 
 
 def read_appends_since(spark: SparkSession, out_dir: str, since_id: int,
-                       snapshot_id: Optional[int] = None) -> DataFrame:
+                       snapshot_id: Optional[int] = None,
+                       schema=None) -> DataFrame:
     """Incremental scan (Iceberg incremental-append read): rows in files
     that joined the table AFTER `since_id`, up to `snapshot_id`
     (default current) — the consumer-side complement of snapshot_diff
@@ -608,7 +661,10 @@ def read_appends_since(spark: SparkSession, out_dir: str, since_id: int,
     snapshot id it processed and reads only the new files, O(new data)
     not O(table). File-level semantics, honestly documented: a
     REWRITTEN partition's files (merge/compact) reappear in full — pair
-    with snapshot_diff when row-exact changes are needed."""
+    with snapshot_diff when row-exact changes are needed. The
+    steady-state poll (nothing appended since the checkpoint) returns an
+    EMPTY DataFrame when `schema` is given, and raises ValueError
+    otherwise (parquet cannot infer a schema from zero files)."""
     mf, mt = load_manifest(out_dir, since_id), load_manifest(out_dir, snapshot_id)
     if mf is None or mt is None:
         raise ValueError("both snapshot ids must exist")
@@ -620,9 +676,11 @@ def read_appends_since(spark: SparkSession, out_dir: str, since_id: int,
         if f not in old
     ]
     if not new:
+        if schema is not None:
+            return spark.createDataFrame([], schema)
         raise ValueError(
             f"no files appended between snapshots {mf['snapshot_id']} and "
-            f"{mt['snapshot_id']}"
+            f"{mt['snapshot_id']}; pass schema= for an empty DataFrame"
         )
     return spark.read.option(
         "basePath", os.path.join(out_dir, "extracted")

@@ -3056,20 +3056,19 @@ def bm25_topk(docs, terms, k, k1=1.2, b=0.75):
 
 @q(
     "crawl_redirect_resolve",
-    f"""WITH RECURSIVE walk AS (
-          SELECT src_url AS src, dst_url AS cur, 1 AS hops
-          FROM read_parquet('{fx("redirects")}')
+    f"""WITH RECURSIVE e0 AS (
+          SELECT src_url, min(dst_url) AS dst_url
+          FROM read_parquet('{fx("redirects")}') GROUP BY src_url),
+        walk AS (
+          SELECT src_url AS src, dst_url AS cur, 1 AS hops FROM e0
           UNION ALL
           SELECT w.src, e.dst_url, w.hops + 1
-          FROM walk w JOIN read_parquet('{fx("redirects")}') e
-            ON e.src_url = w.cur
+          FROM walk w JOIN e0 e ON e.src_url = w.cur
           WHERE w.hops < 16),
         landed AS (
           SELECT w.src, w.cur AS final_url, w.hops
           FROM walk w
-          WHERE NOT EXISTS (SELECT 1
-                            FROM read_parquet('{fx("redirects")}') r
-                            WHERE r.src_url = w.cur))
+          WHERE NOT EXISTS (SELECT 1 FROM e0 r WHERE r.src_url = w.cur))
         SELECT s.src_url, l.final_url, CAST(l.hops AS INT) AS n_hops,
                CASE WHEN l.src IS NULL THEN 'exceeded'
                     ELSE 'landed' END AS status
@@ -3102,7 +3101,7 @@ def crawl_redirect_resolve(spark, sf_dir):
                    regexp_replace(
                      coalesce(nullif(regexp_extract(url,
                        '^https?://[^/]+(/.*)$', 1), ''), '/'),
-                     '[0-9a-f]{{8,}}', '{{hex}}', 'g'),
+                     '[0-9a-fA-F]{{8,}}', '{{hex}}', 'g'),
                    '[0-9]+', '{{n}}', 'g') AS template
           FROM (SELECT DISTINCT url FROM read_parquet('{fx("pages")}'))),
         counts AS (
@@ -3147,8 +3146,10 @@ def crawl_url_templates(spark, sf_dir):
           FROM read_parquet('{fx("pages")}') GROUP BY url)
         SELECT p.host, p.url, p.lastmod, c.last_crawl,
                CASE WHEN c.url IS NULL THEN 'uncrawled'
-                    WHEN p.lastmod IS NULL THEN 'unknown'
-                    WHEN CAST(p.lastmod AS TIMESTAMP) > c.last_crawl
+                    WHEN p.lastmod IS NULL
+                      OR TRY_CAST(p.lastmod AS TIMESTAMP) IS NULL
+                      THEN 'unknown'
+                    WHEN TRY_CAST(p.lastmod AS TIMESTAMP) > c.last_crawl
                       THEN 'stale'
                     ELSE 'fresh' END AS status
         FROM parsed p LEFT JOIN crawl c ON c.url = p.url""",

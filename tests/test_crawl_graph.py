@@ -357,8 +357,12 @@ def test_bm25_topk_cap(spark):
 
 
 def _py_resolve(edges, max_hops=16):
-    """Independent per-source walk with an explicit hop budget."""
-    nxt = {s: d for s, d, *_ in edges}
+    """Independent per-source walk with an explicit hop budget; ambiguous
+    sources (same src, different dst) resolve to the smallest dst, the
+    resolver's documented deterministic pick."""
+    nxt = {}
+    for s, d, *_ in edges:
+        nxt[s] = min(nxt[s], d) if s in nxt else d
     out = {}
     for s in nxt:
         cur, hops = s, 0
@@ -492,9 +496,13 @@ def test_sitemap_gap_differential_vs_xml_parser(spark):
             else:
                 import datetime as dt
 
+                try:
+                    lm_ts = dt.datetime.fromisoformat(lm)
+                except ValueError:
+                    lm_ts = None  # junk date: classified, never a crash
                 st = (
-                    "stale"
-                    if dt.datetime.fromisoformat(lm) > last[loc]
+                    "unknown" if lm_ts is None
+                    else "stale" if lm_ts > last[loc]
                     else "fresh"
                 )
             expect[loc] = (host, lm, last.get(loc), st)
@@ -611,3 +619,50 @@ def test_fixture_robots_have_delays():
     assert len(with_delay) < len(texts)  # some fall back to the default
     assert any("." in t.split("Crawl-delay:")[1].split("\n")[0]
                for h, t in texts.items() if h in with_delay)
+
+
+def test_redirect_ambiguous_source_is_deterministic(spark):
+    """Two recorded targets for one source (refetched redirect) must not
+    fan out through the doubling rounds: the resolver picks the smallest
+    target and emits exactly ONE row per source."""
+    from sparkdu.crawl import resolve_redirects
+
+    edges = [("a", "b"), ("a", "c"), ("b", "end"), ("c", "c")]
+    rows = resolve_redirects(
+        spark.createDataFrame(edges, "src_url string, dst_url string")
+    ).collect()
+    got = {r["src_url"]: r for r in rows}
+    assert len(rows) == len(got) == 3  # one row per distinct source
+    assert got["a"]["final_url"] == "end"  # via min(b, c) = b
+    assert got["a"]["n_hops"] == 2
+    assert got["c"]["status"] == "exceeded"  # self-loop
+
+
+def test_url_templates_uppercase_hex(spark):
+    """Uppercase/mixed-case hex ids collapse too — a host emitting
+    /S/DEADBEEF-style session ids still converges to one template."""
+    from sparkdu.crawl import url_templates
+
+    urls = [(f"http://up.example/s/DEADBEEFCAFE{i:04X}",) for i in range(12)]
+    rows = url_templates(
+        spark.createDataFrame(urls, "url string"), min_urls=10
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["template"] == "/s/{hex}"
+    assert rows[0]["trap_suspect"] is True
+
+
+def test_sitemap_fixture_has_malformed_lastmod():
+    from sparkdu.fixtures import gen_robots, gen_sitemaps
+
+    import pyarrow.parquet as pq2
+
+    urls = pq2.read_table(
+        os.path.join(FIXDIR, "pages.parquet"), columns=["url"]
+    )["url"].to_pylist()
+    xmls = "\n".join(x for _, x in gen_sitemaps(sorted(set(urls))))
+    assert "<lastmod>around mid-january</lastmod>" in xmls
+    # robots fixture: both integer and fractional delays planted
+    delays = [t.split("Crawl-delay:")[1].split("\n")[0].strip()
+              for _, t in gen_robots() if "Crawl-delay:" in t]
+    assert any("." in d for d in delays) and any("." not in d for d in delays)

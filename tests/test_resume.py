@@ -528,3 +528,53 @@ def test_snapshot_incremental_append_read(spark, tmp_path):
     assert sorted(r["url"] for r in inc.collect()) == [f"b{i}" for i in range(7)]
     with pytest.raises(ValueError, match="no files appended"):
         S.read_appends_since(spark, out, S.current_snapshot_id(out))
+
+
+def test_snapshot_merge_rejects_duplicate_keys_and_typed_stats(spark, tmp_path):
+    """Duplicate-key updates raise (Iceberg MERGE INTO semantics);
+    timestamp column stats round-trip TYPED so datetime range scans
+    prune instead of raising TypeError; steady-state incremental polls
+    return an empty frame with schema=."""
+    import datetime as dt
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sparkdu import snapshots as S
+
+    out = str(tmp_path / "table")
+    t0 = dt.datetime(2026, 1, 1)
+    for k in range(2):
+        spark.createDataFrame(
+            [(f"u{k}_{i}", t0 + dt.timedelta(days=30 * k + i))
+             for i in range(10)],
+            "url string, warc_ts timestamp",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out, "extracted", f"partition_key={k}")
+        )
+    S.commit_wave_snapshot(out, "w", 0, [0, 1])
+    sid = S.current_snapshot_id(out)
+
+    dup = spark.createDataFrame(
+        [("u0_0", t0), ("u0_0", t0)], "url string, warc_ts timestamp"
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        S.merge_upsert(spark, out, dup, ["url"], num_parts=2)
+
+    S.annotate_stats(out, ["warc_ts"], snapshot_id=sid)
+    plan = S.plan_files(
+        out, "warc_ts", dt.datetime(2026, 2, 1), dt.datetime(2026, 3, 1),
+        snapshot_id=sid,
+    )
+    assert plan["skipped"] == 1 and len(plan["files"]) == 1  # k=0 pruned
+    got = S.read_snapshot_range(
+        spark, out, "warc_ts",
+        dt.datetime(2026, 2, 1), dt.datetime(2026, 3, 1), sid,
+    ).count()
+    assert got == 9  # k=1 days 31..39 => 2026-01-31 excluded
+
+    empty = S.read_appends_since(
+        spark, out, sid, schema="url string, warc_ts timestamp"
+    )
+    assert empty.count() == 0
