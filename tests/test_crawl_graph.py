@@ -28,18 +28,25 @@ FIXDIR = os.path.join(
 
 def _py_robots_rules(txt: str) -> list:
     """Independent imperative parse: walk lines, track whether the current
-    user-agent block includes '*', collect (is_allow, prefix) rules."""
+    user-agent block includes '*', collect (is_allow, prefix) rules.
+
+    Lines that are not directives (blank, comments, junk without a
+    letters-and-hyphens key) are IGNORED ENTIRELY — they neither join nor
+    split groups, so stacked User-agent lines separated by a blank line
+    still share one group, per RFC 9309 / the Google parser (the fuzz
+    differential caught an earlier version that reset the stacking state
+    on such lines)."""
+    import re
+
     rules = []
     in_star = False
     prev_was_ua = False
     for raw in txt.split("\n"):
         line = raw.split("#", 1)[0].strip()
-        if not line or ":" not in line:
-            prev_was_ua = False
-            continue
-        key, _, val = line.partition(":")
-        key = key.strip().lower()
-        val = val.strip()
+        m = re.match(r"^([A-Za-z-]+)\s*:(.*)$", line)
+        if not m:
+            continue  # non-directive: invisible to group structure
+        key, val = m.group(1).lower(), m.group(2).strip()
         if key == "user-agent":
             if not prev_was_ua:
                 in_star = False  # a new group starts; reset membership
@@ -666,3 +673,112 @@ def test_sitemap_fixture_has_malformed_lastmod():
     delays = [t.split("Crawl-delay:")[1].split("\n")[0].strip()
               for _, t in gen_robots() if "Crawl-delay:" in t]
     assert any("." in d for d in delays) and any("." not in d for d in delays)
+
+
+# ------------------------------------------------------- plan shapes
+
+
+def test_bm25_plan_take_ordered(spark):
+    """The global top-k must compile to TakeOrderedAndProject (per-
+    partition partial top-k + one k-row merge), never a single-partition
+    global Window sort."""
+    from sparkdu.staging import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(i, "table word") for i in range(10)], "doc_id long, text string"
+    )
+    plan = bm25_topk(docs, ("table",), 5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_frontier_plan_no_cartesian(spark):
+    """The frontier composition stays equi-join shaped end to end."""
+    from sparkdu.crawl import frontier, robots_rules
+    from sparkdu.fixtures import gen_robots
+
+    cand = spark.createDataFrame(
+        [("http://a.example/x", 1)], "url string, n_ref_hosts long"
+    )
+    crawled = spark.createDataFrame([("http://a.example/y",)], "url string")
+    rules = robots_rules(
+        spark.createDataFrame(gen_robots(), "host string, robots string")
+    )
+    plan = frontier(cand, crawled, rules)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+# --------------------------------------------------- property fuzzing
+
+
+def _random_robots(rng):
+    """Arbitrary-ish robots.txt: random directives, stacked UAs, junk
+    lines, comments, empty values — the shapes a crawler actually sees."""
+    lines = []
+    for _ in range(rng.randint(0, 14)):
+        r = rng.random()
+        if r < 0.3:
+            ua = rng.choice(["*", "FancyBot", "OtherBot"])
+            lines.append(f"User-agent: {ua}")
+        elif r < 0.55:
+            seg = "/" + "".join(rng.choice("abc01/") for _ in range(rng.randint(0, 4)))
+            lines.append(f"Disallow: {seg if rng.random() < 0.9 else ''}")
+        elif r < 0.7:
+            seg = "/" + "".join(rng.choice("abc01/") for _ in range(rng.randint(0, 4)))
+            lines.append(f"Allow: {seg}")
+        elif r < 0.8:
+            lines.append(f"Crawl-delay: {rng.choice(['1', '2.5', 'soon', ''])}")
+        elif r < 0.9:
+            lines.append(f"# comment {rng.randint(0, 9)}")
+        else:
+            lines.append(rng.choice(["", "garbage line", "Sitemap: http://x/s.xml"]))
+    return "\n".join(lines)
+
+
+def test_robots_fuzz_differential(spark):
+    """200 random robots payloads x 8 paths: the Spark join pipeline and
+    the imperative Python evaluator must agree on EVERY decision."""
+    import random
+
+    rng = random.Random(1234)
+    hosts = [(f"h{i}.example", _random_robots(rng)) for i in range(200)]
+    paths = ["/", "/a", "/ab", "/abc", "/0", "/a/b", "/c1", "/zzz"]
+    urls = [(f"http://{h}{p}",) for h, _ in hosts for p in paths]
+    got = {
+        r["url"]: (r["allowed"], r["rule_prefix"])
+        for r in robots_allow(
+            spark.createDataFrame(urls, "url string"),
+            robots_rules(
+                spark.createDataFrame(hosts, "host string, robots string")
+            ),
+        ).collect()
+    }
+    assert len(got) == len(urls)
+    py_rules = {h: _py_robots_rules(t) for h, t in hosts}
+    for h, _ in hosts:
+        for p in paths:
+            want = _py_decide(p, py_rules[h])
+            u = f"http://{h}{p}"
+            assert got[u] == (want[0], want[1]), (u, got[u], want)
+
+
+def test_redirect_fuzz_differential(spark):
+    """Random functional graphs (chains, cycles, self-loops, fan-ins):
+    pointer doubling equals the per-source Python walk on every source,
+    across several hop budgets."""
+    import random
+
+    from sparkdu.crawl import resolve_redirects
+
+    rng = random.Random(99)
+    nodes = [f"n{i}" for i in range(60)]
+    edges = []
+    for s in nodes:
+        if rng.random() < 0.8:  # 20% of nodes are terminals
+            edges.append((s, rng.choice(nodes)))
+    df = spark.createDataFrame(edges, "src_url string, dst_url string")
+    for budget in (4, 16):
+        got = {
+            r["src_url"]: (r["final_url"], r["n_hops"], r["status"])
+            for r in resolve_redirects(df, max_hops=budget).collect()
+        }
+        assert got == _py_resolve(edges, max_hops=budget), budget
