@@ -6,6 +6,7 @@ Commands:
     curate     full training-data curation pipeline (jobs/curate_job)
     fit        train + freeze classifier artifacts (jobs/fit_artifacts)
     snapshots  snapshot history / expiry / time-travel read (jobs/snapshot_tool)
+    incremental appends-scan incremental extract + merge (jobs/incremental_job)
 
 Each command forwards its remaining arguments to the job's own argparse;
 `python -m sparkdu extract --help` shows the job's options. Under
@@ -27,6 +28,8 @@ _COMMANDS = {
     "curate": ("sparkdu.jobs.curate_job", "training-data curation pipeline"),
     "fit": ("sparkdu.jobs.fit_artifacts", "train + freeze classifier artifacts"),
     "snapshots": ("sparkdu.jobs.snapshot_tool", "snapshot history / expiry / read"),
+    "incremental": ("sparkdu.jobs.incremental_job",
+                    "appends-scan incremental extract + merge"),
 }
 
 

@@ -3521,3 +3521,242 @@ def snapshot_prune_stats(spark, sf_dir):
 
         shutil.rmtree(d, ignore_errors=True)
     return spark.createDataFrame(rows, "metric string, n long").orderBy("metric")
+
+
+# -- incremental (per-crawl-increment) ops — sparkdu/incremental.py ----------
+
+
+@q(
+    "dedup_incremental_exact",
+    """WITH hist AS (SELECT DISTINCT md5(text) AS h FROM documents
+                     WHERE doc_id % 2 = 0 AND text IS NOT NULL),
+            b AS (
+              SELECT doc_id, md5(text) AS h FROM documents
+              WHERE doc_id % 2 = 1 AND text IS NOT NULL
+              UNION ALL
+              SELECT doc_id + 1000000, md5(text) FROM documents
+              WHERE doc_id % 20 = 0 AND text IS NOT NULL
+              UNION ALL
+              SELECT doc_id + 2000000, md5(text) FROM documents
+              WHERE doc_id % 40 = 1 AND text IS NOT NULL),
+            r AS (SELECT doc_id, h,
+                         row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+                  FROM b)
+       SELECT r.doc_id FROM r
+       WHERE r.rn = 1 AND NOT EXISTS (SELECT 1 FROM hist WHERE hist.h = r.h)
+       ORDER BY doc_id""",
+)
+def dedup_incremental_exact(spark, sf_dir):
+    """Exact dedup of a NEW batch against committed historical state
+    (incremental.dedup_increment, near=False): history = even doc_ids
+    ingested as increment 0 (its hashes snapshot-committed), batch = odd
+    doc_ids plus planted cross-increment copies (+1e6 ids, texts of even
+    docs — must drop vs history) and planted in-batch copies (+2e6 ids,
+    texts of odd docs — first id wins). The oracle replays the decision
+    rule in pure SQL; the engine runs the real stateful flow including
+    the state commit. O(new batch) — history is touched only through the
+    bucketed hash side table."""
+    import shutil
+    import tempfile
+
+    from . import incremental as I
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    hist = docs.filter("doc_id % 2 = 0")
+    batch = (
+        docs.filter("doc_id % 2 = 1")
+        .unionByName(
+            docs.filter("doc_id % 20 = 0").select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            docs.filter("doc_id % 40 = 1").select(
+                (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    d = tempfile.mkdtemp(prefix="sparkdu_incx_")
+    try:
+        I.init_state(d)
+        I.dedup_increment(spark, hist, d, near=False, commit=True,
+                          run_id="hist")
+        r = I.dedup_increment(spark, batch, d, near=False, commit=False)
+        out = r["survivors"].select("doc_id").orderBy("doc_id").collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(out, "doc_id long")
+
+
+@q("dedup_incremental_near")  # rows-only: MinHash state + tmp dirs are engine-side
+def dedup_incremental_near(spark, sf_dir):
+    """Full incremental dedup (exact + short-route + MinHash-LSH near)
+    against committed state: history = even docs (increment 0); batch =
+    odd docs plus near-variants of 10 long history docs (same 256-char
+    signature prefix, tail words appended past it — identical band
+    signatures by construction, so the history probe MUST drop them
+    without any history rescan). Re-running the already-committed batch
+    drops everything (rerun_survivors = 0) — the exactly-once corpus
+    growth property. Semantics gated in tests/test_incremental.py."""
+    import shutil
+    import tempfile
+
+    from . import incremental as I
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    hist = docs.select("doc_id", "text").filter("doc_id % 2 = 0")
+    variants = (
+        docs.filter("doc_id % 2 = 0 AND n_chars >= 400")
+        .orderBy("doc_id").limit(10)
+        .select(
+            (F.col("doc_id") + 500000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" incremental tail marker words"))
+            .alias("text"),
+        )
+    )
+    batch = docs.select("doc_id", "text").filter("doc_id % 2 = 1").unionByName(
+        variants
+    )
+    d = tempfile.mkdtemp(prefix="sparkdu_incn_")
+    try:
+        I.init_state(d)
+        I.dedup_increment(spark, hist, d, max_text_chars=256, commit=True,
+                          run_id="hist")
+        r = I.dedup_increment(spark, batch, d, max_text_chars=256,
+                              commit=True, run_id="batch", wave=1)
+        rerun = I.dedup_increment(spark, batch, d, max_text_chars=256,
+                                  commit=False)
+        rows = [
+            ("batch_in", batch.count()),
+            ("survivors", r["survivors"].count()),
+            ("dropped_exact_batch", r["dropped_exact_batch"].count()),
+            ("dropped_exact_hist", r["dropped_exact_hist"].count()),
+            ("dropped_norm", r["dropped_norm"].count()),
+            ("dropped_near_hist", r["dropped_near_hist"].count()),
+            ("dropped_near_batch", r["dropped_near_batch"].count()),
+            ("rerun_survivors", rerun["survivors"].count()),
+        ]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, "metric string, n long").orderBy("metric")
+
+
+@q("incremental_extract")  # rows-only: snapshot appends scan + merge are engine-side
+def incremental_extract(spark, sf_dir):
+    """Incremental extraction loop (incremental.run_incremental_extract):
+    pages land in a snapshot-committed source table in two waves; each
+    run consumes ONLY the files appended since its checkpoint (O(new),
+    never O(table)), extracts them, and MERGEs by url into the extracted
+    snapshot table. A third run is a no-op poll. The final table must
+    equal a one-shot batch extraction of all pages — mismatch_rows is
+    the exceptAll count in both directions. Resume/crash semantics gated
+    in tests/test_incremental.py."""
+    import shutil
+    import tempfile
+
+    from . import incremental as I
+    from . import snapshots as S
+    from .api import ExtractConfig, extract_pages
+
+    pages = f(spark, "pages").select("url", "warc_ts", "html", "text", "lang")
+    wave_a = pages.filter(F.pmod(F.xxhash64("url"), F.lit(2)) == 0)
+    wave_b = pages.filter(F.pmod(F.xxhash64("url"), F.lit(2)) == 1)
+    K = 4
+    root = tempfile.mkdtemp(prefix="sparkdu_incex_")
+    src = os.path.join(root, "src")
+    out = os.path.join(root, "out")
+    try:
+        def land(df, wave):
+            routed = df.withColumn(
+                "partition_key", F.pmod(F.xxhash64("url"), F.lit(K)).cast("int")
+            )
+            routed.write.mode("append").partitionBy("partition_key").parquet(
+                os.path.join(src, "extracted")
+            )
+            keys = sorted(
+                r["partition_key"]
+                for r in routed.select("partition_key").distinct().collect()
+            )
+            S.commit_wave_snapshot(src, "land", wave, keys)
+
+        land(wave_a, 0)
+        r1 = I.run_incremental_extract(spark, src, out, num_parts=K)
+        land(wave_b, 1)
+        r2 = I.run_incremental_extract(spark, src, out, num_parts=K)
+        r3 = I.run_incremental_extract(spark, src, out, num_parts=K)
+        final = S.read_snapshot(spark, out).select("url", "extracted_text")
+        full = extract_pages(
+            spark, pages, ExtractConfig(num_partitions=K)
+        ).select("url", "extracted_text")
+        mismatch = (
+            final.exceptAll(full).count() + full.exceptAll(final).count()
+        )
+        rows = [
+            ("run1_rows_new", r1["rows_new"]),
+            ("run2_rows_new", r2["rows_new"]),
+            ("run2_rows_matched", r2["rows_matched"]),
+            ("run3_noop", int(r3["noop"])),
+            ("rows_final", final.count()),
+            ("mismatch_rows", mismatch),
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, "metric string, n long").orderBy("metric")
+
+
+@q(
+    "extract_markdown",
+    f"""SELECT url, string_agg(
+            CASE WHEN regexp_matches(tag, '^h[1-6]$')
+                   THEN repeat('#', CAST(substr(tag, 2, 1) AS INT)) || ' ' || text
+                 WHEN tag = 'li' THEN '- ' || text
+                 WHEN tag = 'blockquote' THEN '> ' || text
+                 WHEN tag = 'td' THEN '| ' || text || ' |'
+                 ELSE text END,
+            chr(10) || chr(10) ORDER BY part_id, node_id) AS markdown
+        FROM read_parquet('{fx("nodes")}')
+        WHERE is_content GROUP BY url""",
+)
+def extract_markdown(spark, sf_dir):
+    """Structure-preserving markdown render of the extracted content
+    blocks (the WET-plus analogue: main text with document structure
+    kept): content nodes in reading order (part_id, node_id — the W1
+    sort), tag-mapped prefixes (h1-h6 -> #'s, li -> '- ', blockquote ->
+    '> ', table cells -> '| cell |'), blocks joined by blank lines. Pure
+    JVM aggregation — array_sort over (part_id, node_id, md) structs
+    gives the deterministic in-group order; no Python in the plan."""
+    md = (
+        F.when(
+            F.col("tag").rlike("^h[1-6]$"),
+            F.concat(
+                F.expr("repeat('#', cast(substring(tag, 2, 1) as int))"),
+                F.lit(" "), F.col("text"),
+            ),
+        )
+        .when(F.col("tag") == "li", F.concat(F.lit("- "), F.col("text")))
+        .when(F.col("tag") == "blockquote",
+              F.concat(F.lit("> "), F.col("text")))
+        .when(F.col("tag") == "td",
+              F.concat(F.lit("| "), F.col("text"), F.lit(" |")))
+        .otherwise(F.col("text"))
+    )
+    return (
+        f(spark, "nodes")
+        .filter("is_content")
+        .select("url", "part_id", "node_id", md.alias("_md"))
+        .groupBy("url")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("part_id", "node_id",
+                                     F.col("_md").alias("md"))
+                        )
+                    ),
+                    lambda s: s["md"],
+                ),
+                "\n\n",
+            ).alias("markdown")
+        )
+    )

@@ -1,0 +1,181 @@
+"""Cross-increment dedup + incremental extraction (sparkdu/incremental.py).
+
+Semantics under test, each with hand-planted corpora:
+- exact raw-hash dedup across committed increments and within a batch;
+- short-doc token-normalized routing (curate parity) across increments;
+- MinHash-LSH near-dup vs committed history (no history rescan) and
+  in-batch, deterministic lowest-id-wins;
+- crash-safety: stray state files (write landed, commit didn't) are swept
+  and never change a decision; re-running an uncommitted increment
+  reproduces the identical survivor set;
+- incremental extraction: appends-only consumption, merge idempotence
+  across a lost checkpoint, final table == one-shot batch extraction.
+"""
+
+import os
+import shutil
+
+import pytest
+
+from sparkdu import incremental as I
+from sparkdu import snapshots as S
+
+
+@pytest.fixture()
+def state_dir(tmp_path):
+    d = str(tmp_path / "state")
+    I.init_state(d)
+    return d
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+LONG_A = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 20
+LONG_B = "one two three four five six seven eight nine ten eleven " * 20
+LONG_C = "red orange yellow green blue indigo violet ultra infra deep " * 20
+
+
+def _ids(df):
+    return sorted(r["doc_id"] for r in df.collect())
+
+
+class TestDedupIncrement:
+    def test_exact_across_increments_and_in_batch(self, spark, state_dir):
+        h = _docs(spark, [(1, "the quick brown fox"), (2, "unique history")])
+        r0 = I.dedup_increment(spark, h, state_dir, near=False, commit=True)
+        assert _ids(r0["survivors"]) == [1, 2]
+        batch = _docs(spark, [
+            (10, "the quick brown fox"),   # exact copy of committed doc 1
+            (11, "fresh text"),
+            (12, "fresh text"),            # in-batch copy: 11 wins
+        ])
+        r1 = I.dedup_increment(spark, batch, state_dir, near=False,
+                               commit=False)
+        assert _ids(r1["survivors"]) == [11]
+        assert _ids(r1["dropped_exact_hist"]) == [10]
+        assert _ids(r1["dropped_exact_batch"]) == [12]
+
+    def test_near_vs_history_and_in_batch(self, spark, state_dir):
+        hist = _docs(spark, [(1, LONG_A), (2, LONG_B)])
+        I.dedup_increment(spark, hist, state_dir, commit=True, run_id="h")
+        batch = _docs(spark, [
+            # near-dup of history doc 1: tail appended past the prefix
+            (20, LONG_A + " trailing novelty words"),
+            # fresh long doc
+            (21, LONG_C),
+            # in-batch near pair: 21 survives (lowest id), 22 drops
+            (22, LONG_C + " more trailing novelty"),
+        ])
+        r = I.dedup_increment(spark, batch, state_dir, max_text_chars=256,
+                              commit=True, run_id="b", wave=1)
+        assert _ids(r["dropped_near_hist"]) == [20]
+        assert _ids(r["dropped_near_batch"]) == [22]
+        assert _ids(r["survivors"]) == [21]
+        # exactly-once growth: the committed batch fully drops on replay
+        rerun = I.dedup_increment(spark, batch, state_dir,
+                                  max_text_chars=256, commit=False)
+        assert _ids(rerun["survivors"]) == []
+
+    def test_short_doc_normalized_route(self, spark, state_dir):
+        hist = _docs(spark, [(1, "Hi There")])
+        I.dedup_increment(spark, hist, state_dir, commit=True)
+        batch = _docs(spark, [
+            (30, "hi   there"),    # whitespace/case variant of history
+            (31, "bye now"),
+            (32, "BYE    NOW"),    # in-batch variant: 31 wins
+        ])
+        r = I.dedup_increment(spark, batch, state_dir, commit=False)
+        assert _ids(r["dropped_norm"]) == [30, 32]
+        assert _ids(r["survivors"]) == [31]
+
+    def test_stray_state_files_swept_and_harmless(self, spark, state_dir):
+        b1 = _docs(spark, [(1, LONG_A)])
+        # simulate a crash: state files written, manifest commit lost
+        I.dedup_increment(spark, b1, state_dir, commit=True)
+        hist = S.snapshot_history(I._exact_dir(state_dir))
+        os.unlink(S._snap_path(I._exact_dir(state_dir),
+                               hist[-1]["snapshot_id"]))
+        S._atomic_write(
+            os.path.join(S._snap_dir(I._exact_dir(state_dir)), "_current"),
+            str(hist[-2]["snapshot_id"]),
+        )
+        # doc 1's hash row is now a stray: decisions must NOT see it
+        r = I.dedup_increment(spark, b1, state_dir, near=False, commit=False)
+        assert _ids(r["survivors"]) == [1]
+        # and the next commit sweeps the stray before writing
+        swept = I._clean_stray(I._exact_dir(state_dir))
+        assert swept >= 1
+
+    def test_state_is_o_new_per_increment(self, spark, state_dir):
+        """State rows appended = survivors' rows only (hash + bands)."""
+        bands = 8
+        b = _docs(spark, [(1, LONG_A), (2, LONG_A + " x"), (3, "tiny doc")])
+        I.dedup_increment(spark, b, state_dir, bands=bands,
+                          max_text_chars=256, commit=True)
+        # doc 2 near-drops vs doc 1 in-batch; survivors = {1 (long), 3 (short)}
+        exact = I.read_exact_state(spark, state_dir)
+        assert exact.filter("kind = 0").count() == 2
+        assert exact.filter("kind = 1").count() == 1   # short doc 3 only
+        near = I.read_near_state(spark, state_dir)
+        assert near.count() == bands                    # doc 1 only
+        assert set(r["doc"] for r in near.collect()) == {"1"}
+
+
+class TestIncrementalExtract:
+    def _land(self, spark, src, pages, wave, k=4):
+        from pyspark.sql import functions as F
+
+        routed = pages.withColumn(
+            "partition_key", F.pmod(F.xxhash64("url"), F.lit(k)).cast("int")
+        )
+        routed.write.mode("append").partitionBy("partition_key").parquet(
+            os.path.join(src, "extracted")
+        )
+        keys = sorted(r["partition_key"]
+                      for r in routed.select("partition_key").distinct()
+                      .collect())
+        S.commit_wave_snapshot(src, "land", wave, keys)
+
+    def test_two_waves_equal_batch_and_crash_replays(self, spark, pages_df,
+                                                     tmp_path):
+        from pyspark.sql import functions as F
+
+        from sparkdu.api import ExtractConfig, extract_pages
+
+        src, out = str(tmp_path / "src"), str(tmp_path / "out")
+        wave_a = pages_df.filter(F.pmod(F.xxhash64("url"), F.lit(2)) == 0)
+        wave_b = pages_df.filter(F.pmod(F.xxhash64("url"), F.lit(2)) == 1)
+        self._land(spark, src, wave_a, 0)
+        r1 = I.run_incremental_extract(spark, src, out, num_parts=4)
+        assert r1["rows_new"] > 0 and not r1["noop"]
+        self._land(spark, src, wave_b, 1)
+        r2 = I.run_incremental_extract(spark, src, out, num_parts=4)
+        assert r2["rows_new"] > 0 and r2["rows_matched"] == 0
+        # steady-state poll: nothing appended
+        assert I.run_incremental_extract(spark, src, out, num_parts=4)["noop"]
+
+        full = extract_pages(spark, pages_df, ExtractConfig(num_partitions=4))
+        final = S.read_snapshot(spark, out)
+        cols = ["url", "extracted_text", "n_blocks"]
+        assert final.select(cols).exceptAll(full.select(cols)).count() == 0
+        assert full.select(cols).exceptAll(final.select(cols)).count() == 0
+
+        # crash between merge commit and checkpoint write: the checkpoint
+        # is lost, the run replays the same appends — merge idempotence
+        # converges the table to the same state
+        os.unlink(I._cp_path(out))
+        pre = {r["url"]: r["extracted_text"]
+               for r in final.select("url", "extracted_text").collect()}
+        r4 = I.run_incremental_extract(spark, src, out, num_parts=4)
+        assert not r4["noop"]
+        post = {r["url"]: r["extracted_text"]
+                for r in S.read_snapshot(spark, out)
+                .select("url", "extracted_text").collect()}
+        assert post == pre
+
+    def test_missing_source_raises(self, spark, tmp_path):
+        with pytest.raises(ValueError):
+            I.run_incremental_extract(spark, str(tmp_path / "nosrc"),
+                                      str(tmp_path / "out"))

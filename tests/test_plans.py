@@ -231,3 +231,36 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql(f"DROP TABLE IF EXISTS {a}")
         spark.sql(f"DROP TABLE IF EXISTS {b}")
+
+
+def test_incremental_dedup_no_cartesian_and_pushed_kind(spark, tmp_path):
+    """The incremental history probes stay relational: no CartesianProduct
+    anywhere in the survivor plan, and the exact-state scan prunes on the
+    kind column AT THE SCAN (PushedFilters) — at 10^12 docs the state
+    table is the big side, so a full-scan-then-filter plan would read the
+    normalized-hash rows twice per increment."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from sparkdu import incremental as I
+
+    d = str(tmp_path / "state")
+    I.init_state(d)
+    hist = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon " * 30)],
+        "doc_id long, text string",
+    )
+    I.dedup_increment(spark, hist, d, commit=True)
+    batch = spark.createDataFrame(
+        [(2, "one two three four five six " * 30)],
+        "doc_id long, text string",
+    )
+    r = I.dedup_increment(spark, batch, d, max_text_chars=256, commit=False)
+    plan = (
+        r["survivors"]._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan, plan
+    ex_plan = (
+        I.read_exact_state(spark, d).filter("kind = 0")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [IsNotNull(kind), EqualTo(kind,0)]" in ex_plan, ex_plan
