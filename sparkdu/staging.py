@@ -3760,3 +3760,190 @@ def extract_markdown(spark, sf_dir):
             ).alias("markdown")
         )
     )
+
+
+@q("snapshot_zorder_prune")  # rows-only: file layout + footer stats are engine-side
+def snapshot_zorder_prune(spark, sf_dir):
+    """Z-order layout FEEDING the snapshot planner (the composition the
+    two pieces exist for): the same documents written twice into
+    snapshot tables of 8 files each — once range-bucketed by the Morton
+    zvalue over (doc_id, n_chars) (layout_zorder), once by doc_id order.
+    Footer stats (annotate_stats) + plan_files on a narrow n_chars range
+    then skip MOST z-ordered files (each file's n_chars span is narrow
+    by construction) and NO doc_id-ordered files (every file spans the
+    full n_chars range). The pruned read must equal full-scan + filter
+    exactly. This is the Delta OPTIMIZE ZORDER / Iceberg sort-order
+    write-side story measured at the planner, not just as chunk-spread
+    statistics. Gated in tests/test_incremental.py (planted grid)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from . import snapshots as S
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    z = layout_zorder(spark, sf_dir)
+    lo, hi = 100, 150  # narrow n_chars band
+    NFILES = 8
+
+    def build(df, order_col, d):
+        w = Window.orderBy(order_col)
+        routed = df.withColumn(
+            "partition_key", (F.ntile(NFILES).over(w) - 1).cast("int")
+        )
+        for k in range(NFILES):
+            routed.filter(F.col("partition_key") == k).drop(
+                "partition_key"
+            ).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(d, "extracted", f"partition_key={k}")
+            )
+        S.commit_wave_snapshot(d, "w", 0, list(range(NFILES)))
+        S.annotate_stats(d, ["n_chars"])
+        plan = S.plan_files(d, "n_chars", lo, hi)
+        pruned = S.read_snapshot_range(spark, d, "n_chars", lo, hi)
+        full = S.read_snapshot(spark, d).filter(
+            (F.col("n_chars") >= lo) & (F.col("n_chars") <= hi)
+        )
+        equal = int(
+            pruned.exceptAll(full).count() + full.exceptAll(pruned).count()
+            == 0
+        )
+        return plan["skipped"], equal
+
+    root = tempfile.mkdtemp(prefix="sparkdu_zprune_")
+    try:
+        joined = docs.join(z, "doc_id")
+        z_skipped, z_equal = build(joined, "zvalue",
+                                   os.path.join(root, "zorder"))
+        r_skipped, r_equal = build(joined, "doc_id",
+                                   os.path.join(root, "rowid"))
+        rows = [
+            ("files_total", NFILES),
+            ("zorder_files_skipped", z_skipped),
+            ("rowid_files_skipped", r_skipped),
+            ("zorder_pruned_read_exact", z_equal),
+            ("rowid_pruned_read_exact", r_equal),
+            ("zorder_beats_rowid", int(z_skipped > r_skipped)),
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, "metric string, n long").orderBy("metric")
+
+
+@q(
+    "text_keyword_topk",
+    """WITH tok AS (
+         SELECT doc_id, lower(t.tk) AS term
+         FROM documents, unnest(string_split(text, ' ')) AS t(tk)
+         WHERE t.tk <> ''
+       ),
+       tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+              GROUP BY doc_id, term),
+       df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+              GROUP BY term),
+       n AS (SELECT count(DISTINCT doc_id) AS n FROM tok),
+       scored AS (
+         SELECT tf.doc_id, tf.term,
+                round(tf.tf * ln((n.n + 1.0) / (df.df + 1.0)), 6) AS tfidf
+         FROM tf JOIN df USING (term) CROSS JOIN n
+       ),
+       ranked AS (
+         SELECT doc_id, term, tfidf,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term ASC) AS rnk
+         FROM scored
+       )
+       SELECT doc_id, CAST(rnk AS INT) AS rnk, term, tfidf
+       FROM ranked WHERE rnk <= 3""",
+)
+def text_keyword_topk(spark, sf_dir):
+    """TF-IDF keyword extraction: top-3 terms per document by
+    tf * ln((N+1)/(df+1)), deterministic (score desc, term asc)
+    tie-break. Whitespace tokens, lowercased — the same normalization
+    both engines can express exactly; ln of an integer ratio and one
+    multiply keep the float recipe order-exact, rounded to 6 dp for the
+    cross-engine gate. Plan shape: tf groupBy is the one fat shuffle;
+    df is term-level (small) and broadcasts back; the per-doc top-3 is
+    a WindowGroupLimit, not a global sort. At 100 TB the tf table is
+    the working set — everything downstream is term-keyed and tiny."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), " "),
+                     lambda x: x != F.lit(""))
+        ).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = tok.select(F.countDistinct("doc_id").alias("n"))
+    scored = tf.join(F.broadcast(df), "term").crossJoin(F.broadcast(n)).select(
+        "doc_id", "term",
+        F.round(
+            F.col("tf") * F.log((F.col("n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+            6,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "rnk", "term", "tfidf")
+    )
+
+
+@q(
+    "text_readability",
+    """WITH base AS (
+         SELECT doc_id,
+                len(list_filter(string_split(text, ' '), x -> x <> '')) AS words,
+                greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS sents,
+                greatest(len(regexp_extract_all(lower(text),
+                              '[aeiouy]+')), 1) AS syls
+         FROM documents WHERE text IS NOT NULL
+       )
+       SELECT doc_id, CAST(words AS BIGINT) AS words,
+              CAST(sents AS BIGINT) AS sents, CAST(syls AS BIGINT) AS syls,
+              round(206.835 - 1.015 * (words / CAST(sents AS DOUBLE))
+                            - 84.6 * (syls / CAST(words AS DOUBLE)), 6)
+                AS flesch
+       FROM base WHERE words > 0""",
+)
+def text_readability(spark, sf_dir):
+    """Flesch reading-ease per document — the classic readability filter
+    in web-corpus curation (too-low = gibberish/legalese, too-high =
+    fragment lists). Syllables approximated as vowel-group runs and
+    sentences as [.!?]+ runs — deliberately the SAME approximation in
+    both engines, exact by construction; the score is two IEEE divisions
+    + one round, cross-engine stable at 6 dp. Pure JVM regex — at 100 TB
+    this is a zero-shuffle map over the text column."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    words = F.size(F.filter(F.split(F.col("text"), " "),
+                            lambda x: x != F.lit("")))
+    sents = F.greatest(
+        F.size(F.expr(r"regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
+    )
+    syls = F.greatest(
+        F.size(F.expr(r"regexp_extract_all(lower(text), '[aeiouy]+', 0)")),
+        F.lit(1),
+    )
+    base = docs.select(
+        "doc_id",
+        words.cast("long").alias("words"),
+        sents.cast("long").alias("sents"),
+        syls.cast("long").alias("syls"),
+    ).filter(F.col("words") > 0)
+    return base.select(
+        "doc_id", "words", "sents", "syls",
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * (F.col("words") / F.col("sents").cast("double"))
+            - F.lit(84.6) * (F.col("syls") / F.col("words").cast("double")),
+            6,
+        ).alias("flesch"),
+    )

@@ -179,3 +179,142 @@ class TestIncrementalExtract:
         with pytest.raises(ValueError):
             I.run_incremental_extract(spark, str(tmp_path / "nosrc"),
                                       str(tmp_path / "out"))
+
+
+def test_zorder_prune_planted_grid(spark, tmp_path):
+    """snapshot_zorder_prune on a planted 2-D permutation grid (both
+    dimensions uniform, zero correlation): the z-ordered layout must let
+    footer-stats planning skip files on the SECOND dimension while the
+    row-id layout skips none, and both pruned reads must equal
+    full-scan + filter."""
+    import pandas as pd
+
+    import sparkdu.staging as G
+
+    n = 1024
+    pd.DataFrame({
+        "doc_id": list(range(n)),
+        "n_chars": [(i * 37) % 1024 for i in range(n)],
+        "text": ["x"] * n,
+    }).to_parquet(tmp_path / "documents.parquet")
+    rows = {r["metric"]: r["n"]
+            for r in G.snapshot_zorder_prune(spark, str(tmp_path)).collect()}
+    assert rows["rowid_files_skipped"] == 0
+    assert rows["zorder_files_skipped"] >= 4
+    assert rows["zorder_pruned_read_exact"] == 1
+    assert rows["rowid_pruned_read_exact"] == 1
+
+
+def test_incremental_orchestration_differential(spark, tmp_path):
+    """Seeded-random 3-increment corpus vs an independent Python simulator
+    of the decision rules (exact first-id-wins -> anti vs history; short
+    docs on the token-normalized hash; near-dup drop on any shared
+    (band, bsig) bucket with history or a smaller-id batch doc; state
+    grows by survivors only). The simulator replays the SET LOGIC on the
+    engine's own band signatures — hashing is gated elsewhere; this gate
+    is the cross-increment orchestration, which is where state bugs
+    (wrong growth, wrong join side, leaked drops) would live."""
+    import hashlib
+    import random
+
+    from sparkdu.dedup import minhash_banded
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(50)]
+    K, PREFIX = 3, 256
+
+    def make_doc():
+        n = rng.randint(1, 80)
+        return " ".join(rng.choice(vocab) for _ in range(n))
+
+    next_id = [0]
+    pool: list[str] = []
+
+    def make_batch(n):
+        docs = []
+        for _ in range(n):
+            r = rng.random()
+            if pool and r < 0.25:
+                text = rng.choice(pool)                      # exact copy
+            elif pool and r < 0.45:
+                text = rng.choice(pool) + " zz tail"         # near/tail copy
+            elif pool and r < 0.55:
+                text = rng.choice(pool).upper()              # case variant
+            else:
+                text = make_doc()
+            pool.append(text)
+            docs.append((next_id[0], text))
+            next_id[0] += 1
+        return docs
+
+    batches = [make_batch(40) for _ in range(3)]
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    def norm_tokens(s):
+        return [t for t in s.lower()[:PREFIX].split() if t]
+
+    # engine-side band signatures per doc (pure function of text)
+    def bands_of(docs):
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        b = minhash_banded(df, max_text_chars=PREFIX, shingle_k=K,
+                           shingle_mode="word")
+        out = {}
+        for r in b.collect():
+            out.setdefault(r["doc_id"], set()).add((r["band"], r["bsig"]))
+        return out
+
+    # independent simulator
+    hist_h, hist_hn, hist_bands = set(), set(), set()
+    expected = []
+    for docs in batches:
+        bands = bands_of(docs)
+        firsts = {}
+        for i, t in sorted(docs):
+            firsts.setdefault(md5(t), i)
+        kept = [(i, t) for i, t in docs
+                if firsts[md5(t)] == i and md5(t) not in hist_h]
+        survivors = []
+        long_remaining = []
+        for i, t in kept:
+            tk = norm_tokens(t)
+            if len(tk) < K:
+                hn = md5(" ".join(tk))
+                nfirst = min(j for j, u in kept
+                             if len(norm_tokens(u)) < K
+                             and md5(" ".join(norm_tokens(u))) == hn)
+                if hn not in hist_hn and nfirst == i:
+                    survivors.append((i, t, "short"))
+            else:
+                if bands.get(i, set()) & hist_bands:
+                    continue
+                long_remaining.append(i)
+        buckets = {}
+        for i in long_remaining:
+            for bb in bands[i]:
+                buckets.setdefault(bb, []).append(i)
+        for i in long_remaining:
+            if any(min(buckets[bb]) < i for bb in bands[i]):
+                continue
+            t = dict(docs)[i]
+            survivors.append((i, t, "long"))
+        for i, t, kind in survivors:
+            hist_h.add(md5(t))
+            if kind == "short":
+                hist_hn.add(md5(" ".join(norm_tokens(t))))
+            else:
+                hist_bands |= bands[i]
+        expected.append(sorted(i for i, _, _ in survivors))
+
+    # engine run
+    from sparkdu import incremental as I
+
+    d = str(tmp_path / "state")
+    I.init_state(d)
+    for wave, (docs, exp) in enumerate(zip(batches, expected)):
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        r = I.dedup_increment(spark, df, d, max_text_chars=PREFIX,
+                              shingle_k=K, commit=True, wave=wave)
+        got = sorted(x["doc_id"] for x in r["survivors"].collect())
+        assert got == exp, (wave, got, exp)
