@@ -81,21 +81,10 @@ def _clean_stray(out_dir: str) -> int:
     references — the leftovers of a crash between a state write and its
     commit. Readers never see strays (read_snapshot reads manifest files
     only), but commit_wave_snapshot re-LISTS partition dirs, so strays must
-    be swept before the next append touches the same partitions."""
-    referenced = {
-        f
-        for m in S.snapshot_history(out_dir)
-        for fl in m["partition_keys"].values()
-        for f in fl
-    }
-    n = 0
-    for p in glob.glob(
-        os.path.join(out_dir, "extracted", "partition_key=*", "*.parquet")
-    ):
-        if os.path.relpath(p, out_dir) not in referenced:
-            os.unlink(p)
-            n += 1
-    return n
+    be swept before the next append touches the same partitions.
+    Delegates to snapshots.remove_orphans (the table-wide maintenance op
+    with the identical contract)."""
+    return S.remove_orphans(out_dir)["deleted_files"]
 
 
 def _append_state(spark: SparkSession, out_dir: str, df: DataFrame,
@@ -165,8 +154,12 @@ def dedup_increment(
     families), so a crashed increment re-runs to the identical survivor
     set — together with _clean_stray this makes the commit exactly-once
     in effect. Returns dict with the survivor DataFrame, per-stage drop
-    DataFrames (lazy — count() them for metrics), and committed snapshot
-    ids (None when commit=False).
+    DataFrames (lazy — count() them for metrics), committed snapshot
+    ids (None when commit=False), and a `commit_state` callable: with
+    commit=False, callers that persist the survivors elsewhere (e.g.
+    run_incremental_extract's merge) invoke it strictly AFTER their own
+    commit, so a crash in between replays to the same survivors and a
+    convergent merge instead of losing the batch to its own state rows.
     """
     ids = F.col(id_col)
     hist_exact = read_exact_state(spark, state_dir)
@@ -197,7 +190,7 @@ def dedup_increment(
             "dropped_near_batch": None,
             "exact_snapshot_id": None, "near_snapshot_id": None,
         }
-        if commit:
+        def _commit():
             state_rows = survivors.select(
                 F.lit(0).cast("tinyint").alias("kind"), F.col("_h").alias("h")
             )
@@ -205,6 +198,11 @@ def dedup_increment(
                 spark, _exact_dir(state_dir), state_rows, "h",
                 num_parts, run_id, wave,
             )
+            return out["exact_snapshot_id"]
+
+        out["commit_state"] = _commit
+        if commit:
+            _commit()
         return out
 
     # 2. short-doc routing (curate_job parity: same tokenizer, same prefix)
@@ -262,7 +260,7 @@ def dedup_increment(
         "exact_snapshot_id": None,
         "near_snapshot_id": None,
     }
-    if commit:
+    def _commit():
         exact_rows = survivors.select(
             F.lit(0).cast("tinyint").alias("kind"), F.col("_h").alias("h")
         ).unionByName(
@@ -282,6 +280,11 @@ def dedup_increment(
             spark, _near_dir(state_dir), near_rows, "bsig",
             num_parts, run_id, wave,
         )
+        return out["exact_snapshot_id"]
+
+    out["commit_state"] = _commit
+    if commit:
+        _commit()
     return out
 
 
@@ -308,6 +311,7 @@ def run_incremental_extract(
     num_parts: int = 16,
     model_path: Optional[str] = None,
     run_id: str = "incx",
+    dedup_state: Optional[str] = None,
 ) -> dict:
     """Consume the pages APPENDED to the source snapshot table since the
     last processed snapshot, extract only those — O(new data), never
@@ -320,6 +324,15 @@ def run_incremental_extract(
     First run bootstraps: reads the full current source snapshot and
     commits the extracted table as wave 0. Steady-state no-op (nothing
     appended) returns without committing. Returns counters.
+
+    `dedup_state=` chains CROSS-INCREMENT dedup between extract and
+    merge: the extracted batch runs dedup_increment against the state
+    tables under that dir (keyed by url over extracted_text) and only
+    survivors merge. Ordering is merge -> state commit -> checkpoint, so
+    every crash window converges: a replayed batch re-derives the same
+    survivors (state not yet updated) and the merge is idempotent, or
+    the state already contains the batch and the replayed merge is an
+    empty no-op over an already-merged table.
     """
     from .api import ExtractConfig, extract_pages
     from .tables import PAGES_SCHEMA
@@ -342,6 +355,22 @@ def run_incremental_extract(
         spark, new_pages,
         ExtractConfig(num_partitions=num_parts, model_path=model_path),
     )
+    commit_state = None
+    n_dropped = 0
+    pre_dedup = None
+    if dedup_state is not None:
+        init_state(dedup_state)
+        pre_dedup = extracted.persist()  # parse once: feeds dedup + merge
+        dd = dedup_increment(
+            spark,
+            pre_dedup.select("url", F.col("extracted_text").alias("text")),
+            dedup_state, id_col="url", text_col="text",
+            num_parts=num_parts, commit=False, run_id=run_id, wave=cur_src,
+        )
+        extracted = pre_dedup.join(
+            dd["survivors"].select("url"), "url", "left_semi"
+        )
+        commit_state = dd["commit_state"]
     if S.current_snapshot_id(out_dir) is None:
         routed = extracted.withColumn(
             "partition_key",
@@ -364,6 +393,12 @@ def run_incremental_extract(
             spark, out_dir, extracted, key_cols=["url"],
             num_parts=num_parts, route_col="url", run_id=run_id,
         )
+    if commit_state is not None:
+        # state commit strictly AFTER the merge (see docstring ordering)
+        commit_state()
+        n_dropped = (
+            pre_dedup.count() - stats["rows_new"] - stats["rows_matched"]
+        )
     # checkpoint strictly after the table commit (atomic rename)
     fd, tmp = tempfile.mkstemp(dir=out_dir, prefix="_incr_cp_")
     with os.fdopen(fd, "w") as f:
@@ -371,5 +406,6 @@ def run_incremental_extract(
     os.replace(tmp, _cp_path(out_dir))
     stats.update({"src_from": last, "src_to": cur_src,
                   "pages_in": stats["rows_new"] + stats["rows_matched"],
+                  "dedup_dropped": n_dropped,
                   "noop": False})
     return stats

@@ -30,6 +30,10 @@ def main(argv=None) -> None:
                     help="extracted snapshot table dir (created on first run)")
     ap.add_argument("--partitions", type=int, default=16)
     ap.add_argument("--model", default=None)
+    ap.add_argument("--dedup-state", default=None, metavar="DIR",
+                    help="chain cross-increment dedup: extracted docs are "
+                         "checked against the state tables under DIR and "
+                         "only survivors merge (state grows per increment)")
     ap.add_argument("--run-id", default="incx")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
@@ -43,17 +47,20 @@ def main(argv=None) -> None:
     r = run_incremental_extract(
         spark, args.source, args.output,
         num_parts=args.partitions, model_path=args.model, run_id=args.run_id,
+        dedup_state=args.dedup_state,
     )
     dt = time.time() - t0
     if r["noop"]:
         print(f"run_id={args.run_id} noop=1 src_id={r['src_to']} "
               f"wall={dt:.1f}s (nothing appended since checkpoint)")
     else:
+        dd = (f" dedup_dropped={r['dedup_dropped']}"
+              if args.dedup_state else "")
         print(
             f"run_id={args.run_id} src={r['src_from']}->{r['src_to']} "
             f"pages={r['pages_in']} new={r['rows_new']} "
-            f"updated={r['rows_matched']} snapshot={r['snapshot_id']} "
-            f"wall={dt:.1f}s"
+            f"updated={r['rows_matched']} snapshot={r['snapshot_id']}"
+            f"{dd} wall={dt:.1f}s"
         )
     spark.stop()
 

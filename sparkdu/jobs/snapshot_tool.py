@@ -23,6 +23,12 @@ def main(argv=None) -> None:
     ap.add_argument("--compact", type=int, default=None, metavar="MIN_FILES",
                     help="rewrite partitions with >= MIN_FILES files as one "
                          "file each and commit a replace snapshot")
+    ap.add_argument("--fold-deletes", action="store_true",
+                    help="fold pending MOR tombstones into the data files")
+    ap.add_argument("--publish-branch", default=None, metavar="NAME",
+                    help="fast-forward main to a staged branch head")
+    ap.add_argument("--drop-branch", default=None, metavar="NAME",
+                    help="discard a staged branch (manifests + files)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -59,6 +65,26 @@ def main(argv=None) -> None:
             f"snapshot={res['snapshot_id']}"
         )
         spark.stop()
+
+    if args.fold_deletes:
+        from sparkdu.session import get_spark
+
+        spark = get_spark(app="snapshot-fold", master=args.master)
+        res = S.fold_deletes(spark, args.dir)
+        print(f"folded partitions={res['partitions']} "
+              f"rows_deleted={res['rows_deleted']} "
+              f"snapshot={res['snapshot_id']}")
+        spark.stop()
+
+    if args.publish_branch is not None:
+        sid = S.publish_branch(args.dir, args.publish_branch)
+        print(f"published branch {args.publish_branch!r} -> snapshot {sid}")
+
+    if args.drop_branch is not None:
+        res = S.drop_branch(args.dir, args.drop_branch)
+        print(f"dropped branch {args.drop_branch!r}: "
+              f"manifests={res['manifests_dropped']} "
+              f"files_deleted={res['deleted_files']}")
 
     if args.expire_keep is not None:
         res = S.expire_snapshots(args.dir, keep_last=args.expire_keep)

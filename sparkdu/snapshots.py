@@ -78,6 +78,18 @@ def _atomic_write(path: str, payload: str) -> None:
     os.replace(tmp, path)
 
 
+def _next_sid(out_dir: str) -> int:
+    """Allocate the next snapshot id GLOBALLY (max existing + 1, not
+    parent + 1): with branches, main and a branch share the id space and
+    parent+1 would collide — Iceberg snapshot ids are likewise unique
+    per table, not per lineage chain."""
+    ids = []
+    for pth in glob.glob(os.path.join(_snap_dir(out_dir), "snap-*.json")):
+        stem = os.path.basename(pth)[len("snap-"):-len(".json")]
+        ids.append(int(stem))
+    return max(ids, default=0) + 1
+
+
 def current_snapshot_id(out_dir: str) -> Optional[int]:
     ptr = os.path.join(_snap_dir(out_dir), "_current")
     if not os.path.exists(ptr):
@@ -107,11 +119,32 @@ def snapshot_history(out_dir: str) -> list[dict]:
 
 
 def commit_wave_snapshot(out_dir: str, run_id: str, wave: int,
-                         wave_keys: list[int]) -> int:
+                         wave_keys: list[int],
+                         branch: Optional[str] = None) -> int:
     """Commit one wave: parent file list with `wave_keys` replaced by the
-    freshly listed files of those partitions. Returns the new snapshot id."""
+    freshly listed files of those partitions. Returns the new snapshot id.
+
+    With `branch=` the commit STAGES on a named branch ref instead of
+    advancing `_current` (the write half of Iceberg's write-audit-publish
+    pattern): the parent is the branch head (or current main at fork
+    time), the branch ref advances, and main readers never see the staged
+    files — their manifests don't list them. Audit the staged snapshot
+    via read_snapshot(snapshot_id=resolve_ref(branch)), then
+    publish_branch() to fast-forward main or drop_branch() to discard.
+    Caveat (glob-listing writer): staged files share the partition dirs,
+    so a MAIN wave commit onto the same keys while a stage is pending
+    would glob the staged files in — stage disjoint keys, or publish/
+    drop before committing main onto them (an append-only Iceberg writer
+    names files explicitly and has no such aliasing)."""
     os.makedirs(_snap_dir(out_dir), exist_ok=True)
-    parent = load_manifest(out_dir)
+    parent = None
+    if branch is not None:
+        try:
+            parent = load_manifest(out_dir, resolve_ref(out_dir, branch))
+        except (FileNotFoundError, ValueError):
+            parent = load_manifest(out_dir)  # fork from current main
+    else:
+        parent = load_manifest(out_dir)
     parts = dict(parent["partition_keys"]) if parent else {}
     ext = os.path.join(out_dir, "extracted")
     for pk in wave_keys:
@@ -119,7 +152,7 @@ def commit_wave_snapshot(out_dir: str, run_id: str, wave: int,
             glob.glob(os.path.join(ext, f"partition_key={int(pk)}", "*.parquet"))
         )
         parts[str(int(pk))] = [os.path.relpath(f, out_dir) for f in files]
-    sid = (parent["snapshot_id"] + 1) if parent else 1
+    sid = _next_sid(out_dir)
     manifest = {
         "snapshot_id": sid,
         "parent_id": parent["snapshot_id"] if parent else None,
@@ -128,8 +161,18 @@ def commit_wave_snapshot(out_dir: str, run_id: str, wave: int,
         "created_ts": _dt.datetime.now(_dt.timezone.utc).isoformat(),
         "partition_keys": parts,
     }
+    # pending MOR tombstones carry over unchanged: equality deletes keep
+    # applying until fold_deletes rewrites their partitions (wave commits
+    # here APPEND files; a tombstone against an appended key is still a
+    # caller-intended delete)
+    if parent and parent.get("delete_files"):
+        manifest["delete_files"] = dict(parent["delete_files"])
+        manifest["delete_key_cols"] = parent["delete_key_cols"]
     _atomic_write(_snap_path(out_dir, sid), json.dumps(manifest, indent=1))
-    _atomic_write(os.path.join(_snap_dir(out_dir), "_current"), str(sid))
+    if branch is not None:
+        set_ref(out_dir, branch, sid)
+    else:
+        _atomic_write(os.path.join(_snap_dir(out_dir), "_current"), str(sid))
     return sid
 
 
@@ -147,13 +190,17 @@ def expire_snapshots(out_dir: str, keep_last: int = 2) -> dict:
     cur = current_snapshot_id(out_dir)
     keep_ids = {m["snapshot_id"] for m in hist[-max(keep_last, 1):]} | {cur}
     expired = [m for m in hist if m["snapshot_id"] not in keep_ids]
+    def _files(m):
+        for fl in m["partition_keys"].values():
+            yield from fl
+        for fl in m.get("delete_files", {}).values():  # MOR tombstones GC too
+            yield from fl
+
     live_files = {
-        f for m in hist if m["snapshot_id"] in keep_ids
-        for fl in m["partition_keys"].values() for f in fl
+        f for m in hist if m["snapshot_id"] in keep_ids for f in _files(m)
     }
     dead_files = {
-        f for m in expired
-        for fl in m["partition_keys"].values() for f in fl
+        f for m in expired for f in _files(m)
     } - live_files
     for m in expired:
         os.unlink(_snap_path(out_dir, m["snapshot_id"]))
@@ -165,6 +212,22 @@ def expire_snapshots(out_dir: str, keep_last: int = 2) -> dict:
         except FileNotFoundError:
             pass
     return {"expired": len(expired), "deleted_files": n_deleted}
+
+
+def _apply_deletes(spark: SparkSession, out_dir: str, m: dict,
+                   df: DataFrame) -> DataFrame:
+    """Apply a snapshot's pending MOR tombstones (equality deletes) to a
+    DataFrame read from its data files: broadcast anti-join on the
+    recorded delete key columns. No-op when the manifest carries no
+    delete files. Tombstone tables are small by contract (they hold
+    deleted KEYS, not rows) — the broadcast is the merge-on-read cost."""
+    dl = m.get("delete_files", {})
+    tomb_files = [os.path.join(out_dir, f) for fl in dl.values() for f in fl]
+    if not tomb_files:
+        return df
+    kc = m["delete_key_cols"]
+    tomb = spark.read.parquet(*tomb_files).select(*kc).distinct()
+    return df.join(F.broadcast(tomb), kc, "left_anti")
 
 
 def read_snapshot(spark: SparkSession, out_dir: str,
@@ -193,11 +256,13 @@ def read_snapshot(spark: SparkSession, out_dir: str,
     reader = spark.read.option("basePath", os.path.join(out_dir, "extracted"))
     if schema is not None:
         reader = reader.schema(schema)
-    return reader.parquet(*files)
+    return _apply_deletes(spark, out_dir, m, reader.parquet(*files))
 
 
 def commit_replace_snapshot(out_dir: str, run_id: str,
-                            replaced: dict[str, list[str]]) -> int:
+                            replaced: dict[str, list[str]],
+                            clear_delete_keys: Optional[list[str]] = None
+                            ) -> int:
     """Commit a snapshot that REPLACES the file lists of some partitions
     with explicitly named files (compaction/rewrite path — the glob-based
     commit_wave_snapshot would see old and new files side by side).
@@ -209,7 +274,7 @@ def commit_replace_snapshot(out_dir: str, run_id: str,
         raise ValueError(f"no committed snapshot under {out_dir}")
     parts = dict(parent["partition_keys"])
     parts.update({str(k): list(v) for k, v in replaced.items()})
-    sid = parent["snapshot_id"] + 1
+    sid = _next_sid(out_dir)
     manifest = {
         "snapshot_id": sid,
         "parent_id": parent["snapshot_id"],
@@ -219,6 +284,14 @@ def commit_replace_snapshot(out_dir: str, run_id: str,
         "created_ts": _dt.datetime.now(_dt.timezone.utc).isoformat(),
         "partition_keys": parts,
     }
+    # carry pending tombstones, minus the partitions the caller certifies
+    # it folded into the replacement files (fold_deletes)
+    if parent and parent.get("delete_files"):
+        dl = {k: list(v) for k, v in parent["delete_files"].items()
+              if k not in set(clear_delete_keys or [])}
+        if dl:
+            manifest["delete_files"] = dl
+            manifest["delete_key_cols"] = parent["delete_key_cols"]
     _atomic_write(_snap_path(out_dir, sid), json.dumps(manifest, indent=1))
     _atomic_write(os.path.join(_snap_dir(out_dir), "_current"), str(sid))
     return sid
@@ -242,6 +315,7 @@ def compact_partitions(spark: SparkSession, out_dir: str,
     targets = {
         k: fl for k, fl in m["partition_keys"].items() if len(fl) >= min_files
     }
+    _assert_no_pending_deletes(m, targets, "compact_partitions")
     if not targets:
         return {"partitions": 0, "files_before": 0, "files_after": 0,
                 "snapshot_id": None}
@@ -286,8 +360,11 @@ def snapshot_diff(spark: SparkSession, out_dir: str, from_id: int,
     if mf is None or mt is None:
         raise ValueError("both snapshot ids must exist")
     pf, pt = mf["partition_keys"], mt["partition_keys"]
+    df_, dt_ = mf.get("delete_files", {}), mt.get("delete_files", {})
+    # a partition changes if its data files OR its MOR tombstones differ
     changed = sorted(
-        k for k in set(pf) | set(pt) if pf.get(k, []) != pt.get(k, [])
+        k for k in set(pf) | set(pt) | set(df_) | set(dt_)
+        if pf.get(k, []) != pt.get(k, []) or df_.get(k, []) != dt_.get(k, [])
     )
 
     def read_side(m, keys):
@@ -295,9 +372,12 @@ def snapshot_diff(spark: SparkSession, out_dir: str, from_id: int,
                  for k in keys for f in m["partition_keys"].get(k, [])]
         if not files:
             return None
-        return spark.read.option(
-            "basePath", os.path.join(out_dir, "extracted")
-        ).parquet(*files)
+        return _apply_deletes(
+            spark, out_dir, m,
+            spark.read.option(
+                "basePath", os.path.join(out_dir, "extracted")
+            ).parquet(*files),
+        )
 
     a = read_side(mf, changed)
     b = read_side(mt, changed)
@@ -375,6 +455,22 @@ def _route(df, route_col: str, num_parts: int):
     )
 
 
+def _assert_no_pending_deletes(m: dict, affected, op: str) -> None:
+    """Copy-on-write rewrites (merge/delete/compact) read partitions from
+    their RAW data files; doing that under pending MOR tombstones would
+    resurrect deleted rows in the rewritten files. Iceberg's rewrite
+    actions take position/equality deletes into account — here the
+    honest contract is: fold first, then rewrite."""
+    dl = m.get("delete_files", {})
+    hit = sorted(str(k) for k in affected if dl.get(str(k)))
+    if hit:
+        raise ValueError(
+            f"{op}: partitions {hit} have pending MOR tombstones; run "
+            "fold_deletes() first (a raw-file rewrite would resurrect "
+            "deleted rows)"
+        )
+
+
 def merge_upsert(spark: SparkSession, out_dir: str, updates: DataFrame,
                  key_cols: list[str], num_parts: int,
                  route_col: str = "url", run_id: str = "merge") -> dict:
@@ -413,6 +509,7 @@ def merge_upsert(spark: SparkSession, out_dir: str, updates: DataFrame,
         r["partition_key"]
         for r in routed.select("partition_key").distinct().collect()
     )
+    _assert_no_pending_deletes(m, affected, "merge_upsert")
     old_files = [
         os.path.join(out_dir, f)
         for k in affected
@@ -466,6 +563,7 @@ def delete_keys(spark: SparkSession, out_dir: str, keys: DataFrame,
         for r in routed.select("partition_key").distinct().collect()
         if str(r["partition_key"]) in m["partition_keys"]
     )
+    _assert_no_pending_deletes(m, affected, "delete_keys")
     base = os.path.join(out_dir, "extracted")
     old_files = [
         os.path.join(out_dir, f)
@@ -489,6 +587,174 @@ def delete_keys(spark: SparkSession, out_dir: str, keys: DataFrame,
         "snapshot_id": sid,
         "partitions_touched": len(affected),
         "rows_deleted": _footer_rows(old_files) - new_total,
+    }
+
+
+def remove_orphans(out_dir: str) -> dict:
+    """Maintenance op #3 (Iceberg remove_orphan_files analogue, completing
+    expire_snapshots + compact_partitions): delete data/tombstone files
+    in the table directories that NO committed manifest references — the
+    leftovers of writes that crashed before their commit. Readers never
+    see orphans (manifests are the source of truth), but the glob-based
+    wave commit would absorb them on the next commit of the same
+    partition, so sweeping matters for writers too (same contract as
+    incremental._clean_stray, table-wide). Returns {"deleted_files": n}.
+    """
+    referenced = set()
+    for m in snapshot_history(out_dir):
+        for fl in m["partition_keys"].values():
+            referenced.update(fl)
+        for fl in m.get("delete_files", {}).values():
+            referenced.update(fl)
+    n = 0
+    for sub in ("extracted", "deletes"):
+        for p in glob.glob(
+            os.path.join(out_dir, sub, "partition_key=*", "*.parquet")
+        ):
+            if os.path.relpath(p, out_dir) not in referenced:
+                os.unlink(p)
+                n += 1
+    return {"deleted_files": n}
+
+
+# -- merge-on-read deletes (Iceberg v2 equality-delete analogue) -------------
+
+
+def pending_delete_files(out_dir: str,
+                         snapshot_id: Optional[int] = None) -> dict:
+    """{partition_key: [tombstone relpaths]} pending in a snapshot."""
+    m = load_manifest(out_dir, snapshot_id)
+    return dict(m.get("delete_files", {})) if m else {}
+
+
+def delete_keys_mor(spark: SparkSession, out_dir: str, keys: DataFrame,
+                    key_cols: list[str], num_parts: int,
+                    route_col: str = "url",
+                    run_id: str = "mor-delete") -> dict:
+    """Merge-on-read DELETE by key (Iceberg v2 equality deletes): instead
+    of rewriting data files (delete_keys — copy-on-write), write ONE small
+    TOMBSTONE file of deleted key values per affected partition under
+    deletes/, and commit a snapshot whose DATA file lists are carried
+    over untouched. Readers (read_snapshot / read_snapshot_range /
+    snapshot_diff) apply tombstones as a broadcast anti-join on
+    `key_cols`; fold_deletes rewrites the partitions and clears them.
+
+    The write-side cost is O(deleted keys) with ZERO data movement — the
+    right half of the CoW/MoR tradeoff when deletes are frequent relative
+    to reads. Time travel to the pre-delete snapshot still sees the rows
+    (its manifest carries no tombstones). Tombstones route with THE SAME
+    pmod(xxhash64(route_col), num_parts) as the writer, so fold and read
+    can pair them with their partitions. Stacked MOR deletes accumulate;
+    key_cols must match any already-pending tombstones (one equality
+    schema per table, as in Iceberg's equality-field-ids contract).
+    Returns {"snapshot_id", "partitions_touched", "tombstone_rows"}.
+    """
+    import glob as _glob
+    import shutil
+
+    m = load_manifest(out_dir)
+    if m is None:
+        raise ValueError(f"no committed snapshot under {out_dir}")
+    if m.get("delete_files") and m["delete_key_cols"] != key_cols:
+        raise ValueError(
+            f"pending tombstones use key_cols={m['delete_key_cols']}; "
+            "fold before switching equality columns"
+        )
+    routed = _route(keys.select(*key_cols).distinct(), route_col, num_parts)
+    live = {k for k, fl in m["partition_keys"].items() if fl}
+    affected = sorted(
+        r["partition_key"]
+        for r in routed.select("partition_key").distinct().collect()
+        if str(r["partition_key"]) in live
+    )
+    if not affected:
+        return {"snapshot_id": m["snapshot_id"], "partitions_touched": 0,
+                "tombstone_rows": 0}
+    tmp = os.path.join(out_dir, "_mor_tmp")
+    routed.filter(
+        F.col("partition_key").isin([int(k) for k in affected])
+    ).write.mode("overwrite").partitionBy("partition_key").parquet(tmp)
+    new_tombs: dict[str, list[str]] = {}
+    for k in affected:
+        ddir = os.path.join(out_dir, "deletes", f"partition_key={k}")
+        os.makedirs(ddir, exist_ok=True)
+        news = []
+        for i, p in enumerate(sorted(_glob.glob(
+                os.path.join(tmp, f"partition_key={k}", "*.parquet")))):
+            dest = os.path.join(
+                ddir, f"del-{m['snapshot_id']}-{k}-{i}.parquet"
+            )
+            os.replace(p, dest)
+            news.append(os.path.relpath(dest, out_dir))
+        new_tombs[str(k)] = news
+    shutil.rmtree(tmp, ignore_errors=True)
+    dl = {k: list(v) for k, v in m.get("delete_files", {}).items()}
+    for k, v in new_tombs.items():
+        dl.setdefault(k, []).extend(v)
+    sid = _next_sid(out_dir)
+    manifest = {
+        "snapshot_id": sid,
+        "parent_id": m["snapshot_id"],
+        "run_id": run_id,
+        "wave": -1,
+        "operation": "delete-mor",
+        "created_ts": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+        "partition_keys": dict(m["partition_keys"]),
+        "delete_files": dl,
+        "delete_key_cols": list(key_cols),
+    }
+    _atomic_write(_snap_path(out_dir, sid), json.dumps(manifest, indent=1))
+    _atomic_write(os.path.join(_snap_dir(out_dir), "_current"), str(sid))
+    return {
+        "snapshot_id": sid,
+        "partitions_touched": len(affected),
+        "tombstone_rows": _footer_rows(
+            [os.path.join(out_dir, f) for fl in new_tombs.values()
+             for f in fl]
+        ),
+    }
+
+
+def fold_deletes(spark: SparkSession, out_dir: str,
+                 run_id: str = "fold-deletes") -> dict:
+    """Fold pending MOR tombstones into the data (Iceberg
+    rewrite_data_files over tables with deletes): every partition with
+    tombstones is read, anti-joined, rewritten to fresh files, and
+    committed as ONE replace snapshot with those tombstones cleared.
+    Old data files and tombstones stay on disk for time travel until
+    expire_snapshots collects them. Returns counters."""
+    m = load_manifest(out_dir)
+    if m is None:
+        raise ValueError(f"no committed snapshot under {out_dir}")
+    dl = m.get("delete_files", {})
+    affected = sorted(int(k) for k, v in dl.items() if v)
+    if not affected:
+        return {"partitions": 0, "rows_deleted": 0, "snapshot_id": None}
+    kc = m["delete_key_cols"]
+    base = os.path.join(out_dir, "extracted")
+    old_files = [
+        os.path.join(out_dir, f)
+        for k in affected for f in m["partition_keys"].get(str(k), [])
+    ]
+    tomb_files = [
+        os.path.join(out_dir, f) for k in affected for f in dl[str(k)]
+    ]
+    old = spark.read.option("basePath", base).parquet(*old_files)
+    tomb = spark.read.parquet(*tomb_files).select(*kc).distinct()
+    keep = old.join(F.broadcast(tomb), kc, "left_anti")
+    replaced = _rewrite_partitions(out_dir, keep, affected, "fold",
+                                   m["snapshot_id"])
+    sid = commit_replace_snapshot(
+        out_dir, run_id=run_id, replaced=replaced,
+        clear_delete_keys=[str(k) for k in affected],
+    )
+    new_total = _footer_rows(
+        [os.path.join(out_dir, f) for fl in replaced.values() for f in fl]
+    )
+    return {
+        "partitions": len(affected),
+        "rows_deleted": _footer_rows(old_files) - new_total,
+        "snapshot_id": sid,
     }
 
 
@@ -526,6 +792,90 @@ def resolve_ref(out_dir: str, name: str) -> int:
     if name not in refs:
         raise ValueError(f"no ref {name!r} under {out_dir}")
     return refs[name]
+
+
+def _main_chain(out_dir: str) -> set:
+    """Snapshot ids reachable from `_current` via parent_id."""
+    sid = current_snapshot_id(out_dir)
+    seen = set()
+    while sid is not None:
+        seen.add(sid)
+        m = load_manifest(out_dir, sid)
+        sid = m["parent_id"]
+    return seen
+
+
+def publish_branch(out_dir: str, name: str) -> int:
+    """Publish a staged branch (the write-audit-publish 'publish' half):
+    fast-forward `_current` to the branch head. Requires main NOT to have
+    moved since the branch forked (the branch's ancestry must contain
+    current main) — a diverged main raises instead of silently merging,
+    exactly Iceberg's fast_forward semantics. The branch ref is removed
+    after publishing. Returns the published snapshot id."""
+    head = resolve_ref(out_dir, name)
+    main = current_snapshot_id(out_dir)
+    sid = head
+    while sid is not None and sid != main:
+        sid = load_manifest(out_dir, sid)["parent_id"]
+    if main is not None and sid != main:
+        raise ValueError(
+            f"cannot fast-forward: main moved to {main} since branch "
+            f"{name!r} forked; rebase (re-stage) or drop the branch"
+        )
+    _atomic_write(os.path.join(_snap_dir(out_dir), "_current"), str(head))
+    _drop_ref(out_dir, name)
+    return head
+
+
+def drop_branch(out_dir: str, name: str) -> dict:
+    """Discard a staged branch (the audit-failed path): unlink every
+    manifest on the branch that main cannot reach, then GC the data
+    files only those manifests referenced — main never saw the staged
+    rows, and after the drop nothing on disk remembers them. Returns
+    {"manifests_dropped": n, "deleted_files": n}."""
+    head = resolve_ref(out_dir, name)
+    keep = _main_chain(out_dir)
+    dropped = []
+    sid = head
+    while sid is not None and sid not in keep:
+        m = load_manifest(out_dir, sid)
+        dropped.append(m)
+        sid = m["parent_id"]
+    live_files = set()
+    for m in snapshot_history(out_dir):
+        if not any(m["snapshot_id"] == d["snapshot_id"] for d in dropped):
+            for fl in m["partition_keys"].values():
+                live_files.update(fl)
+            for fl in m.get("delete_files", {}).values():
+                live_files.update(fl)
+    dead = {
+        f
+        for d in dropped
+        for fl in list(d["partition_keys"].values())
+        + list(d.get("delete_files", {}).values())
+        for f in fl
+    } - live_files
+    for d in dropped:
+        os.unlink(_snap_path(out_dir, d["snapshot_id"]))
+    n_del = 0
+    for rel in sorted(dead):
+        try:
+            os.unlink(os.path.join(out_dir, rel))
+            n_del += 1
+        except FileNotFoundError:
+            pass
+    _drop_ref(out_dir, name)
+    return {"manifests_dropped": len(dropped), "deleted_files": n_del}
+
+
+def _drop_ref(out_dir: str, name: str) -> None:
+    try:
+        with open(_refs_path(out_dir)) as f:
+            refs = json.load(f)
+    except FileNotFoundError:
+        return
+    refs.pop(name, None)
+    _atomic_write(_refs_path(out_dir), json.dumps(refs, indent=1))
 
 
 # -- file-level column stats (Iceberg metrics analogue) ----------------------
@@ -648,7 +998,10 @@ def read_snapshot_range(spark: SparkSession, out_dir: str, col: str,
     df = spark.read.option(
         "basePath", os.path.join(out_dir, "extracted")
     ).parquet(*[os.path.join(out_dir, f) for f in plan["files"]])
-    return df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+    m = load_manifest(out_dir, snapshot_id)
+    return _apply_deletes(
+        spark, out_dir, m, df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+    )
 
 
 def read_appends_since(spark: SparkSession, out_dir: str, since_id: int,

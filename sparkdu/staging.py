@@ -3947,3 +3947,100 @@ def text_readability(spark, sf_dir):
             6,
         ).alias("flesch"),
     )
+
+
+@q("snapshot_delete_mor")  # rows-only: commit protocol + tmp dirs are engine-side
+def snapshot_delete_mor(spark, sf_dir):
+    """Merge-on-read DELETE (snapshots.delete_keys_mor — Iceberg v2
+    equality-delete analogue): tombstone files commit with ZERO data
+    movement (the manifest's data file lists stay byte-identical),
+    readers apply them as a broadcast anti-join, time travel to the
+    pre-delete snapshot still sees the rows, and fold_deletes rewrites
+    the affected partitions and clears the tombstones. Full behavioral
+    gate in tests/test_resume.py::test_mor_delete_fold_and_guards."""
+    import shutil
+    import tempfile
+
+    from . import snapshots as S
+
+    d = tempfile.mkdtemp(prefix="sparkdu_mor_")
+    try:
+        K = 4
+        base = spark.createDataFrame(
+            [(f"u{i}", i) for i in range(40)], "url string, v int"
+        ).withColumn(
+            "partition_key", F.pmod(F.xxhash64("url"), F.lit(K)).cast("int")
+        )
+        for k in range(K):
+            base.filter(F.col("partition_key") == k).drop(
+                "partition_key"
+            ).write.mode("overwrite").parquet(
+                os.path.join(d, "extracted", f"partition_key={k}")
+            )
+        sid0 = S.commit_wave_snapshot(d, "w", 0, list(range(K)))
+        keys = spark.createDataFrame([("u3",), ("u7",), ("u11",)],
+                                     "url string")
+        r = S.delete_keys_mor(spark, d, keys, ["url"], num_parts=K)
+        m0, m1 = S.load_manifest(d, sid0), S.load_manifest(d)
+        rf = S.fold_deletes(spark, d)
+        rows = [
+            ("tombstone_rows", r["tombstone_rows"]),
+            ("data_files_unchanged",
+             int(m1["partition_keys"] == m0["partition_keys"])),
+            ("rows_visible_after_delete",
+             S.read_snapshot(spark, d, r["snapshot_id"]).count()),
+            ("rows_time_travel", S.read_snapshot(spark, d, sid0).count()),
+            ("fold_rows_deleted", rf["rows_deleted"]),
+            ("tombstones_after_fold", len(S.pending_delete_files(d))),
+            ("rows_after_fold", S.read_snapshot(spark, d).count()),
+        ]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, "metric string, n long").orderBy("metric")
+
+
+@q("snapshot_wap")  # rows-only: branch refs + tmp dirs are engine-side
+def snapshot_wap(spark, sf_dir):
+    """Write-audit-publish (snapshots.commit_wave_snapshot branch= +
+    publish_branch/drop_branch — Iceberg WAP/fast_forward analogue): a
+    wave staged on a branch is invisible to main readers, an audit reads
+    the branch head, publish fast-forwards main, and a failed audit
+    drops the branch with its manifests AND files GC'd. Full behavioral
+    gate (incl. non-fast-forward refusal) in
+    tests/test_resume.py::test_wap_branch_stage_publish_drop."""
+    import shutil
+    import tempfile
+
+    from . import snapshots as S
+
+    d = tempfile.mkdtemp(prefix="sparkdu_wap_")
+    try:
+        def land(lo, hi, key):
+            spark.createDataFrame(
+                [(f"u{i}", i) for i in range(lo, hi)], "url string, v int"
+            ).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(d, "extracted", f"partition_key={key}")
+            )
+
+        land(0, 40, 0)
+        S.commit_wave_snapshot(d, "w", 0, [0])
+        land(40, 60, 1)
+        staged = S.commit_wave_snapshot(d, "stage", 1, [1], branch="audit")
+        main_during_stage = S.read_snapshot(spark, d).count()
+        audit_view = S.read_snapshot(spark, d, staged).count()
+        S.publish_branch(d, "audit")
+        after_publish = S.read_snapshot(spark, d).count()
+        land(60, 70, 2)
+        S.commit_wave_snapshot(d, "stage2", 2, [2], branch="bad")
+        dr = S.drop_branch(d, "bad")
+        rows = [
+            ("main_rows_during_stage", main_during_stage),
+            ("audit_view_rows", audit_view),
+            ("rows_after_publish", after_publish),
+            ("dropped_manifests", dr["manifests_dropped"]),
+            ("dropped_files", dr["deleted_files"]),
+            ("rows_after_drop", S.read_snapshot(spark, d).count()),
+        ]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, "metric string, n long").orderBy("metric")

@@ -318,3 +318,73 @@ def test_incremental_orchestration_differential(spark, tmp_path):
                               shingle_k=K, commit=True, wave=wave)
         got = sorted(x["doc_id"] for x in r["survivors"].collect())
         assert got == exp, (wave, got, exp)
+
+
+def test_incremental_extract_with_dedup_state(spark, pages_rows, tmp_path):
+    """--dedup-state chaining: a wave-B page whose html duplicates a
+    wave-A page extracts to identical text and is dropped against the
+    committed state, so it never reaches the merged table; a lost
+    checkpoint replays the full source but converges (state already
+    holds the batch -> empty merge over the already-merged table)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from sparkdu.tables import PAGES_SCHEMA
+
+    # 5 distinct-url, distinct-html pages from the fixture corpus
+    seen, rows = set(), []
+    for r in pages_rows:
+        if r["url"] not in seen and r["html"]:
+            seen.add(r["url"])
+            rows.append(r)
+        if len(rows) == 5:
+            break
+    wave_a = rows[:3]
+    dup = dict(rows[0])
+    dup["url"] = "https://dup.example/copy-of-first"
+    wave_b = [dup, rows[3]]
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    land = TestIncrementalExtract()._land
+    land(spark, src, spark.createDataFrame(wave_a, PAGES_SCHEMA), 0)
+    r1 = I.run_incremental_extract(spark, src, out, num_parts=4,
+                                   dedup_state=state)
+    assert r1["rows_new"] == 3 and r1["dedup_dropped"] == 0
+    land(spark, src, spark.createDataFrame(wave_b, PAGES_SCHEMA), 1)
+    r2 = I.run_incremental_extract(spark, src, out, num_parts=4,
+                                   dedup_state=state)
+    assert r2["rows_new"] == 1              # only the fresh page merged
+    assert r2["dedup_dropped"] == 1         # the cross-increment copy
+    final = {r["url"] for r in S.read_snapshot(spark, out).collect()}
+    assert final == {r["url"] for r in wave_a} | {rows[3]["url"]}
+
+    # crash window: checkpoint lost after everything committed
+    os.unlink(I._cp_path(out))
+    r3 = I.run_incremental_extract(spark, src, out, num_parts=4,
+                                   dedup_state=state)
+    assert not r3["noop"]
+    assert r3["rows_new"] == 0 and r3["rows_matched"] == 0
+    assert {r["url"] for r in S.read_snapshot(spark, out).collect()} == final
+
+
+def test_remove_orphans_table_wide(spark, tmp_path):
+    """snapshots.remove_orphans: unreferenced data AND tombstone files
+    are swept; referenced ones survive."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "t")
+    df = spark.createDataFrame([("u1", 1)], "url string, v int")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out, "extracted", "partition_key=0"))
+    S.commit_wave_snapshot(out, "w", 0, [0])
+    # plant orphans in both trees
+    for sub in ("extracted", "deletes"):
+        d = os.path.join(out, sub, "partition_key=0")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(pa.table({"url": ["zz"]}),
+                       os.path.join(d, "orphan.parquet"))
+    r = S.remove_orphans(out)
+    assert r["deleted_files"] == 2
+    assert S.read_snapshot(spark, out).count() == 1

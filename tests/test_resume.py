@@ -578,3 +578,153 @@ def test_snapshot_merge_rejects_duplicate_keys_and_typed_stats(spark, tmp_path):
         spark, out, sid, schema="url string, warc_ts timestamp"
     )
     assert empty.count() == 0
+
+
+def test_mor_delete_fold_and_guards(spark, tmp_path):
+    """Merge-on-read DELETE (equality tombstones): the delete commits
+    WITHOUT touching any data file (manifest file lists identical),
+    readers apply tombstones, deletes stack, time travel to the
+    pre-delete snapshot still sees the rows, copy-on-write DML refuses
+    to run over pending tombstones, fold_deletes rewrites + clears them
+    (after which CoW DML works again), and expire GCs old data files
+    AND tombstones."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sparkdu import snapshots as S
+
+    out = str(tmp_path / "table")
+    K = 4
+    base = spark.createDataFrame(
+        [(f"u{i}", i) for i in range(40)], "url string, v int"
+    ).withColumn(
+        "partition_key", F.pmod(F.xxhash64("url"), F.lit(K)).cast("int")
+    )
+    for k in range(K):
+        base.filter(F.col("partition_key") == k).drop(
+            "partition_key"
+        ).write.mode("overwrite").parquet(
+            os.path.join(out, "extracted", f"partition_key={k}")
+        )
+    sid0 = S.commit_wave_snapshot(out, "w", 0, list(range(K)))
+
+    keys1 = spark.createDataFrame([("u3",), ("u7",), ("u11",)], "url string")
+    r1 = S.delete_keys_mor(spark, out, keys1, ["url"], num_parts=K)
+    assert r1["tombstone_rows"] == 3
+    # zero data movement: the data file lists are IDENTICAL to sid0's
+    m0, m1 = S.load_manifest(out, sid0), S.load_manifest(out)
+    assert m1["partition_keys"] == m0["partition_keys"]
+    assert S.read_snapshot(spark, out).count() == 37
+    assert S.read_snapshot(spark, out, sid0).count() == 40  # time travel
+    live = {r["url"] for r in S.read_snapshot(spark, out).collect()}
+    assert {"u3", "u7", "u11"}.isdisjoint(live)
+
+    # stacked second MOR delete
+    keys2 = spark.createDataFrame([("u0",), ("u1",)], "url string")
+    S.delete_keys_mor(spark, out, keys2, ["url"], num_parts=K)
+    assert S.read_snapshot(spark, out).count() == 35
+    mor_sid = S.current_snapshot_id(out)
+
+    # stats-pruned range read applies tombstones too
+    S.annotate_stats(out, ["v"])
+    pruned = S.read_snapshot_range(spark, out, "v", 0, 39)
+    assert pruned.count() == 35
+
+    # CDC between pre-delete and post-delete snapshots = pure deletes
+    diff = S.snapshot_diff(spark, out, sid0, mor_sid, ["url"])
+    got = {(r["url"], r["change_type"]) for r in diff.collect()}
+    assert got == {(f"u{i}", "delete") for i in (3, 7, 11, 0, 1)}
+
+    # CoW DML refuses to rewrite partitions with pending tombstones
+    upd = spark.createDataFrame([("u3", 300)], "url string, v int")
+    with _pytest.raises(ValueError, match="pending MOR tombstones"):
+        S.merge_upsert(spark, out, upd, ["url"], num_parts=K)
+    with _pytest.raises(ValueError, match="fold before switching"):
+        S.delete_keys_mor(
+            spark, out,
+            spark.createDataFrame([("u5", 5)], "url string, v int"),
+            ["url", "v"], num_parts=K,
+        )
+
+    # fold: rewrite + clear; live view unchanged, pre-fold MOR snapshot
+    # and pre-delete snapshot both still read correctly
+    rf = S.fold_deletes(spark, out)
+    assert rf["rows_deleted"] == 5 and rf["partitions"] >= 1
+    assert S.pending_delete_files(out) == {}
+    assert S.read_snapshot(spark, out).count() == 35
+    assert S.read_snapshot(spark, out, mor_sid).count() == 35
+    assert S.read_snapshot(spark, out, sid0).count() == 40
+    # CoW DML works again after the fold
+    res = S.merge_upsert(spark, out, upd, ["url"], num_parts=K)
+    assert res["rows_new"] == 1  # u3 was deleted; the merge re-inserts it
+
+    # expiry GCs replaced data files and folded tombstones
+    n_tombs = len(list((tmp_path / "table" / "deletes").rglob("*.parquet")))
+    assert n_tombs > 0
+    S.expire_snapshots(out, keep_last=1)
+    left = len(list((tmp_path / "table" / "deletes").rglob("*.parquet")))
+    assert left == 0
+    assert S.read_snapshot(spark, out).count() == 36  # 35 + re-inserted u3
+
+
+def test_wap_branch_stage_publish_drop(spark, tmp_path):
+    """Write-audit-publish: a wave staged on a branch is invisible to
+    main readers, publishes by fast-forward (ref removed), refuses to
+    publish over a diverged main, and a dropped branch GCs its staged
+    manifests AND files."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sparkdu import snapshots as S
+
+    out = str(tmp_path / "table")
+
+    def land(lo, hi, keys):
+        df = spark.createDataFrame(
+            [(f"u{i}", i) for i in range(lo, hi)], "url string, v int"
+        )
+        for k in keys:
+            df.filter(F.pmod(F.xxhash64("url"), F.lit(len(keys))) == k - keys[0]) \
+              .write.mode("overwrite").parquet(
+                  os.path.join(out, "extracted", f"partition_key={k}"))
+
+    land(0, 40, [0, 1, 2, 3])
+    S.commit_wave_snapshot(out, "w", 0, [0, 1, 2, 3])
+    assert S.read_snapshot(spark, out).count() == 40
+
+    # stage on a branch: disjoint partition keys, main untouched
+    land(40, 60, [4, 5])
+    staged = S.commit_wave_snapshot(out, "stage", 1, [4, 5], branch="audit")
+    assert S.read_snapshot(spark, out).count() == 40            # main view
+    assert S.read_snapshot(spark, out, staged).count() == 60    # audit view
+    pub = S.publish_branch(out, "audit")
+    assert pub == staged
+    assert S.read_snapshot(spark, out).count() == 60
+    with _pytest.raises(ValueError):
+        S.resolve_ref(out, "audit")                             # ref removed
+
+    # drop path: staged files vanish from disk, main unaffected
+    land(60, 70, [6])
+    S.commit_wave_snapshot(out, "stage2", 2, [6], branch="audit2")
+    staged_files = list(
+        (tmp_path / "table" / "extracted" / "partition_key=6").glob("*.parquet")
+    )
+    assert staged_files
+    r = S.drop_branch(out, "audit2")
+    assert r["manifests_dropped"] == 1 and r["deleted_files"] >= 1
+    assert not list(
+        (tmp_path / "table" / "extracted" / "partition_key=6").glob("*.parquet")
+    )
+    assert S.read_snapshot(spark, out).count() == 60
+
+    # non-fast-forward: main moves after the fork -> publish refuses
+    land(70, 80, [7])
+    S.commit_wave_snapshot(out, "stage3", 3, [7], branch="audit3")
+    land(80, 90, [8])
+    S.commit_wave_snapshot(out, "main-moves", 4, [8])
+    with _pytest.raises(ValueError, match="cannot fast-forward"):
+        S.publish_branch(out, "audit3")
