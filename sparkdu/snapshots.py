@@ -133,9 +133,10 @@ def commit_wave_snapshot(out_dir: str, run_id: str, wave: int,
     publish_branch() to fast-forward main or drop_branch() to discard.
     Caveat (glob-listing writer): staged files share the partition dirs,
     so a MAIN wave commit onto the same keys while a stage is pending
-    would glob the staged files in — stage disjoint keys, or publish/
-    drop before committing main onto them (an append-only Iceberg writer
-    names files explicitly and has no such aliasing)."""
+    would glob the staged files in, and staging onto a partition a CoW
+    rewrite ever touched would glob its superseded files back in. For
+    those cases use append_rows_snapshot (explicit file names, no glob
+    — the append-only Iceberg writer shape)."""
     os.makedirs(_snap_dir(out_dir), exist_ok=True)
     parent = None
     if branch is not None:
@@ -165,6 +166,60 @@ def commit_wave_snapshot(out_dir: str, run_id: str, wave: int,
     # applying until fold_deletes rewrites their partitions (wave commits
     # here APPEND files; a tombstone against an appended key is still a
     # caller-intended delete)
+    if parent and parent.get("delete_files"):
+        manifest["delete_files"] = dict(parent["delete_files"])
+        manifest["delete_key_cols"] = parent["delete_key_cols"]
+    _atomic_write(_snap_path(out_dir, sid), json.dumps(manifest, indent=1))
+    if branch is not None:
+        set_ref(out_dir, branch, sid)
+    else:
+        _atomic_write(os.path.join(_snap_dir(out_dir), "_current"), str(sid))
+    return sid
+
+
+def append_rows_snapshot(spark: SparkSession, out_dir: str, df: DataFrame,
+                         num_parts: int, route_col: str = "url",
+                         run_id: str = "append",
+                         branch: Optional[str] = None) -> int:
+    """Append-only commit with EXPLICIT file names — the Iceberg-style
+    writer, immune to the glob-listing hazard: rows route to their
+    partitions, land under fresh unique names, and the manifest appends
+    exactly those files to the parent's lists. A directory re-list
+    (commit_wave_snapshot) would also absorb superseded copy-on-write
+    files still on disk for time travel; this writer cannot. Use it for
+    appends onto partitions that have ever been rewritten — in
+    particular BRANCH STAGING (WAP) onto a table with merge/delete/fold
+    history. Returns the new snapshot id (branch semantics identical to
+    commit_wave_snapshot's branch=)."""
+    os.makedirs(_snap_dir(out_dir), exist_ok=True)
+    if branch is not None:
+        try:
+            parent = load_manifest(out_dir, resolve_ref(out_dir, branch))
+        except (FileNotFoundError, ValueError):
+            parent = load_manifest(out_dir)
+    else:
+        parent = load_manifest(out_dir)
+    routed = _route(df, route_col, num_parts)
+    affected = sorted(
+        r["partition_key"]
+        for r in routed.select("partition_key").distinct().collect()
+    )
+    parent_sid = parent["snapshot_id"] if parent else 0
+    news = _rewrite_partitions(out_dir, routed, affected,
+                               f"append-{parent_sid}", parent_sid)
+    parts = dict(parent["partition_keys"]) if parent else {}
+    for k, fl in news.items():
+        parts[k] = list(parts.get(k, [])) + fl
+    sid = _next_sid(out_dir)
+    manifest = {
+        "snapshot_id": sid,
+        "parent_id": parent_sid if parent else None,
+        "run_id": run_id,
+        "wave": -1,
+        "operation": "append",
+        "created_ts": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+        "partition_keys": parts,
+    }
     if parent and parent.get("delete_files"):
         manifest["delete_files"] = dict(parent["delete_files"])
         manifest["delete_key_cols"] = parent["delete_key_cols"]
