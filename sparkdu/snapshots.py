@@ -287,7 +287,7 @@ def _apply_deletes(spark: SparkSession, out_dir: str, m: dict,
 
 def read_snapshot(spark: SparkSession, out_dir: str,
                   snapshot_id: Optional[int] = None,
-                  schema=None) -> DataFrame:
+                  schema=None, merge_schema: bool = False) -> DataFrame:
     """Read exactly the files of one snapshot (default: current).
 
     basePath keeps partition_key discoverable even though only explicit
@@ -309,6 +309,14 @@ def read_snapshot(spark: SparkSession, out_dir: str,
             "to read it as an empty DataFrame"
         )
     reader = spark.read.option("basePath", os.path.join(out_dir, "extracted"))
+    if merge_schema:
+        # schema evolution (Iceberg add-column analogue): snapshots whose
+        # files span schema versions read as the UNION schema, absent
+        # columns null-backfilled per file; time travel to a pre-evolution
+        # snapshot naturally reads the old schema (its manifest only
+        # lists old-schema files). Column ADD is the honest offline slice
+        # — renames need Iceberg field-ids the parquet layer doesn't carry.
+        reader = reader.option("mergeSchema", "true")
     if schema is not None:
         reader = reader.schema(schema)
     return _apply_deletes(spark, out_dir, m, reader.parquet(*files))

@@ -3866,7 +3866,10 @@ def text_keyword_topk(spark, sf_dir):
     cross-engine gate. Plan shape: tf groupBy is the one fat shuffle;
     df is term-level (small) and broadcasts back; the per-doc top-3 is
     a WindowGroupLimit, not a global sort. At 100 TB the tf table is
-    the working set — everything downstream is term-keyed and tiny."""
+    the working set — everything downstream is term-keyed and tiny:
+    df and N both derive FROM tf (one row per (doc, term), so df =
+    rows-per-term and N = distinct docs), and tf is cached so the corpus
+    is tokenized exactly once instead of three times."""
     from pyspark.sql import Window
 
     docs = t(spark, sf_dir, "documents")
@@ -3877,9 +3880,9 @@ def text_keyword_topk(spark, sf_dir):
                      lambda x: x != F.lit(""))
         ).alias("term"),
     )
-    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n = tok.select(F.countDistinct("doc_id").alias("n"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).persist()
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = tf.select(F.countDistinct("doc_id").alias("n"))
     scored = tf.join(F.broadcast(df), "term").crossJoin(F.broadcast(n)).select(
         "doc_id", "term",
         F.round(

@@ -728,3 +728,27 @@ def test_wap_branch_stage_publish_drop(spark, tmp_path):
     S.commit_wave_snapshot(out, "main-moves", 4, [8])
     with _pytest.raises(ValueError, match="cannot fast-forward"):
         S.publish_branch(out, "audit3")
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """Add-column evolution: a later append carries an extra column; a
+    merge-schema read returns the union schema with nulls backfilled for
+    pre-evolution files, and time travel to the pre-evolution snapshot
+    reads the old schema untouched."""
+    from sparkdu import snapshots as S
+
+    out = str(tmp_path / "t")
+    v1 = spark.createDataFrame([(f"u{i}", i) for i in range(6)],
+                               "url string, v int")
+    sid1 = S.append_rows_snapshot(spark, out, v1, num_parts=2)
+    v2 = spark.createDataFrame([(f"w{i}", i, f"en-{i}") for i in range(4)],
+                               "url string, v int, lang string")
+    S.append_rows_snapshot(spark, out, v2, num_parts=2)
+
+    cur = S.read_snapshot(spark, out, merge_schema=True)
+    assert set(cur.columns) >= {"url", "v", "lang"}
+    assert cur.count() == 10
+    assert cur.filter("lang IS NULL").count() == 6      # backfilled
+    assert cur.filter("lang IS NOT NULL").count() == 4
+    old = S.read_snapshot(spark, out, sid1)
+    assert "lang" not in old.columns and old.count() == 6
