@@ -4047,3 +4047,150 @@ def snapshot_wap(spark, sf_dir):
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return spark.createDataFrame(rows, "metric string, n long").orderBy("metric")
+
+
+@q(
+    "win_gap_fill",
+    """WITH hourly AS (
+         SELECT event_type, date_trunc('hour', ts) AS hr,
+                CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                  AS val_cents
+         FROM events GROUP BY event_type, date_trunc('hour', ts)
+       ),
+       bounds AS (SELECT min(date_trunc('hour', ts)) AS lo,
+                         max(date_trunc('hour', ts)) AS hi FROM events),
+       spine AS (
+         SELECT t.event_type, g.hr
+         FROM (SELECT DISTINCT event_type FROM events) t
+         CROSS JOIN (SELECT unnest(generate_series(lo, hi,
+                                    INTERVAL 1 HOUR)) AS hr
+                     FROM bounds) g
+       )
+       SELECT s.event_type, s.hr,
+              CAST(coalesce(h.val_cents IS NOT NULL, FALSE) AS INT)
+                AS observed,
+              last_value(h.val_cents IGNORE NULLS) OVER (
+                PARTITION BY s.event_type ORDER BY s.hr
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+              ) AS val_ffill
+       FROM spine s LEFT JOIN hourly h
+         ON s.event_type = h.event_type AND s.hr = h.hr""",
+)
+def win_gap_fill(spark, sf_dir):
+    """Time-series gap-fill (resample + forward-fill): hourly value sums
+    per event type joined onto a dense hour spine (sequence + explode —
+    the date-spine pattern), missing hours carry the last observed value
+    forward (last_value IGNORE NULLS over an ordered window). Values
+    aggregate as exact integer CENTS so the result is order-independent
+    and cross-engine exact (double sums are not). At scale the spine is
+    tiny (hours x types) and broadcast; the window partitions by type —
+    no global sort."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("val_cents")
+    )
+    bounds = ev.select(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = (
+        ev.select("event_type").distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hr"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type").orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["event_type", "hr"], "left")
+        .select(
+            "event_type", "hr",
+            F.col("val_cents").isNotNull().cast("int").alias("observed"),
+            F.last("val_cents", ignorenulls=True).over(w).alias("val_ffill"),
+        )
+    )
+
+
+@q(
+    "agg_grouping_sets",
+    """SELECT coalesce(event_type, '(all)') AS event_type,
+              coalesce(strftime(date_trunc('day', ts), '%Y-%m-%d'), '(all)')
+                AS day,
+              CAST(GROUPING(event_type) * 2 + GROUPING(date_trunc('day', ts))
+                   AS INT) AS gid,
+              count(*) AS n,
+              CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                AS val_cents
+       FROM events
+       GROUP BY GROUPING SETS ((event_type), (date_trunc('day', ts)),
+                               (event_type, date_trunc('day', ts)), ())""",
+)
+def agg_grouping_sets(spark, sf_dir):
+    """GROUPING SETS with grouping_id (the general form behind A5's
+    cube): per-type, per-day, per-(type, day) and grand-total rollups in
+    ONE pass — Spark expands the sets map-side (Expand node), so the
+    fact scans once, not four times. Cents-exact sums; NULL grouping
+    slots coalesce to '(all)' so the hash compare is unambiguous."""
+    ev = t(spark, sf_dir, "events")
+    v = f"events_gs_{abs(hash(sf_dir)) % 10**6}"
+    ev.createOrReplaceTempView(v)
+    return spark.sql(
+        f"""SELECT coalesce(event_type, '(all)') AS event_type,
+                   coalesce(date_format(date_trunc('day', ts), 'yyyy-MM-dd'),
+                            '(all)') AS day,
+                   CAST(grouping_id() AS INT) AS gid,
+                   count(*) AS n,
+                   SUM(CAST(round(value * 100) AS BIGINT)) AS val_cents
+            FROM {v}
+            GROUP BY GROUPING SETS ((event_type), (date_trunc('day', ts)),
+                                    (event_type, date_trunc('day', ts)), ())"""
+    )
+
+
+@q(
+    "agg_retention_cohorts",
+    """WITH weekly AS (
+         SELECT user_id, date_trunc('week', ts) AS wk FROM events
+         GROUP BY user_id, date_trunc('week', ts)
+       ),
+       cohort AS (SELECT user_id, min(wk) AS cohort_wk FROM weekly
+                  GROUP BY user_id)
+       SELECT CAST(c.cohort_wk AS DATE) AS cohort_wk,
+              CAST(datediff('day', c.cohort_wk, w.wk) / 7 AS INT)
+                AS weeks_since,
+              count(DISTINCT w.user_id) AS users
+       FROM weekly w JOIN cohort c USING (user_id)
+       GROUP BY CAST(c.cohort_wk AS DATE), weeks_since""",
+)
+def agg_retention_cohorts(spark, sf_dir):
+    """Cohort retention matrix: users cohorted by first-activity week,
+    counted per (cohort week, weeks since) — the standard
+    retention-triangle query. Pure integer/date arithmetic, exact on
+    both engines. Shape: weekly activity dedup is the one fat shuffle;
+    the cohort table is user-level (small) and joins back broadcast."""
+    ev = t(spark, sf_dir, "events")
+    weekly = ev.select(
+        "user_id", F.to_date(F.date_trunc("week", "ts")).alias("wk")
+    ).distinct()
+    cohort = weekly.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        weekly.join(F.broadcast(cohort), "user_id")
+        .select(
+            "cohort_wk",
+            (F.datediff(F.col("wk"), F.col("cohort_wk")) / 7)
+            .cast("int").alias("weeks_since"),
+            "user_id",
+        )
+        .groupBy("cohort_wk", "weeks_since")
+        .agg(F.countDistinct("user_id").alias("users"))
+    )

@@ -264,3 +264,31 @@ def test_incremental_dedup_no_cartesian_and_pushed_kind(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PushedFilters: [IsNotNull(kind), EqualTo(kind,0)]" in ex_plan, ex_plan
+
+
+def test_grouping_sets_single_scan_expand(spark, sf_dir):
+    """GROUPING SETS compiles to ONE fact scan + an Expand node (rows
+    replicated map-side per grouping set), never one scan per set — the
+    property that makes multi-rollup reporting affordable at 100 TB."""
+    import sparkdu.staging as G
+
+    plan = (
+        G.agg_grouping_sets(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Expand" in plan, plan
+
+
+def test_gap_fill_no_cartesian_and_windows_partitioned(spark, sf_dir):
+    """The hour-spine build is a broadcast of a 1-row bounds table (not a
+    cartesian explosion), and the forward-fill window partitions by
+    event_type — no WindowExec over a single global partition."""
+    import sparkdu.staging as G
+
+    plan = (
+        G.win_gap_fill(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" in plan, plan
