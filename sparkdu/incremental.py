@@ -351,16 +351,21 @@ def run_incremental_extract(
             spark, src_dir, last, schema=PAGES_SCHEMA
         ).select([f.name for f in PAGES_SCHEMA.fields])
 
+    # persist: the parse UDF is the expensive stage, and BOTH commit paths
+    # execute the batch several times (merge's duplicate-key probe, the
+    # affected-partition collect, and the write itself) — without the cache
+    # the 25k-doc bench wave re-parsed 3x (measured 476 docs/s vs 1,4xx)
     extracted = extract_pages(
         spark, new_pages,
         ExtractConfig(num_partitions=num_parts, model_path=model_path),
-    )
+    ).persist()
+    cached = extracted
     commit_state = None
     n_dropped = 0
     pre_dedup = None
     if dedup_state is not None:
         init_state(dedup_state)
-        pre_dedup = extracted.persist()  # parse once: feeds dedup + merge
+        pre_dedup = extracted  # parsed once: feeds dedup + merge
         dd = dedup_increment(
             spark,
             pre_dedup.select("url", F.col("extracted_text").alias("text")),
@@ -408,4 +413,5 @@ def run_incremental_extract(
                   "pages_in": stats["rows_new"] + stats["rows_matched"],
                   "dedup_dropped": n_dropped,
                   "noop": False})
+    cached.unpersist()
     return stats
