@@ -31,6 +31,14 @@ _MH_A = [_rng.randrange(1, _M31) for _ in range(32)]
 _MH_B = [_rng.randrange(0, _M31) for _ in range(32)]
 
 
+# Canonical curation-pipeline shingling parameters: curate_job AND the
+# incremental cross-batch dedup (sparkdu.incremental) both import these, so
+# a batch curate run and an incremental run partition the corpus
+# identically (short-doc routing and band signatures agree by construction).
+CURATE_SHINGLE_K = 3       # words per shingle; below this -> short-doc path
+CURATE_MAX_TEXT_CHARS = 4000  # LSH signature prefix; routing MUST match
+
+
 def word_tokens(text_col: str, max_chars: Optional[int] = None):
     """The normative word tokenizer: lowercased (optionally prefix-capped)
     text split on whitespace runs, empties dropped. Shared by word-mode

@@ -27,8 +27,10 @@ from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 
-SHINGLE_K = 3      # words per shingle; docs below this go to the short-doc path
-MAX_TEXT_CHARS = 4000  # LSH signature prefix — routing MUST use the same value
+# canonical values live in sparkdu.dedup so the incremental cross-batch
+# dedup (sparkdu.incremental) provably shares them
+from sparkdu.dedup import CURATE_MAX_TEXT_CHARS as MAX_TEXT_CHARS
+from sparkdu.dedup import CURATE_SHINGLE_K as SHINGLE_K
 
 
 def curate(spark: SparkSession, pages: DataFrame, min_quality: float = 0.35,

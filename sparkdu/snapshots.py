@@ -118,6 +118,31 @@ def snapshot_history(out_dir: str) -> list[dict]:
     return out
 
 
+def _branch_parent(out_dir: str, branch: Optional[str]):
+    """Parent manifest for a (possibly branch-targeted) commit. Only a
+    MISSING REF falls back to forking from current main; a ref that
+    resolves to a missing manifest raises — silently re-forking there
+    would abandon the branch's previously staged commits."""
+    if branch is None:
+        return load_manifest(out_dir)
+    try:
+        head = resolve_ref(out_dir, branch)
+    except (FileNotFoundError, ValueError):
+        return load_manifest(out_dir)  # new branch: fork from current main
+    return load_manifest(out_dir, head)  # raises if the manifest is gone
+
+
+def _parent_of(out_dir: str, sid: int) -> Optional[int]:
+    """parent_id of a snapshot, or None when the manifest has been
+    expired — ancestry walks treat that as the chain root instead of
+    crashing on tables that ran expire_snapshots."""
+    try:
+        m = load_manifest(out_dir, sid)
+    except ValueError:
+        return None
+    return m["parent_id"]
+
+
 def commit_wave_snapshot(out_dir: str, run_id: str, wave: int,
                          wave_keys: list[int],
                          branch: Optional[str] = None) -> int:
@@ -139,13 +164,7 @@ def commit_wave_snapshot(out_dir: str, run_id: str, wave: int,
     — the append-only Iceberg writer shape)."""
     os.makedirs(_snap_dir(out_dir), exist_ok=True)
     parent = None
-    if branch is not None:
-        try:
-            parent = load_manifest(out_dir, resolve_ref(out_dir, branch))
-        except (FileNotFoundError, ValueError):
-            parent = load_manifest(out_dir)  # fork from current main
-    else:
-        parent = load_manifest(out_dir)
+    parent = _branch_parent(out_dir, branch)
     parts = dict(parent["partition_keys"]) if parent else {}
     ext = os.path.join(out_dir, "extracted")
     for pk in wave_keys:
@@ -192,25 +211,24 @@ def append_rows_snapshot(spark: SparkSession, out_dir: str, df: DataFrame,
     history. Returns the new snapshot id (branch semantics identical to
     commit_wave_snapshot's branch=)."""
     os.makedirs(_snap_dir(out_dir), exist_ok=True)
-    if branch is not None:
-        try:
-            parent = load_manifest(out_dir, resolve_ref(out_dir, branch))
-        except (FileNotFoundError, ValueError):
-            parent = load_manifest(out_dir)
-    else:
-        parent = load_manifest(out_dir)
+    parent = _branch_parent(out_dir, branch)
     routed = _route(df, route_col, num_parts)
     affected = sorted(
         r["partition_key"]
         for r in routed.select("partition_key").distinct().collect()
     )
     parent_sid = parent["snapshot_id"] if parent else 0
+    # file names carry the id of the snapshot BEING COMMITTED (allocated
+    # up front), not the parent's: two commits forked from the same parent
+    # (main append + a staged branch, or two branches) would otherwise
+    # write identical names into the shared dirs and silently clobber
+    # each other's staged files
+    sid = _next_sid(out_dir)
     news = _rewrite_partitions(out_dir, routed, affected,
-                               f"append-{parent_sid}", parent_sid)
+                               f"append-{sid}", parent_sid)
     parts = dict(parent["partition_keys"]) if parent else {}
     for k, fl in news.items():
         parts[k] = list(parts.get(k, [])) + fl
-    sid = _next_sid(out_dir)
     manifest = {
         "snapshot_id": sid,
         "parent_id": parent_sid if parent else None,
@@ -858,13 +876,13 @@ def resolve_ref(out_dir: str, name: str) -> int:
 
 
 def _main_chain(out_dir: str) -> set:
-    """Snapshot ids reachable from `_current` via parent_id."""
+    """Snapshot ids reachable from `_current` via parent_id; stops at
+    expired (missing) ancestor manifests instead of raising."""
     sid = current_snapshot_id(out_dir)
     seen = set()
-    while sid is not None:
+    while sid is not None and sid not in seen:
         seen.add(sid)
-        m = load_manifest(out_dir, sid)
-        sid = m["parent_id"]
+        sid = _parent_of(out_dir, sid)
     return seen
 
 
@@ -879,7 +897,7 @@ def publish_branch(out_dir: str, name: str) -> int:
     main = current_snapshot_id(out_dir)
     sid = head
     while sid is not None and sid != main:
-        sid = load_manifest(out_dir, sid)["parent_id"]
+        sid = _parent_of(out_dir, sid)  # expired ancestor -> chain root
     if main is not None and sid != main:
         raise ValueError(
             f"cannot fast-forward: main moved to {main} since branch "
@@ -901,7 +919,10 @@ def drop_branch(out_dir: str, name: str) -> dict:
     dropped = []
     sid = head
     while sid is not None and sid not in keep:
-        m = load_manifest(out_dir, sid)
+        try:
+            m = load_manifest(out_dir, sid)
+        except ValueError:
+            break  # expired ancestor: nothing further to unlink
         dropped.append(m)
         sid = m["parent_id"]
     live_files = set()

@@ -94,18 +94,17 @@ class TestDedupIncrement:
         b1 = _docs(spark, [(1, LONG_A)])
         # simulate a crash: state files written, manifest commit lost
         I.dedup_increment(spark, b1, state_dir, commit=True)
-        hist = S.snapshot_history(I._exact_dir(state_dir))
-        os.unlink(S._snap_path(I._exact_dir(state_dir),
-                               hist[-1]["snapshot_id"]))
+        hist = S.snapshot_history(state_dir)
+        os.unlink(S._snap_path(state_dir, hist[-1]["snapshot_id"]))
         S._atomic_write(
-            os.path.join(S._snap_dir(I._exact_dir(state_dir)), "_current"),
+            os.path.join(S._snap_dir(state_dir), "_current"),
             str(hist[-2]["snapshot_id"]),
         )
-        # doc 1's hash row is now a stray: decisions must NOT see it
+        # doc 1's state rows are now strays: decisions must NOT see them
         r = I.dedup_increment(spark, b1, state_dir, near=False, commit=False)
         assert _ids(r["survivors"]) == [1]
-        # and the next commit sweeps the stray before writing
-        swept = I._clean_stray(I._exact_dir(state_dir))
+        # and the next commit sweeps the strays before writing
+        swept = I._clean_stray(state_dir)
         assert swept >= 1
 
     def test_state_is_o_new_per_increment(self, spark, state_dir):
@@ -121,6 +120,11 @@ class TestDedupIncrement:
         near = I.read_near_state(spark, state_dir)
         assert near.count() == bands                    # doc 1 only
         assert set(r["doc"] for r in near.collect()) == {"1"}
+        # atomicity: ALL of an increment's state rows (raw hashes, norm
+        # hashes, bands) land in ONE snapshot commit — no crash window in
+        # which part of an increment's state is visible (the two-table
+        # design had exactly that window)
+        assert len(S.snapshot_history(state_dir)) == 2  # init + increment
 
 
 class TestIncrementalExtract:

@@ -263,7 +263,7 @@ def test_incremental_dedup_no_cartesian_and_pushed_kind(spark, tmp_path):
         I.read_exact_state(spark, d).filter("kind = 0")
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "PushedFilters: [IsNotNull(kind), EqualTo(kind,0)]" in ex_plan, ex_plan
+    assert "EqualTo(kind,0)" in ex_plan.split("PushedFilters")[1], ex_plan
 
 
 def test_grouping_sets_single_scan_expand(spark, sf_dir):
