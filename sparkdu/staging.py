@@ -4194,3 +4194,116 @@ def agg_retention_cohorts(spark, sf_dir):
         .groupBy("cohort_wk", "weeks_since")
         .agg(F.countDistinct("user_id").alias("users"))
     )
+
+
+@q(
+    "dedup_url_canon_latest",
+    f"""WITH captures AS (
+          SELECT url AS orig, url AS raw, warc_ts AS ts
+          FROM read_parquet('{fx("pages")}')
+          UNION ALL
+          SELECT url AS orig,
+                 'HTTPS://' || upper(regexp_extract(url, '://([^/]+)/', 1))
+                   || ':443'
+                   || regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1)
+                   || '?utm_source=feed&gclid=x#top' AS raw,
+                 warc_ts + INTERVAL 1 HOUR AS ts
+          FROM read_parquet('{fx("pages")}')),
+        parts AS (
+          SELECT raw, ts,
+                 lower(regexp_extract(raw, '^([A-Za-z]+)://', 1)) AS scheme,
+                 lower(regexp_extract(raw, '^[A-Za-z]+://([^/?#]+)', 1)) AS hostport,
+                 regexp_extract(raw, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path,
+                 regexp_extract(raw, '[?]([^#]*)', 1) AS qs
+          FROM captures),
+        norm AS (
+          SELECT raw, ts,
+                 scheme || '://'
+                   || CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                           WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+                           ELSE hostport END
+                   || CASE WHEN path = '' THEN '/' ELSE path END
+                   || CASE WHEN q = '' THEN '' ELSE '?' || q END AS canon_url
+          FROM (SELECT *, coalesce(array_to_string(list_sort(list_filter(
+                    string_split(qs, '&'),
+                    x -> x != '' AND NOT regexp_matches(x, '{_TRACKING_RE}'))),
+                    '&'), '') AS q
+                FROM parts)),
+        ranked AS (
+          SELECT canon_url, raw, ts,
+                 row_number() OVER (PARTITION BY canon_url
+                                    ORDER BY ts DESC, raw ASC) AS rn,
+                 count(*) OVER (PARTITION BY canon_url) AS n_captures
+          FROM norm)
+        SELECT canon_url, raw AS kept_url, ts AS kept_ts,
+               CAST(n_captures AS INT) AS n_captures
+        FROM ranked WHERE rn = 1""",
+)
+def dedup_url_canon_latest(spark, sf_dir):
+    """Recrawl dedup by canonical URL — the URL-level dedup every
+    Common-Crawl-style corpus runs before content dedup: canonicalize
+    (lowercase scheme+host, strip default port + fragment, drop tracking
+    params, sort survivors), then keep the LATEST capture per canonical
+    url (raw url as the deterministic tie-break). The fixture corpus has
+    one clean capture per url, so a messy +1h recrawl variant is planted
+    per url (same plant pattern as fn_url_canon / text_pii_redact) and
+    the gate checks that every canonical key collapses to exactly the
+    planted later capture. At scale: canonicalization is a pure JVM map
+    fused into the scan; the only shuffle keys on canon_url (the window),
+    the same key the frontier/recrawl tables already partition by."""
+    from pyspark.sql import Window
+
+    pages = f(spark, "pages").select("url", "warc_ts")
+    opath = F.regexp_extract("url", r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    messy = F.concat(
+        F.lit("HTTPS://"), F.upper(F.regexp_extract("url", r"://([^/]+)/", 1)),
+        F.lit(":443"), opath, F.lit("?utm_source=feed&gclid=x#top"),
+    )
+    captures = pages.select(
+        F.col("url").alias("raw"), F.col("warc_ts").alias("ts")
+    ).unionAll(
+        pages.select(
+            messy.alias("raw"),
+            (F.col("warc_ts") + F.expr("INTERVAL 1 HOUR")).alias("ts"),
+        )
+    )
+    scheme = F.lower(F.regexp_extract("raw", r"^([A-Za-z]+)://", 1))
+    hostport = F.lower(F.regexp_extract("raw", r"^[A-Za-z]+://([^/?#]+)", 1))
+    path_ = F.regexp_extract("raw", r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    qs = F.regexp_extract("raw", r"[?]([^#]*)", 1)
+    p = captures.select(
+        "raw", "ts", scheme.alias("scheme"), hostport.alias("hostport"),
+        path_.alias("path"), qs.alias("qs"),
+    )
+    host = (
+        F.when(F.col("scheme") == "https",
+               F.regexp_replace("hostport", ":443$", ""))
+        .when(F.col("scheme") == "http",
+              F.regexp_replace("hostport", ":80$", ""))
+        .otherwise(F.col("hostport"))
+    )
+    params = F.array_join(
+        F.array_sort(F.filter(
+            F.split("qs", "&"),
+            lambda x: (x != F.lit("")) & ~x.rlike(_TRACKING_RE),
+        )),
+        "&",
+    )
+    norm = p.select(
+        "raw", "ts",
+        F.concat(
+            F.col("scheme"), F.lit("://"), host,
+            F.when(F.col("path") == "", "/").otherwise(F.col("path")),
+            F.when(params == "", "").otherwise(F.concat(F.lit("?"), params)),
+        ).alias("canon_url"),
+    )
+    w = Window.partitionBy("canon_url").orderBy(F.col("ts").desc(),
+                                                F.col("raw").asc())
+    wc = Window.partitionBy("canon_url")
+    return (
+        norm.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_captures", F.count("*").over(wc).cast("int"))
+        .where(F.col("rn") == 1)
+        .select(F.col("canon_url"), F.col("raw").alias("kept_url"),
+                F.col("ts").alias("kept_ts"), "n_captures")
+    )

@@ -749,3 +749,31 @@ def test_ivfpq_recall_and_residual_advantage(spark):
             "residual quantization should beat raw"
     finally:
         e.unpersist()
+
+
+def test_url_canon_latest_semantics(spark):
+    """Recrawl dedup by canonical url (staging.dedup_url_canon_latest):
+    every canonical key collapses its two planted captures to exactly one
+    survivor — the LATER (+1h messy) capture — and the canonical form is
+    the clean lowercase/no-port/no-tracking url."""
+    from sparkdu.harness import FIX
+    from sparkdu.staging import dedup_url_canon_latest
+
+    out = dedup_url_canon_latest(spark, FIX).cache()
+    rows = out.collect()
+    assert len(rows) > 0
+    for r in rows:
+        # one planted messy recrawl per fixture capture -> even count >= 2
+        # (the fixture itself contains recrawled urls, so counts can be 4+)
+        assert r.n_captures >= 2 and r.n_captures % 2 == 0
+        # the +1h messy plant of the LATEST fixture capture always wins
+        assert r.kept_url.startswith("HTTPS://")
+        # canonical form: lowercase, default port stripped, fragment and
+        # tracking params gone, one surviving (empty) query -> none
+        assert r.canon_url == r.canon_url.lower()
+        assert ":443" not in r.canon_url
+        assert "#" not in r.canon_url and "utm_" not in r.canon_url
+        assert "gclid" not in r.canon_url
+    # canonical keys are unique (one survivor per key)
+    assert out.select("canon_url").distinct().count() == len(rows)
+    out.unpersist()
