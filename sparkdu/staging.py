@@ -1437,9 +1437,11 @@ def text_bpe_encode(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents")
     merges = bpe_train(bpe_word_counts(docs, max_words=20_000), n_merges=200)
+    # driver-facing: join the token prefix to one string (the driver's pandas
+    # canonicalizer can't hash list cells); typed arrays stay in bpe.bpe_encode
     return bpe_encode(docs, merges).select(
         "doc_id", "n_words", "n_tokens",
-        F.slice("tokens", 1, 8).alias("first_tokens"),
+        F.array_join(F.slice("tokens", 1, 8), "|").alias("first_tokens"),
     )
 
 
@@ -2000,7 +2002,7 @@ def filter_domain_blocklist(spark, sf_dir):
 @q(
     "text_inverted_postings",
     """SELECT tok AS token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
-              list_sort(list(DISTINCT doc_id)) AS postings
+              array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS postings_csv
        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
              FROM documents)
        GROUP BY tok""",
@@ -2017,9 +2019,14 @@ def text_inverted_postings(spark, sf_dir):
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     )
+    # driver-facing: csv-join the posting list (the driver's pandas
+    # canonicalizer can't hash list cells); a library build would keep the
+    # typed array and write it bucketed by token.
     return toks.groupBy("token").agg(
         F.count_distinct("doc_id").alias("df"),
-        F.sort_array(F.collect_set("doc_id")).alias("postings"),
+        F.array_join(
+            F.sort_array(F.collect_set("doc_id")).cast("array<string>"), ","
+        ).alias("postings_csv"),
     )
 
 

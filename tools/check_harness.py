@@ -161,6 +161,17 @@ def main():
             print(f"FAIL  {name}: spark error: {e}")
             n_fail += 1
             continue
+        # Driver-strictness: the driver's pandas canonicalizer raises
+        # "unhashable type: 'list'" on array/map/struct result columns
+        # (CORRECTNESS_r03 errs on emb_quantize_int8/mm_decode_features).
+        # The Arrow canon below would accept them, so fail here instead —
+        # the local gate must never be more permissive than the driver.
+        unsafe = [c for c, d in s_types.items() if spark_family(d) in ("list", "struct")]
+        if unsafe:
+            print(f"FAIL  {name}: driver-unsafe complex result columns {unsafe} "
+                  f"(stringify with array_join/to_json)")
+            n_fail += 1
+            continue
         if name not in ORACLES:
             print(f"rows  {name}: {len(s_rows)} rows ({time.time()-t0:.1f}s)")
             n_rowsonly += 1
