@@ -222,6 +222,14 @@ def main() -> None:
         queries[name] = round(best, 3) if best is not None else -1.0
     spark.stop()
 
+    # Full-width sample #1 BEFORE the pairing loop: the r3 driver draw put
+    # all 4 full-width samples back-to-back at the end, and one multi-minute
+    # contention burst contaminated every one (17.4s vs 7.6-11.5s across six
+    # spread-out draws the same round). Contention bursts here outlast a
+    # session, so temporal spread across the whole bench beats more samples
+    # within one window.
+    full_samples = [min(_one_session(CPUS, path, runs=2))]
+
     # N -> 4N scaling pair (see time_levels docstring for the quarter-host cap)
     n_small = int(os.environ.get("SPARKDU_BENCH_N", max(CPUS // 16, 1)))
     n_big = 4 * n_small
@@ -238,11 +246,17 @@ def main() -> None:
     eff = min(max(best["pairings"]), 1.0)  # >1 is noise, not superlinearity
     eff_bestwall = (ds_big / ds_small) / (n_big / n_small)
 
-    # full-width throughput at local[CPUS] (the headline latency metric);
-    # two sessions spread in time, best of 4 samples — the shared host's
-    # contention bursts last tens of seconds, so temporal spread matters
-    # more than sample count within one session
-    t_full = min(_one_session(CPUS, path, runs=2) + _one_session(CPUS, path, runs=2))
+    # Full-width sample #2 AFTER the pairing loop (several minutes later),
+    # then keep sampling adaptively while the best is still improving by
+    # >8% — a big improvement means the earlier windows were dirty and the
+    # clean floor hasn't been observed twice yet. Caps at 5 sessions.
+    while True:
+        prev_best = min(full_samples)
+        s = min(_one_session(CPUS, path, runs=2))
+        full_samples.append(s)
+        if len(full_samples) >= 5 or s >= 0.92 * prev_best:
+            break
+    t_full = min(full_samples)
 
     queries[f"extract_local{n_small}"] = round(t_small, 3)
     queries[f"extract_local{n_big}"] = round(t_big, 3)
@@ -266,6 +280,7 @@ def main() -> None:
         "scaling_efficiency_bestwall": round(eff_bestwall, 3),
         "host_ceiling_efficiency": round(ceiling, 3),
         "scaling_efficiency_normalized": round(eff / ceiling, 3),
+        "full_width_samples": [round(s, 3) for s in full_samples],
         "corpus_gen_sec": round(gen_s, 1),
         "total_bench_sec": round(time.time() - t_all, 1),
     }

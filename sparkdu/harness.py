@@ -1717,56 +1717,76 @@ def tpch_q4ish(spark, sf_dir):
 
 
 # =====================================================================
-# Driver-window ordering (round 3)
+# Driver-window ordering (round 4)
 # =====================================================================
 # The driver verifies roughly the first 50 keys of queries() in insertion
-# order.  Keys already green in CORRECTNESS_r01/r02 are banked evidence;
-# rotating them behind costs nothing, so keys WITHOUT a driver row yet are
-# listed first, followed by new round-3 keys, then the banked greens in
-# their original order.  This list is FROZEN for round 3 — post-freeze
-# operators go to sparkdu/staging.py and register after everything here.
+# order.  Union of CORRECTNESS_r01-r03 = 89 keys attested (87 healthy,
+# 2 errs now fixed); rotating banked keys behind costs nothing, so this
+# round's window is: the 2 fixed err keys first (re-attest the array->
+# string fix), then 48 never-driver-checked SQL-oracled keys — every one
+# re-verified green by tools/check_harness.py at sf0.01 this session, all
+# under 8s wall each.  The ~42 still-pending keys (20 SQL + 22 rows-only,
+# incl. the snapshot DML / graph fixpoint / ANN-PQ families) are round 5's
+# window — see VERDICT r3 "Next round" #6.  FROZEN for round 4 —
+# post-freeze operators go to sparkdu/staging.py and register after
+# everything here.
 DRIVER_PRIORITY: list[str] = [
-    # -- not driver-checked as of r2 (VERDICT.md r2, "What's wrong" #1) --
-    "extract_model_golden",
-    "tpch_q1",
-    "tpch_q3ish",
-    "tpch_q4ish",
-    "tpch_q5ish",
-    "tpch_q6",
-    "tpch_q14ish",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "sim_cosine_topk",
-    "sim_ann_lsh",
-    "sim_ann_ivf",
+    # -- r3 driver errs, fixed this round (arrays stringified) --
     "emb_quantize_int8",
-    "text_langid",
-    "text_quality",
-    "text_tokens",
-    "text_fingerprint",
-    "text_compress_ratio",
-    "mm_binary_meta",
     "mm_decode_features",
-    "mm_frame_sample",
-    "mm_image_dims",
-    "fn_udtf_spans",
-    "fn_url_salt",
-    "fn_date_trunc",
-    "fn_bbox_math",
-    "fn_array_spans",
-    "fn_url_parse",
-    "fn_attr_map",
-    "fn_json_props",
-    # -- new round-3 keys (registered in sparkdu/staging.py) --
-    "extract_model_v3",
-    "fn_tfidf_vec",
-    "snapshot_read",
-    "stream_sessionize_once",
-    "stream_dedup_once",
-    "curate_pipeline",
+    # -- never driver-checked, SQL-oracled: TPC-H tail --
+    "tpch_q2ish",
+    "tpch_q7ish",
+    "tpch_q8ish",
+    "tpch_q9ish",
+    "tpch_q10ish",
+    "tpch_q11ish",
+    "tpch_q12ish",
+    "tpch_q13ish",
+    "tpch_q15ish",
+    "tpch_q16ish",
+    "tpch_q17ish",
+    "tpch_q18ish",
+    "tpch_q19ish",
+    "tpch_q20ish",
+    "tpch_q21ish",
+    "tpch_q22ish",
+    # -- text/corpus quality + dedup families --
+    "text_repetition",
+    "text_pii_redact",
+    "text_para_dedup",
+    "text_lm_score",
+    "text_topgram_frac",
+    "text_inverted_postings",
+    "text_boolean_search",
+    "text_bm25_topk",
+    "dedup_contamination",
+    "dedup_cc_components",
+    "dedup_dup_spans",
+    "dedup_span_rewrite",
+    "dedup_url_canon_latest",
+    "dedup_incremental_exact",
+    # -- sampling / packing / filtering --
+    "sample_domain_temp",
+    "sample_split_assign",
+    "pack_seq_chunks",
+    "filter_domain_blocklist",
+    "agg_salted_skew",
+    "agg_ngram_topk",
+    "agg_domain_stats",
+    "fn_url_canon",
+    "win_event_funnel",
+    "win_gap_fill",
+    # -- multimodal pixel/AV decode (real decoders, generator-truth SQL) --
+    "mm_audio_features",
+    "mm_image_pixels",
+    "mm_gif_pixels",
+    "mm_jpeg_pixels",
+    "mm_video_meta",
+    "mm_video_pixels",
+    # -- crawl + markdown --
+    "crawl_robots_allow",
+    "extract_markdown",
 ]
 
 

@@ -424,11 +424,32 @@ def run_incremental_extract(
         new_pages = S.read_snapshot(spark, src_dir, schema=PAGES_SCHEMA)
     else:
         if last == cur_src:
-            return {"pages_in": 0, "noop": True, "src_from": last,
-                    "src_to": cur_src}
+            # full counter shape on the noop path too, so callers can
+            # aggregate run stats without branching on r["noop"]
+            return {"pages_in": 0, "rows_new": 0, "rows_matched": 0,
+                    "dedup_dropped": 0, "partitions_touched": 0,
+                    "snapshot_id": S.current_snapshot_id(out_dir),
+                    "noop": True, "src_from": last, "src_to": cur_src}
         new_pages = S.read_appends_since(
             spark, src_dir, last, schema=PAGES_SCHEMA
         ).select([f.name for f in PAGES_SCHEMA.fields])
+
+    # Per-key arbitration BEFORE the merge: one consumed increment can span
+    # several source commits that recrawled the same url with changed html;
+    # without arbitration the update batch carries duplicate url keys,
+    # merge_upsert raises, and — the checkpoint being written only after the
+    # merge — every retry re-reads the same appends and raises again (a
+    # poison increment). Keep the latest capture per url (warc_ts desc,
+    # xxhash64(html) as a deterministic tie-break), mirroring the
+    # dedup_url_canon_latest keep-latest rule. One O(new) shuffle on url.
+    w_arb = Window.partitionBy("url").orderBy(
+        F.col("warc_ts").desc(), F.xxhash64("html").desc()
+    )
+    new_pages = (
+        new_pages.withColumn("_rn", F.row_number().over(w_arb))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
     # persist: the parse UDF is the expensive stage, and BOTH commit paths
     # execute the batch several times (merge's duplicate-key probe, the

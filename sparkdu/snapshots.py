@@ -167,6 +167,31 @@ def commit_wave_snapshot(out_dir: str, run_id: str, wave: int,
     parent = _branch_parent(out_dir, branch)
     parts = dict(parent["partition_keys"]) if parent else {}
     ext = os.path.join(out_dir, "extracted")
+    if branch is None:
+        # Runtime guard for the glob-listing hazard documented above: a MAIN
+        # wave commit onto partition keys where a ref (staged WAP branch or
+        # tag) holds files the parent manifest does not list would silently
+        # absorb those files into main — publishing unaudited rows without
+        # publish_branch. Raise instead of relying on callers remembering
+        # to use append_rows_snapshot.
+        parent_parts = parent["partition_keys"] if parent else {}
+        for rname, rsid in _load_refs(out_dir).items():
+            try:
+                rm = load_manifest(out_dir, rsid)
+            except ValueError:
+                continue  # dangling ref to an expired manifest
+            for pk in wave_keys:
+                k = str(int(pk))
+                foreign = set(rm["partition_keys"].get(k, [])) - set(
+                    parent_parts.get(k, [])
+                )
+                if foreign:
+                    raise ValueError(
+                        f"main wave commit onto partition {k} would glob in "
+                        f"{len(foreign)} file(s) held only by ref {rname!r} "
+                        f"(snapshot {rsid}); use append_rows_snapshot "
+                        "(explicit file names) or publish/drop the ref first"
+                    )
     for pk in wave_keys:
         files = sorted(
             glob.glob(os.path.join(ext, f"partition_key={int(pk)}", "*.parquet"))
@@ -262,6 +287,19 @@ def expire_snapshots(out_dir: str, keep_last: int = 2) -> dict:
         return {"expired": 0, "deleted_files": 0}
     cur = current_snapshot_id(out_dir)
     keep_ids = {m["snapshot_id"] for m in hist[-max(keep_last, 1):]} | {cur}
+    # Refs are GC roots (Iceberg ref-retention semantics): every tag and
+    # staged-branch head PLUS its full parent chain survives expiry.
+    # Without this, a routine expiry while a WAP branch is staged could
+    # unlink branch-ancestor manifests (GC'ing staged-but-unpublished data)
+    # and leave publish_branch's ancestry walk a gap that makes it wrongly
+    # refuse a legitimate fast-forward.
+    ref_chain: set = set()
+    for head in _load_refs(out_dir).values():
+        sid = head
+        while sid is not None and sid not in ref_chain:
+            ref_chain.add(sid)
+            sid = _parent_of(out_dir, sid)
+    keep_ids |= ref_chain
     expired = [m for m in hist if m["snapshot_id"] not in keep_ids]
     def _files(m):
         for fl in m["partition_keys"].values():
@@ -846,13 +884,23 @@ def _refs_path(out_dir: str) -> str:
     return os.path.join(_snap_dir(out_dir), "refs.json")
 
 
+def _load_refs(out_dir: str) -> dict:
+    """All refs (tags + staged branch heads) as {name: snapshot_id};
+    empty dict when refs.json doesn't exist yet."""
+    try:
+        with open(_refs_path(out_dir)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return {}
+
+
 def set_ref(out_dir: str, name: str, snapshot_id: Optional[int] = None) -> int:
     """Name a snapshot (Iceberg tag): `name` -> snapshot id (default:
     current). Refs live in one atomically-replaced refs.json; a tagged
     snapshot stays readable by name regardless of where `_current`
-    moves, and expire_snapshots-style GC policies would treat refs as
-    roots (documented contract — expire_snapshots here keeps last-N by
-    id and is used with keep_last >= the tagged window)."""
+    moves. expire_snapshots treats every ref head AND its parent chain
+    as GC roots (Iceberg ref-retention semantics), so tags and staged
+    branches survive expiry with no keep_last coordination needed."""
     sid = snapshot_id if snapshot_id is not None else current_snapshot_id(out_dir)
     if sid is None or load_manifest(out_dir, sid) is None:
         raise ValueError(f"snapshot {sid} does not exist under {out_dir}")

@@ -392,3 +392,79 @@ def test_remove_orphans_table_wide(spark, tmp_path):
     r = S.remove_orphans(out)
     assert r["deleted_files"] == 2
     assert S.read_snapshot(spark, out).count() == 1
+
+
+def test_incremental_recrawl_arbitration(spark, tmp_path):
+    """Poison-increment fix (ADVICE r3): one consumed increment spanning two
+    source commits that recrawl the SAME url with changed html used to put
+    duplicate url keys in the update batch — merge_upsert raised, and the
+    post-merge checkpoint meant every retry replayed the same raise. The
+    consumer now arbitrates keep-latest-per-url (warc_ts desc) before
+    merging; the table ends at the later capture's extraction."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sparkdu import incremental as I
+    from sparkdu import snapshots as S
+    from sparkdu.api import ExtractConfig, extract_pages
+    from sparkdu.tables import PAGES_SCHEMA
+
+    def page(url, ts, body):
+        html = (f"<html><head><title>t</title></head><body>"
+                f"<p>{body}</p></body></html>").encode()
+        return {"url": url, "warc_ts": ts, "html": html,
+                "text": body, "lang": "en"}
+
+    t0 = dt.datetime(2025, 1, 1)
+    t1 = dt.datetime(2025, 2, 1)
+    t2 = dt.datetime(2025, 3, 1)
+
+    src, out = str(tmp_path / "src"), str(tmp_path / "out")
+
+    def land(rows, wave, k=4):
+        df = spark.createDataFrame(rows, PAGES_SCHEMA)
+        routed = df.withColumn(
+            "partition_key", F.pmod(F.xxhash64("url"), F.lit(k)).cast("int")
+        )
+        routed.write.mode("append").partitionBy("partition_key").parquet(
+            os.path.join(src, "extracted"))
+        keys = sorted(r["partition_key"]
+                      for r in routed.select("partition_key")
+                      .distinct().collect())
+        S.commit_wave_snapshot(src, "land", wave, keys)
+
+    # bootstrap increment
+    land([page("http://a.test/x", t0, "first crawl of x"),
+          page("http://a.test/y", t0, "page y")], 0)
+    r1 = I.run_incremental_extract(spark, src, out, num_parts=4)
+    assert r1["rows_new"] == 2
+
+    # two further source commits recrawl the SAME url — consumed as ONE
+    # increment (the poison shape)
+    land([page("http://a.test/x", t1, "second crawl of x")], 1)
+    land([page("http://a.test/x", t2, "third crawl of x"),
+          page("http://a.test/z", t2, "page z")], 2)
+    r2 = I.run_incremental_extract(spark, src, out, num_parts=4)
+    assert not r2["noop"]
+    assert r2["rows_new"] == 1 and r2["rows_matched"] == 1  # z new, x updated
+
+    # the winning capture is the LATEST (t2), matching a fresh extraction
+    want = extract_pages(
+        spark,
+        spark.createDataFrame([page("http://a.test/x", t2,
+                                    "third crawl of x")], PAGES_SCHEMA),
+        ExtractConfig(num_partitions=2),
+    ).select("url", "extracted_text").collect()[0]
+    got = {r["url"]: r["extracted_text"]
+           for r in S.read_snapshot(spark, out)
+           .select("url", "extracted_text").collect()}
+    assert len(got) == 3
+    assert got["http://a.test/x"] == want["extracted_text"]
+
+    # noop path returns the full counter shape (ADVICE r3, low #4)
+    r3 = I.run_incremental_extract(spark, src, out, num_parts=4)
+    assert r3["noop"] and r3["rows_new"] == 0 and r3["rows_matched"] == 0
+    assert r3["pages_in"] == 0 and r3["dedup_dropped"] == 0
+    assert r3["snapshot_id"] == S.current_snapshot_id(out)

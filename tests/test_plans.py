@@ -292,3 +292,31 @@ def test_gap_fill_no_cartesian_and_windows_partitioned(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan, plan
     assert "Window" in plan, plan
+
+
+def test_video_pixels_is_pure_python_map(spark):
+    """mm_video_pixels (MJPEG-AVI frame decode): one Arrow-batched Python
+    map over the binary column, ZERO exchanges — at 100 TB the decode cost
+    is embarrassingly parallel and must never shuffle the payload."""
+    import re
+
+    from sparkdu.staging import mm_video_pixels
+
+    plan = _plan(mm_video_pixels(spark, "/root/testdata/sf0.001"))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan
+    assert "MapInArrow" in plan or "MapInPandas" in plan or (
+        "ArrowEvalPython" in plan
+    ), plan
+
+
+def test_dup_spans_single_lgram_shuffle_no_cartesian(spark):
+    """dedup_dup_spans (Lee-et-al exact dup substrings): the l-gram
+    hash-join must plan as a shuffled equi-join — never
+    CartesianProduct/BroadcastNestedLoop — and the gram explode feeds ONE
+    aggregation key (gram_hash), so exchanges stay bounded (no per-pair
+    work, no all-pairs)."""
+    from sparkdu.staging import dedup_dup_spans
+
+    plan = _plan(dedup_dup_spans(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan

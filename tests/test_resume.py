@@ -752,3 +752,90 @@ def test_schema_evolution_add_column(spark, tmp_path):
     assert cur.filter("lang IS NOT NULL").count() == 4
     old = S.read_snapshot(spark, out, sid1)
     assert "lang" not in old.columns and old.count() == 6
+
+
+def test_expire_keeps_ref_chains(spark, tmp_path):
+    """Refs are GC roots (ADVICE r3): a staged WAP branch whose fork point
+    has rotated past keep_last must survive expire_snapshots — branch head,
+    every branch-ancestor manifest, their data files — and publish_branch
+    must still fast-forward. A tag likewise keeps its snapshot readable."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sparkdu import snapshots as S
+
+    out = str(tmp_path / "table")
+
+    def land(lo, hi, keys):
+        df = spark.createDataFrame(
+            [(f"u{i}", i) for i in range(lo, hi)], "url string, v int"
+        )
+        for k in keys:
+            df.filter(F.pmod(F.xxhash64("url"), F.lit(len(keys))) == k - keys[0]) \
+              .write.mode("overwrite").parquet(
+                  os.path.join(out, "extracted", f"partition_key={k}"))
+
+    land(0, 20, [0, 1])
+    m1 = S.commit_wave_snapshot(out, "w", 0, [0, 1])
+    S.set_ref(out, "v1", m1)                       # tag at m1
+
+    # two staged commits on one branch: b2 -> b1 -> m1
+    land(20, 30, [2])
+    S.commit_wave_snapshot(out, "stage", 1, [2], branch="audit")
+    land(30, 40, [3])
+    b2 = S.commit_wave_snapshot(out, "stage", 2, [3], branch="audit")
+
+    # keep_last=1 would previously unlink b1 (and m1): branch-ancestor
+    # manifests gone -> publish's ancestry walk breaks; staged files GC'd
+    res = S.expire_snapshots(out, keep_last=1)
+    assert res["expired"] == 0                     # every manifest is a root
+    assert S.read_snapshot(spark, out, S.resolve_ref(out, "v1")).count() == 20
+    assert S.read_snapshot(spark, out, b2).count() == 40
+
+    pub = S.publish_branch(out, "audit")           # legit fast-forward holds
+    assert pub == b2
+    assert S.read_snapshot(spark, out).count() == 40
+
+    # after publish the branch ref is gone; the tag still pins m1 and its
+    # chain, everything else behind last-1 expires
+    res2 = S.expire_snapshots(out, keep_last=1)
+    assert res2["expired"] > 0
+    assert S.read_snapshot(spark, out, S.resolve_ref(out, "v1")).count() == 20
+    assert S.read_snapshot(spark, out).count() == 40
+
+
+def test_wave_commit_guard_refuses_staged_partitions(spark, tmp_path):
+    """The glob-listing WAP escape (ADVICE r3): a MAIN wave commit onto a
+    partition holding staged-branch files must raise (it would silently
+    absorb unaudited rows); disjoint-partition main commits still work."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sparkdu import snapshots as S
+
+    out = str(tmp_path / "table")
+
+    def land(lo, hi, keys):
+        df = spark.createDataFrame(
+            [(f"u{i}", i) for i in range(lo, hi)], "url string, v int"
+        )
+        for k in keys:
+            df.filter(F.pmod(F.xxhash64("url"), F.lit(len(keys))) == k - keys[0]) \
+              .write.mode("overwrite").parquet(
+                  os.path.join(out, "extracted", f"partition_key={k}"))
+
+    land(0, 20, [0, 1])
+    S.commit_wave_snapshot(out, "w", 0, [0, 1])
+    land(20, 30, [4])
+    S.commit_wave_snapshot(out, "stage", 1, [4], branch="audit")
+
+    with _pytest.raises(ValueError, match="would glob in"):
+        S.commit_wave_snapshot(out, "main", 2, [4])
+    # disjoint keys commit fine while the stage is pending
+    land(30, 40, [5])
+    sid = S.commit_wave_snapshot(out, "main", 2, [5])
+    assert S.read_snapshot(spark, out, sid).count() == 30  # 20 + 10, no staged
