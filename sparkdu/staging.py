@@ -3626,13 +3626,17 @@ def dedup_incremental_near(spark, sf_dir):
     )
     d = tempfile.mkdtemp(prefix="sparkdu_incn_")
     try:
+        # num_parts=4: the check fixture is ~500 docs — 16 partitions x 11
+        # counted stages is pure task overhead (57s -> bounded well under
+        # the driver window budget); scale runs size num_parts to the data
         I.init_state(d)
         I.dedup_increment(spark, hist, d, max_text_chars=256, commit=True,
-                          run_id="hist")
+                          run_id="hist", num_parts=4)
         r = I.dedup_increment(spark, batch, d, max_text_chars=256,
-                              commit=True, run_id="batch", wave=1)
+                              commit=True, run_id="batch", wave=1,
+                              num_parts=4)
         rerun = I.dedup_increment(spark, batch, d, max_text_chars=256,
-                                  commit=False)
+                                  commit=False, num_parts=4)
         rows = [
             ("batch_in", batch.count()),
             ("survivors", r["survivors"].count()),
