@@ -4063,29 +4063,30 @@ def snapshot_wap(spark, sf_dir):
 @q(
     "win_gap_fill",
     """WITH hourly AS (
-         SELECT event_type, date_trunc('hour', ts) AS hr,
+         SELECT event_type,
+                CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr_epoch,
                 CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
                   AS val_cents
-         FROM events GROUP BY event_type, date_trunc('hour', ts)
+         FROM events GROUP BY 1, 2
        ),
-       bounds AS (SELECT min(date_trunc('hour', ts)) AS lo,
-                         max(date_trunc('hour', ts)) AS hi FROM events),
+       bounds AS (SELECT CAST(floor(epoch(min(ts)) / 3600) AS BIGINT) AS lo,
+                         CAST(floor(epoch(max(ts)) / 3600) AS BIGINT) AS hi
+                  FROM events),
        spine AS (
-         SELECT t.event_type, g.hr
+         SELECT t.event_type, g.hr_epoch
          FROM (SELECT DISTINCT event_type FROM events) t
-         CROSS JOIN (SELECT unnest(generate_series(lo, hi,
-                                    INTERVAL 1 HOUR)) AS hr
+         CROSS JOIN (SELECT unnest(generate_series(lo, hi)) AS hr_epoch
                      FROM bounds) g
        )
-       SELECT s.event_type, s.hr,
+       SELECT s.event_type, s.hr_epoch,
               CAST(coalesce(h.val_cents IS NOT NULL, FALSE) AS INT)
                 AS observed,
               last_value(h.val_cents IGNORE NULLS) OVER (
-                PARTITION BY s.event_type ORDER BY s.hr
+                PARTITION BY s.event_type ORDER BY s.hr_epoch
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
               ) AS val_ffill
        FROM spine s LEFT JOIN hourly h
-         ON s.event_type = h.event_type AND s.hr = h.hr""",
+         ON s.event_type = h.event_type AND s.hr_epoch = h.hr_epoch""",
 )
 def win_gap_fill(spark, sf_dir):
     """Time-series gap-fill (resample + forward-fill): hourly value sums
@@ -4093,39 +4094,41 @@ def win_gap_fill(spark, sf_dir):
     the date-spine pattern), missing hours carry the last observed value
     forward (last_value IGNORE NULLS over an ordered window). Values
     aggregate as exact integer CENTS so the result is order-independent
-    and cross-engine exact (double sums are not). At scale the spine is
-    tiny (hours x types) and broadcast; the window partitions by type —
-    no global sort."""
+    and cross-engine exact (double sums are not), and the hour bucket is
+    an epoch-based BIGINT — pure instant math, immune to the session time
+    zone (a raw timestamp column renders in session TZ at collect time;
+    the LA-TZ plain-session gate caught exactly that 8h shift). At scale
+    the spine is tiny (hours x types) and broadcast; the window
+    partitions by type — no global sort."""
     from pyspark.sql import Window
 
     ev = t(spark, sf_dir, "events")
+    hr_epoch = F.floor(F.unix_timestamp("ts") / 3600).cast("long")
     hourly = ev.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("hr")
+        "event_type", hr_epoch.alias("hr_epoch")
     ).agg(
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("val_cents")
     )
     bounds = ev.select(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
+        F.floor(F.unix_timestamp(F.min("ts")) / 3600).cast("long").alias("lo"),
+        F.floor(F.unix_timestamp(F.max("ts")) / 3600).cast("long").alias("hi"),
     )
     spine = (
         ev.select("event_type").distinct()
         .crossJoin(F.broadcast(bounds))
         .select(
             "event_type",
-            F.explode(
-                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
-            ).alias("hr"),
+            F.explode(F.sequence("lo", "hi")).alias("hr_epoch"),
         )
     )
     w = (
-        Window.partitionBy("event_type").orderBy("hr")
+        Window.partitionBy("event_type").orderBy("hr_epoch")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        spine.join(hourly, ["event_type", "hr"], "left")
+        spine.join(hourly, ["event_type", "hr_epoch"], "left")
         .select(
-            "event_type", "hr",
+            "event_type", "hr_epoch",
             F.col("val_cents").isNotNull().cast("int").alias("observed"),
             F.last("val_cents", ignorenulls=True).over(w).alias("val_ffill"),
         )

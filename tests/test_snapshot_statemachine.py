@@ -164,9 +164,53 @@ def test_snapshot_state_machine_differential(spark, tmp_path):
         else:
             S.drop_branch(out, "wap")
 
+    tags: dict[str, int] = {}    # name -> sid pinned by a ref (GC roots)
+    n_tag = [0]
+
+    def op_tag():
+        # tag the current snapshot: it must stay readable through any
+        # later expiry (refs + parent chains are GC roots)
+        sid = S.current_snapshot_id(out)
+        if sid is None or sid not in model.history:
+            return
+        name = f"tag{n_tag[0]}"
+        n_tag[0] += 1
+        S.set_ref(out, name, sid)
+        tags[name] = sid
+
+    def op_expire():
+        if model.tombstones:
+            op_fold()
+        S.expire_snapshots(out, keep_last=rng.choice([1, 2]))
+        # every tag must still resolve and read back its pinned view
+        for name, sid in tags.items():
+            assert S.resolve_ref(out, name) == sid
+            assert _read_live(spark, out, sid) == model.history[sid], (
+                f"tag {name} unreadable after expiry"
+            )
+
+    def op_branch_cycle_staged_expiry():
+        # the ADVICE r3 scenario randomized: expiry runs WHILE a branch is
+        # staged; the staged chain must survive and still publish (or drop)
+        rows = fresh_urls(2)
+        df = spark.createDataFrame(rows, "url string, v int")
+        staged = S.append_rows_snapshot(spark, out, df, num_parts=K,
+                                        run_id="stage", branch="wap")
+        S.expire_snapshots(out, keep_last=1)
+        assert _read_live(spark, out) == model.visible(), "stage leaked"
+        assert _read_live(spark, out, staged) == {
+            **model.visible(), **dict(rows)
+        }, "staged view lost to expiry"
+        if rng.random() < 0.5:
+            S.publish_branch(out, "wap")
+            model.live.update(dict(rows))
+            model.snap(staged)
+        else:
+            S.drop_branch(out, "wap")
+
     ops = [op_merge, op_delete_cow, op_delete_mor, op_fold, op_compact,
-           op_branch_cycle]
-    for step in range(18):
+           op_branch_cycle, op_tag, op_expire, op_branch_cycle_staged_expiry]
+    for step in range(24):
         rng.choice(ops)()
         got = _read_live(spark, out)
         assert got == model.visible(), f"live mismatch after step {step}"
@@ -197,4 +241,12 @@ def test_snapshot_state_machine_differential(spark, tmp_path):
                 continue  # files GC'd by a dropped branch — acceptable
             assert got == model.history[hid], f"time travel wrong at {hid}"
             checked += 1
-    assert checked >= 5
+    # expiry ops legitimately shrink the on-disk history (keep_last=1/2),
+    # so the floor is small — but every TAGGED snapshot is a GC root and
+    # must still read its pinned view at the very end
+    assert checked >= 2
+    for name, sid in tags.items():
+        assert S.resolve_ref(out, name) == sid
+        assert _read_live(spark, out, sid) == model.history[sid], (
+            f"tag {name} lost its view by the end"
+        )
