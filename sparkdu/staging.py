@@ -4321,3 +4321,45 @@ def dedup_url_canon_latest(spark, sf_dir):
         .select(F.col("canon_url"), F.col("raw").alias("kept_url"),
                 F.col("ts").alias("kept_ts"), "n_captures")
     )
+
+
+# ---------------------------------------------------------------------
+# round-4 post-freeze additions — register LAST (after the frozen
+# round-4 DRIVER_PRIORITY window; round-5+ driver evidence)
+# ---------------------------------------------------------------------
+
+
+@q("stream_extract_pipeline_once")  # rows-only: checkpoint/commit protocol is engine-side
+def stream_extract_pipeline_once(spark, sf_dir):
+    """Composed continuous-ingestion pipeline, driver-executed as two
+    bounded availableNow drains (streaming.streaming_extract_to_snapshots):
+    file-source pages stream -> within-watermark url dedup -> fused Arrow
+    extraction -> exactly-once snapshot-committed sink. Drain 1 consumes
+    the landed fixture; drain 2 (same checkpoint, no new files) must
+    commit ZERO epochs — the restart-idempotence the checkpoint + epoch
+    protocol guarantees. Byte-identity vs batch extraction and
+    cross-drop dedup are pytest-gated (tests/test_streaming.py)."""
+    import shutil
+    import tempfile
+
+    from .snapshots import read_snapshot
+    from .streaming import streaming_extract_to_snapshots
+
+    d = tempfile.mkdtemp(prefix="sparkdu_streamx_")
+    src = os.path.join(d, "src")
+    os.makedirs(src)
+    shutil.copy(fx("pages"), os.path.join(src, "pages.parquet"))
+    out, ckpt = os.path.join(d, "table"), os.path.join(d, "ckpt")
+    try:
+        e1 = streaming_extract_to_snapshots(spark, src, out, "sx", ckpt)
+        e2 = streaming_extract_to_snapshots(spark, src, out, "sx", ckpt)
+        final = read_snapshot(spark, out)
+        rows = [
+            ("epochs_first_drain", e1),
+            ("epochs_replay_drain", e2),          # 0: nothing new landed
+            ("rows_committed", final.count()),
+            ("distinct_urls", final.select("url").distinct().count()),
+        ]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, "metric string, n long").orderBy("metric")

@@ -187,3 +187,32 @@ def snapshot_sink(stream_df: DataFrame, out_dir: str, run_id: str,
     )
     q.awaitTermination()
     return n_new[0]
+
+
+def streaming_extract_to_snapshots(spark: SparkSession, pages_dir: str,
+                                   out_dir: str, run_id: str,
+                                   checkpoint_dir: str,
+                                   watermark: str = "2 days",
+                                   cfg: ExtractConfig | None = None) -> int:
+    """End-to-end continuous ingestion — the streaming analogue of
+    incremental.run_incremental_extract: file-source pages stream ->
+    within-watermark url dedup (bounded state, evicted as the watermark
+    advances) -> the SAME fused Arrow extraction as batch -> exactly-once
+    snapshot-committed sink (one wave commit per micro-batch epoch).
+
+    Each availableNow drain consumes only files the checkpoint has not
+    seen (O(new files), never O(table)); the dedup state rides the
+    checkpoint, so a url recrawled in a LATER drop is still collapsed to
+    its first capture while inside the watermark; and a replayed or
+    re-triggered drain with no new files commits nothing (epoch
+    idempotence in snapshot_sink). Returns epochs committed this drain.
+    """
+    cfg = cfg or ExtractConfig(dedup=False)
+    stream = spark.readStream.schema(PAGES_SCHEMA).parquet(pages_dir)
+    deduped = stream.withWatermark(
+        "warc_ts", watermark
+    ).dropDuplicatesWithinWatermark(["url"])
+    extracted = deduped.select("url", "warc_ts", "html").mapInArrow(
+        fused_extract_udf(cfg), schema=EXTRACTED_SCHEMA
+    )
+    return snapshot_sink(extracted, out_dir, run_id, checkpoint_dir)

@@ -200,3 +200,61 @@ def test_snapshot_sink_exactly_once_and_time_travel(spark, tmp_path):
     n3 = snapshot_sink(stream3, out, run_id="s1",
                        checkpoint_dir=str(tmp_path / "ck2"))
     assert n3 == 0 and len(S.snapshot_history(out)) == len(hist)
+
+
+def test_streaming_extract_pipeline_two_drops(spark, pages_df, tmp_path):
+    """The composed pipeline across TWO file drops with one checkpoint:
+    drop A lands half the urls, drain; drop B lands the other half PLUS
+    full recrawls of drop A's urls, drain. The checkpointed dedup state
+    must collapse the recrawls (each url commits exactly once across
+    drains), every committed row's text must be byte-identical to batch
+    extraction of the same (url, warc_ts) capture, and a third drain with
+    no new files must commit zero epochs."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sparkdu import snapshots as S
+    from sparkdu.api import ExtractConfig, extract_pages
+    from sparkdu.streaming import streaming_extract_to_snapshots
+
+    src = str(tmp_path / "src")
+    out, ckpt = str(tmp_path / "table"), str(tmp_path / "ckpt")
+    os.makedirs(src)
+    half_a = pages_df.filter(F.pmod(F.xxhash64("url"), F.lit(2)) == 0)
+    half_b = pages_df.filter(F.pmod(F.xxhash64("url"), F.lit(2)) == 1)
+
+    half_a.coalesce(1).write.parquet(src, mode="append")
+    e1 = streaming_extract_to_snapshots(spark, src, out, "sx", ckpt)
+    assert e1 >= 1
+    n_after_a = S.read_snapshot(spark, out).count()
+    assert n_after_a == half_a.select("url").distinct().count()
+
+    # drop B: fresh urls + full recrawl of drop A (same urls, later ts)
+    recrawl = half_a.withColumn(
+        "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 HOUR")
+    )
+    half_b.unionByName(recrawl).coalesce(1).write.parquet(src, mode="append")
+    e2 = streaming_extract_to_snapshots(spark, src, out, "sx", ckpt)
+    assert e2 >= 1
+
+    final = S.read_snapshot(spark, out)
+    # each url exactly once: recrawls collapsed against checkpointed state
+    assert final.count() == pages_df.select("url").distinct().count()
+    assert final.groupBy("url").count().filter("count > 1").count() == 0
+
+    # byte-identity: every committed row matches batch extraction of the
+    # SAME capture (join on url+warc_ts against batch-extract-everything)
+    batch_all = extract_pages(
+        spark, pages_df.unionByName(recrawl),
+        ExtractConfig(num_partitions=4, dedup=False),
+    )
+    j = final.select("url", "warc_ts", "extracted_text").alias("s").join(
+        batch_all.select("url", "warc_ts", "extracted_text").alias("b"),
+        ["url", "warc_ts"],
+    )
+    assert j.count() == final.count()
+    assert j.filter("s.extracted_text != b.extracted_text").count() == 0
+
+    # idle re-drain: no new files -> zero epochs committed
+    assert streaming_extract_to_snapshots(spark, src, out, "sx", ckpt) == 0
