@@ -4363,3 +4363,23 @@ def stream_extract_pipeline_once(spark, sf_dir):
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return spark.createDataFrame(rows, "metric string, n long").orderBy("metric")
+
+
+@q(
+    "scan_pagexml_nodes",
+    f"""SELECT doc_id, node_id, parent_id, kind, rtype, text, ro_index,
+               x1, y1, x2, y2
+        FROM read_parquet('{fx("pagexml_nodes_truth")}')""",
+)
+def scan_pagexml_nodes(spark, sf_dir):
+    """PAGE-XML layout ingest (the upstream's NATIVE collection format,
+    SURVEY §1 S1 locus): vectorized namespace-agnostic parse of the binary
+    XML column into the engine's node shape — regions + lines with REAL
+    polygon-derived geometry, region types, ReadingOrder indices. One
+    mapInPandas, zero exchanges; truncated documents fail whole (8 of the
+    90 fixture docs, absent from the truth). The oracle side reads the
+    generator-truth parquet; a hand-written-vector differential
+    de-correlates parser and generator (tests/test_pagexml.py)."""
+    from .pagexml import pagexml_nodes
+
+    return pagexml_nodes(f(spark, "pagexml"))

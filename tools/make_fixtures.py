@@ -659,6 +659,57 @@ def make_redirects() -> None:
     )
 
 
+def make_pagexml() -> None:
+    """pagexml.parquet + pagexml_nodes_truth.parquet: deterministic PAGE-XML
+    documents (the upstream's native layout format) with generator-truth
+    node rows. Every 11th payload is truncated with no truth rows — the
+    fail-whole parse contract. Namespace alternates between two PAGE
+    revision URIs; ReadingOrder indexes regions in reversed document order
+    (see sparkdu/pagexml.py synth docstring)."""
+    from sparkdu.pagexml import synth_pagexml_bytes
+
+    docs = {"doc_id": [], "xml": []}
+    truth = {k: [] for k in ("doc_id", "node_id", "parent_id", "kind",
+                             "rtype", "text", "ro_index",
+                             "x1", "y1", "x2", "y2")}
+    for i in range(90):
+        payload, rows = synth_pagexml_bytes(i)
+        docs["doc_id"].append(i)
+        docs["xml"].append(payload)
+        for n in rows:
+            truth["doc_id"].append(i)
+            for k in n:
+                truth[k].append(n[k])
+    write(
+        "pagexml.parquet",
+        pa.table(
+            {
+                "doc_id": pa.array(docs["doc_id"], pa.int64()),
+                "xml": pa.array(docs["xml"], pa.binary()),
+            }
+        ),
+    )
+    write(
+        "pagexml_nodes_truth.parquet",
+        pa.table(
+            {
+                "doc_id": pa.array(truth["doc_id"], pa.int64()),
+                "node_id": pa.array(truth["node_id"], pa.int32()),
+                "parent_id": pa.array(truth["parent_id"], pa.int32()),
+                "kind": pa.array(truth["kind"], pa.string()),
+                "rtype": pa.array(truth["rtype"], pa.string()),
+                "text": pa.array(truth["text"], pa.string()),
+                "ro_index": pa.array(truth["ro_index"], pa.int32()),
+                "x1": pa.array(truth["x1"], pa.float64()),
+                "y1": pa.array(truth["y1"], pa.float64()),
+                "x2": pa.array(truth["x2"], pa.float64()),
+                "y2": pa.array(truth["y2"], pa.float64()),
+            }
+        ),
+    )
+
+
+
 if __name__ == "__main__":
     main()
     make_edges()
@@ -675,3 +726,4 @@ if __name__ == "__main__":
     make_robots()
     make_redirects()
     make_sitemaps()
+    make_pagexml()
