@@ -4383,3 +4383,80 @@ def scan_pagexml_nodes(spark, sf_dir):
     from .pagexml import pagexml_nodes
 
     return pagexml_nodes(f(spark, "pagexml"))
+
+
+@q(
+    "pagexml_vedges",
+    f"""WITH g AS (
+          SELECT 'pagexml://' || CAST(doc_id AS VARCHAR) AS url,
+                 0 AS part_id, node_id, x1, y1, x2, y2
+          FROM read_parquet('{fx("pagexml_nodes_truth")}')
+          WHERE kind = 'line')
+        SELECT a.url, a.node_id AS src_node_id, b.node_id AS dst_node_id,
+               b.y1 - a.y2 AS dist,
+               least(a.x2, b.x2) - greatest(a.x1, b.x1) AS overlap
+        FROM g a JOIN g b
+          ON a.url = b.url AND a.part_id = b.part_id
+         AND a.y2 <= b.y1
+         AND least(a.x2, b.x2) - greatest(a.x1, b.x1) > 0
+        WHERE NOT EXISTS (
+          SELECT 1 FROM g c
+          WHERE c.url = a.url AND c.part_id = a.part_id
+            AND a.y2 <= c.y1 AND c.y2 <= b.y1
+            AND least(a.x2, c.x2) > greatest(a.x1, c.x1)
+            AND least(b.x2, c.x2) > greatest(b.x1, c.x1))""",
+)
+def pagexml_vedges(spark, sf_dir):
+    """The upstream's core composition on its NATIVE format: PAGE-XML
+    parse -> text-line nodes with real polygon geometry -> J2 vertical
+    neighbor-edge join with blocker elimination
+    [U graph/Block.findPageNeighborEdges] — Spark runs parse + interval
+    join; the oracle runs the SAME join in SQL over the generator-truth
+    node table. Hash-equality gates the whole path end-to-end."""
+    from .graph import _axis_join
+    from .pagexml import pagexml_nodes
+
+    lines = (
+        pagexml_nodes(f(spark, "pagexml"))
+        .filter(F.col("kind") == "line")
+        .select(
+            F.concat(F.lit("pagexml://"), F.col("doc_id").cast("string"))
+            .alias("url"),
+            F.lit(0).alias("part_id"),
+            "node_id", "x1", "y1", "x2", "y2",
+        )
+    )
+    return _axis_join(lines, "v").drop("edge_type")
+
+
+@q(
+    "pagexml_reading_order",
+    f"""SELECT doc_id, node_id, rtype,
+               CAST(row_number() OVER (
+                 PARTITION BY doc_id
+                 ORDER BY ro_index, y1, x1, node_id) AS INT) AS rord
+        FROM read_parquet('{fx("pagexml_nodes_truth")}')
+        WHERE kind = 'region'""",
+)
+def pagexml_reading_order(spark, sf_dir):
+    """W1 on the native format: region reading order from the parsed
+    ReadingOrder indices (geometry y1/x1 as the tie-break fallback for
+    unindexed regions — the upstream's top-to-bottom default), ranked per
+    document [U graph sorting + PageXml ReadingOrder]. The synth fixture
+    REVERSES ReadingOrder vs document order, so rord equality vs the
+    truth proves the indices are honored, not echoed."""
+    from pyspark.sql import Window
+
+    from .pagexml import pagexml_nodes
+
+    w = Window.partitionBy("doc_id").orderBy(
+        "ro_index", "y1", "x1", "node_id"
+    )
+    return (
+        pagexml_nodes(f(spark, "pagexml"))
+        .filter(F.col("kind") == "region")
+        .select(
+            "doc_id", "node_id", "rtype",
+            F.row_number().over(w).cast("int").alias("rord"),
+        )
+    )
