@@ -37,7 +37,8 @@ from .fixtures import SEED_BASE
 PAGEXML_NODES_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
-        T.StructField("node_id", T.IntegerType()),   # document order
+        T.StructField("part_id", T.IntegerType()),    # page index (.mpxml)
+        T.StructField("node_id", T.IntegerType()),    # document order
         T.StructField("parent_id", T.IntegerType()),  # -1 for regions
         T.StructField("kind", T.StringType()),        # region | line
         T.StructField("rtype", T.StringType()),       # region @type
@@ -87,13 +88,19 @@ def _first_unicode(el) -> str:
 
 
 def parse_pagexml(b: bytes) -> Optional[dict]:
-    """Parse one PAGE-XML document -> {"width", "height", "nodes"} or None.
+    """Parse one PAGE-XML document -> {"pages": [(w, h), ...], "nodes"} or
+    None.
 
-    nodes is a list of dicts in DOCUMENT ORDER (regions interleaved with
-    their lines), each: node_id, parent_id (-1 for regions), kind
+    MULTI-PAGE aware: the upstream's `.mpxml` collection files hold several
+    <Page> elements per document — each becomes a part (part_id = page
+    index, the same part model the HTML pipeline uses for <hr>-paginated
+    pages), and a document with zero pages is malformed. nodes is a list of
+    dicts in DOCUMENT ORDER (regions interleaved with their lines), each:
+    part_id, node_id (document-global), parent_id (-1 for regions), kind
     ('region'/'line'), rtype (region @type, inherited by its lines), text,
-    ro_index (ReadingOrder RegionRefIndexed index, -1 when absent), and
-    the Coords-derived bbox x1/y1/x2/y2. Fail-whole on any inconsistency.
+    ro_index (that page's ReadingOrder RegionRefIndexed index, -1 when
+    absent), and the Coords-derived bbox x1/y1/x2/y2. Fail-whole on any
+    inconsistency anywhere in the document.
     """
     import xml.etree.ElementTree as ET
 
@@ -104,65 +111,68 @@ def parse_pagexml(b: bytes) -> Optional[dict]:
         return None
     if _local(root.tag) != "PcGts":
         return None
-    page = None
-    for el in root:
-        if _local(el.tag) == "Page":
-            page = el
-            break
-    if page is None:
-        return None
-    try:
-        width = float(page.get("imageWidth"))
-        height = float(page.get("imageHeight"))
-    except (TypeError, ValueError):
+    pages = [el for el in root if _local(el.tag) == "Page"]
+    if not pages:
         return None
 
-    # ReadingOrder: region id -> index (optional)
-    ro: dict[str, int] = {}
-    for el in page.iter():
-        if _local(el.tag) == "RegionRefIndexed":
-            ref, idx = el.get("regionRef"), el.get("index")
-            if ref is None or idx is None:
-                return None
-            try:
-                ro[ref] = int(idx)
-            except ValueError:
-                return None
-
+    dims: list[tuple] = []
     nodes: list[dict] = []
-    for region in page:
-        if _local(region.tag) != "TextRegion":
-            continue
-        rbox = None
-        for child in region:
-            if _local(child.tag) == "Coords":
-                rbox = _bbox(child.get("points") or "")
-        if rbox is None:
+    for part_id, page in enumerate(pages):
+        try:
+            width = float(page.get("imageWidth"))
+            height = float(page.get("imageHeight"))
+        except (TypeError, ValueError):
             return None
-        rid = len(nodes)
-        rtype = region.get("type") or ""
-        nodes.append({
-            "node_id": rid, "parent_id": -1, "kind": "region",
-            "rtype": rtype, "text": _first_unicode(region),
-            "ro_index": ro.get(region.get("id") or "", -1),
-            "x1": rbox[0], "y1": rbox[1], "x2": rbox[2], "y2": rbox[3],
-        })
-        for child in region:
-            if _local(child.tag) != "TextLine":
+        dims.append((width, height))
+
+        # ReadingOrder: region id -> index (page-local, optional)
+        ro: dict[str, int] = {}
+        for el in page.iter():
+            if _local(el.tag) == "RegionRefIndexed":
+                ref, idx = el.get("regionRef"), el.get("index")
+                if ref is None or idx is None:
+                    return None
+                try:
+                    ro[ref] = int(idx)
+                except ValueError:
+                    return None
+
+        for region in page:
+            if _local(region.tag) != "TextRegion":
                 continue
-            lbox = None
-            for lc in child:
-                if _local(lc.tag) == "Coords":
-                    lbox = _bbox(lc.get("points") or "")
-            if lbox is None:
+            rbox = None
+            for child in region:
+                if _local(child.tag) == "Coords":
+                    rbox = _bbox(child.get("points") or "")
+            if rbox is None:
                 return None
+            rid = len(nodes)
+            rtype = region.get("type") or ""
             nodes.append({
-                "node_id": len(nodes), "parent_id": rid, "kind": "line",
-                "rtype": rtype, "text": _first_unicode(child),
-                "ro_index": -1,
-                "x1": lbox[0], "y1": lbox[1], "x2": lbox[2], "y2": lbox[3],
+                "part_id": part_id,
+                "node_id": rid, "parent_id": -1, "kind": "region",
+                "rtype": rtype, "text": _first_unicode(region),
+                "ro_index": ro.get(region.get("id") or "", -1),
+                "x1": rbox[0], "y1": rbox[1], "x2": rbox[2], "y2": rbox[3],
             })
-    return {"width": width, "height": height, "nodes": nodes}
+            for child in region:
+                if _local(child.tag) != "TextLine":
+                    continue
+                lbox = None
+                for lc in child:
+                    if _local(lc.tag) == "Coords":
+                        lbox = _bbox(lc.get("points") or "")
+                if lbox is None:
+                    return None
+                nodes.append({
+                    "part_id": part_id,
+                    "node_id": len(nodes), "parent_id": rid, "kind": "line",
+                    "rtype": rtype, "text": _first_unicode(child),
+                    "ro_index": -1,
+                    "x1": lbox[0], "y1": lbox[1],
+                    "x2": lbox[2], "y2": lbox[3],
+                })
+    return {"pages": dims, "nodes": nodes}
 
 
 def pagexml_nodes(df: DataFrame, payload_col: str = "xml",
@@ -183,7 +193,7 @@ def pagexml_nodes(df: DataFrame, payload_col: str = "xml",
                     out.append({"doc_id": int(did), **n})
             o = pd.DataFrame(out, columns=cols)
             o["doc_id"] = pd.array(o["doc_id"], dtype="int64")
-            for c in ("node_id", "parent_id", "ro_index"):
+            for c in ("part_id", "node_id", "parent_id", "ro_index"):
                 o[c] = pd.array(o[c], dtype="int32")
             for c in ("x1", "y1", "x2", "y2"):
                 o[c] = pd.array(o[c], dtype="float64")
@@ -202,44 +212,28 @@ _RTYPES = ("paragraph", "heading", "marginalia", "page-number")
 def synth_pagexml_bytes(doc_id: int) -> tuple:
     """Deterministic PAGE-XML document + generator-truth node rows.
 
-    Layout model: 2-5 TextRegions stacked top-to-bottom with jittered
-    margins, each with 1-4 TextLines evenly sliced inside the region box;
-    region polygons are 4-point rectangles EXCEPT every 3rd region, which
-    gets a 5-point polygon (bbox = min/max must still hold). Region types
-    cycle through paragraph/heading/marginalia/page-number; a ReadingOrder
-    group indexes the regions in REVERSED document order so ro_index is
-    not simply node order (a parser echoing document order would fail the
-    truth compare). Every 11th document is truncated mid-byte with empty
-    truth — fail-whole must reject it. Namespace alternates between two
-    PAGE revision URIs so namespace-agnostic parsing is actually load-
-    bearing. Returns (xml_bytes, truth_rows) with truth_rows matching
-    PAGEXML_NODES_SCHEMA minus doc_id.
+    MULTI-PAGE (.mpxml-style): every 4th document gets 2 pages, every 12th
+    gets 3 — each <Page> with its own dims, regions, and a page-LOCAL
+    ReadingOrder. Per page: 2-5 TextRegions stacked top-to-bottom with
+    jittered margins, each with 1-4 TextLines evenly sliced inside the
+    region box; region polygons are 4-point rectangles EXCEPT every 3rd
+    region, which gets a 5-point polygon (bbox = min/max must still hold).
+    Region types cycle through paragraph/heading/marginalia/page-number;
+    each page's ReadingOrder indexes its regions in REVERSED document
+    order so ro_index is not simply node order (a parser echoing document
+    order would fail the truth compare). Every 11th document is truncated
+    mid-byte with empty truth — fail-whole must reject it. Namespace
+    alternates between two PAGE revision URIs so namespace-agnostic
+    parsing is actually load-bearing. Returns (xml_bytes, truth_rows)
+    with truth_rows matching PAGEXML_NODES_SCHEMA minus doc_id.
     """
     rng = random.Random(SEED_BASE + 777_000_000 + doc_id)
-    width, height = rng.randint(600, 1400), rng.randint(800, 2000)
     ns = (
         "http://schema.primaresearch.org/PAGE/gts/pagecontent/2013-07-15"
         if doc_id % 2 == 0 else
         "http://schema.primaresearch.org/PAGE/gts/pagecontent/2019-07-15"
     )
-    n_regions = rng.randint(2, 5)
-    band = height / n_regions
-    regions = []
-    for r in range(n_regions):
-        x1 = rng.randint(10, 80)
-        x2 = width - rng.randint(10, 80)
-        y1 = int(r * band) + rng.randint(5, 30)
-        y2 = int((r + 1) * band) - rng.randint(5, 30)
-        n_lines = rng.randint(1, 4)
-        lines = []
-        lh = (y2 - y1) / n_lines
-        for li in range(n_lines):
-            ly1, ly2 = int(y1 + li * lh), int(y1 + (li + 1) * lh) - 2
-            lines.append((x1 + 2, ly1, x2 - 2, max(ly2, ly1 + 1),
-                          f"doc{doc_id} region{r} line{li} "
-                          + " ".join(f"w{rng.randint(0, 99)}"
-                                     for _ in range(rng.randint(2, 6)))))
-        regions.append((x1, y1, x2, y2, _RTYPES[r % len(_RTYPES)], lines))
+    n_pages = 3 if doc_id % 12 == 4 else (2 if doc_id % 4 == 0 else 1)
 
     def rect_points(x1, y1, x2, y2, five=False):
         pts = [(x1, y1), (x2, y1), (x2, y2), (x1, y2)]
@@ -251,41 +245,76 @@ def synth_pagexml_bytes(doc_id: int) -> tuple:
         '<?xml version="1.0" encoding="UTF-8"?>',
         f'<PcGts xmlns="{ns}">',
         "<Metadata><Creator>sparkdu-synth</Creator></Metadata>",
-        f'<Page imageFilename="d{doc_id}.png" imageWidth="{width}" '
-        f'imageHeight="{height}">',
-        '<ReadingOrder><OrderedGroup id="ro">',
     ]
-    for i, r in enumerate(reversed(range(n_regions))):
-        xml.append(f'<RegionRefIndexed index="{i}" regionRef="r{r}"/>')
-    xml.append("</OrderedGroup></ReadingOrder>")
     truth = []
-    for r, (x1, y1, x2, y2, rtype, lines) in enumerate(regions):
-        five = r % 3 == 2
-        xml.append(f'<TextRegion id="r{r}" type="{rtype}">')
-        xml.append(f'<Coords points="{rect_points(x1, y1, x2, y2, five)}"/>')
-        rid = len(truth)
-        rtext = " ".join(ln[4] for ln in lines)
-        truth.append({
-            "node_id": rid, "parent_id": -1, "kind": "region",
-            "rtype": rtype, "text": rtext,
-            "ro_index": n_regions - 1 - r,
-            "x1": float(x1), "y1": float(y1),
-            "x2": float(x2), "y2": float(y2),
-        })
-        for (lx1, ly1, lx2, ly2, ltext) in lines:
-            xml.append("<TextLine>")
-            xml.append(f'<Coords points="{rect_points(lx1, ly1, lx2, ly2)}"/>')
-            xml.append(f"<TextEquiv><Unicode>{ltext}</Unicode></TextEquiv>")
-            xml.append("</TextLine>")
+    for part_id in range(n_pages):
+        width, height = rng.randint(600, 1400), rng.randint(800, 2000)
+        n_regions = rng.randint(2, 5)
+        band = height / n_regions
+        regions = []
+        for r in range(n_regions):
+            x1 = rng.randint(10, 80)
+            x2 = width - rng.randint(10, 80)
+            y1 = int(r * band) + rng.randint(5, 30)
+            y2 = int((r + 1) * band) - rng.randint(5, 30)
+            n_lines = rng.randint(1, 4)
+            lines = []
+            lh = (y2 - y1) / n_lines
+            for li in range(n_lines):
+                ly1, ly2 = int(y1 + li * lh), int(y1 + (li + 1) * lh) - 2
+                lines.append((x1 + 2, ly1, x2 - 2, max(ly2, ly1 + 1),
+                              f"doc{doc_id} page{part_id} region{r} "
+                              f"line{li} "
+                              + " ".join(f"w{rng.randint(0, 99)}"
+                                         for _ in range(rng.randint(2, 6)))))
+            regions.append((x1, y1, x2, y2, _RTYPES[r % len(_RTYPES)], lines))
+
+        xml.append(
+            f'<Page imageFilename="d{doc_id}p{part_id}.png" '
+            f'imageWidth="{width}" imageHeight="{height}">'
+        )
+        xml.append(f'<ReadingOrder><OrderedGroup id="ro{part_id}">')
+        for i, r in enumerate(reversed(range(n_regions))):
+            xml.append(
+                f'<RegionRefIndexed index="{i}" regionRef="p{part_id}r{r}"/>'
+            )
+        xml.append("</OrderedGroup></ReadingOrder>")
+        for r, (x1, y1, x2, y2, rtype, lines) in enumerate(regions):
+            five = r % 3 == 2
+            xml.append(f'<TextRegion id="p{part_id}r{r}" type="{rtype}">')
+            xml.append(
+                f'<Coords points="{rect_points(x1, y1, x2, y2, five)}"/>'
+            )
+            rid = len(truth)
+            rtext = " ".join(ln[4] for ln in lines)
             truth.append({
-                "node_id": len(truth), "parent_id": rid, "kind": "line",
-                "rtype": rtype, "text": ltext, "ro_index": -1,
-                "x1": float(lx1), "y1": float(ly1),
-                "x2": float(lx2), "y2": float(ly2),
+                "part_id": part_id,
+                "node_id": rid, "parent_id": -1, "kind": "region",
+                "rtype": rtype, "text": rtext,
+                "ro_index": n_regions - 1 - r,
+                "x1": float(x1), "y1": float(y1),
+                "x2": float(x2), "y2": float(y2),
             })
-        xml.append(f"<TextEquiv><Unicode>{rtext}</Unicode></TextEquiv>")
-        xml.append("</TextRegion>")
-    xml.append("</Page></PcGts>")
+            for (lx1, ly1, lx2, ly2, ltext) in lines:
+                xml.append("<TextLine>")
+                xml.append(
+                    f'<Coords points="{rect_points(lx1, ly1, lx2, ly2)}"/>'
+                )
+                xml.append(
+                    f"<TextEquiv><Unicode>{ltext}</Unicode></TextEquiv>"
+                )
+                xml.append("</TextLine>")
+                truth.append({
+                    "part_id": part_id,
+                    "node_id": len(truth), "parent_id": rid, "kind": "line",
+                    "rtype": rtype, "text": ltext, "ro_index": -1,
+                    "x1": float(lx1), "y1": float(ly1),
+                    "x2": float(lx2), "y2": float(ly2),
+                })
+            xml.append(f"<TextEquiv><Unicode>{rtext}</Unicode></TextEquiv>")
+            xml.append("</TextRegion>")
+        xml.append("</Page>")
+    xml.append("</PcGts>")
     payload = "\n".join(xml).encode("utf-8")
     if doc_id % 11 == 10:  # truncated document: fail-whole, no truth
         return payload[: len(payload) * 2 // 3], []

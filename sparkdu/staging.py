@@ -4367,8 +4367,8 @@ def stream_extract_pipeline_once(spark, sf_dir):
 
 @q(
     "scan_pagexml_nodes",
-    f"""SELECT doc_id, node_id, parent_id, kind, rtype, text, ro_index,
-               x1, y1, x2, y2
+    f"""SELECT doc_id, part_id, node_id, parent_id, kind, rtype, text,
+               ro_index, x1, y1, x2, y2
         FROM read_parquet('{fx("pagexml_nodes_truth")}')""",
 )
 def scan_pagexml_nodes(spark, sf_dir):
@@ -4389,7 +4389,7 @@ def scan_pagexml_nodes(spark, sf_dir):
     "pagexml_vedges",
     f"""WITH g AS (
           SELECT 'pagexml://' || CAST(doc_id AS VARCHAR) AS url,
-                 0 AS part_id, node_id, x1, y1, x2, y2
+                 part_id, node_id, x1, y1, x2, y2
           FROM read_parquet('{fx("pagexml_nodes_truth")}')
           WHERE kind = 'line')
         SELECT a.url, a.node_id AS src_node_id, b.node_id AS dst_node_id,
@@ -4422,7 +4422,7 @@ def pagexml_vedges(spark, sf_dir):
         .select(
             F.concat(F.lit("pagexml://"), F.col("doc_id").cast("string"))
             .alias("url"),
-            F.lit(0).alias("part_id"),
+            "part_id",
             "node_id", "x1", "y1", "x2", "y2",
         )
     )
@@ -4431,9 +4431,9 @@ def pagexml_vedges(spark, sf_dir):
 
 @q(
     "pagexml_reading_order",
-    f"""SELECT doc_id, node_id, rtype,
+    f"""SELECT doc_id, part_id, node_id, rtype,
                CAST(row_number() OVER (
-                 PARTITION BY doc_id
+                 PARTITION BY doc_id, part_id
                  ORDER BY ro_index, y1, x1, node_id) AS INT) AS rord
         FROM read_parquet('{fx("pagexml_nodes_truth")}')
         WHERE kind = 'region'""",
@@ -4449,14 +4449,14 @@ def pagexml_reading_order(spark, sf_dir):
 
     from .pagexml import pagexml_nodes
 
-    w = Window.partitionBy("doc_id").orderBy(
+    w = Window.partitionBy("doc_id", "part_id").orderBy(
         "ro_index", "y1", "x1", "node_id"
     )
     return (
         pagexml_nodes(f(spark, "pagexml"))
         .filter(F.col("kind") == "region")
         .select(
-            "doc_id", "node_id", "rtype",
+            "doc_id", "part_id", "node_id", "rtype",
             F.row_number().over(w).cast("int").alias("rord"),
         )
     )

@@ -49,8 +49,9 @@ def test_hand_vector_nodes_exact():
     (paragraph, TRIANGLE polygon -> bbox 100..900 x 200..1400, ro_index 0)
     with two lines, the second without TextEquiv (text='')."""
     p = parse_pagexml(HAND_XML)
-    assert p is not None and (p["width"], p["height"]) == (1000.0, 1500.0)
+    assert p is not None and p["pages"] == [(1000.0, 1500.0)]
     n = p["nodes"]
+    assert {x["part_id"] for x in n} == {0}
     assert [(x["node_id"], x["parent_id"], x["kind"]) for x in n] == [
         (0, -1, "region"), (1, 0, "line"),
         (2, -1, "region"), (3, 2, "line"), (4, 2, "line"),
@@ -125,9 +126,10 @@ def test_spark_nodes_and_reading_order(spark):
         # truncated docs (doc_id % 11 == 10) yield no rows at all
         assert regions.filter("doc_id % 11 = 10").count() == 0
         assert nodes.filter("doc_id % 11 = 10").count() == 0
-        # ReadingOrder is reversed document order in the synth: the region
-        # with the LOWEST node_id carries the HIGHEST ro_index per doc
-        agg = regions.groupBy("doc_id").agg(
+        # ReadingOrder is reversed document order in the synth, PER PAGE:
+        # the region with the LOWEST node_id carries that page's HIGHEST
+        # ro_index
+        agg = regions.groupBy("doc_id", "part_id").agg(
             F.max("ro_index").alias("max_ro"),
             F.count("*").alias("n_regions"),
             F.min_by("ro_index", "node_id").alias("ro_of_first"),
@@ -143,3 +145,34 @@ def test_spark_nodes_and_reading_order(spark):
         ).count() == 0
     finally:
         regions.unpersist()
+
+
+def test_multipage_mpxml_parts():
+    """.mpxml-style multi-page document: two <Page> elements -> part_id 0
+    and 1, node ids document-global, ReadingOrder page-local."""
+    two_page = HAND_XML.replace(
+        b"</Page>\n</PcGts>",
+        b"""</Page>
+  <Page imageFilename="p2.png" imageWidth="800" imageHeight="900">
+    <TextRegion id="r2A" type="paragraph">
+      <Coords points="10,10 790,10 790,890 10,890"/>
+      <TextLine id="r2A_l0">
+        <Coords points="12,12 788,12 788,100 12,100"/>
+        <TextEquiv><Unicode>page two line</Unicode></TextEquiv>
+      </TextLine>
+    </TextRegion>
+  </Page>
+</PcGts>""",
+    )
+    p = parse_pagexml(two_page)
+    assert p is not None
+    assert p["pages"] == [(1000.0, 1500.0), (800.0, 900.0)]
+    n = p["nodes"]
+    assert [x["part_id"] for x in n] == [0, 0, 0, 0, 0, 1, 1]
+    assert [x["node_id"] for x in n] == list(range(7))   # document-global
+    assert (n[5]["kind"], n[5]["ro_index"]) == ("region", -1)  # no RO on p2
+    assert n[6]["text"] == "page two line"
+    # second page malformed -> the WHOLE document fails
+    assert parse_pagexml(
+        two_page.replace(b'imageWidth="800" ', b"")
+    ) is None

@@ -669,8 +669,8 @@ def make_pagexml() -> None:
     from sparkdu.pagexml import synth_pagexml_bytes
 
     docs = {"doc_id": [], "xml": []}
-    truth = {k: [] for k in ("doc_id", "node_id", "parent_id", "kind",
-                             "rtype", "text", "ro_index",
+    truth = {k: [] for k in ("doc_id", "part_id", "node_id", "parent_id",
+                             "kind", "rtype", "text", "ro_index",
                              "x1", "y1", "x2", "y2")}
     for i in range(90):
         payload, rows = synth_pagexml_bytes(i)
@@ -694,6 +694,7 @@ def make_pagexml() -> None:
         pa.table(
             {
                 "doc_id": pa.array(truth["doc_id"], pa.int64()),
+                "part_id": pa.array(truth["part_id"], pa.int32()),
                 "node_id": pa.array(truth["node_id"], pa.int32()),
                 "parent_id": pa.array(truth["parent_id"], pa.int32()),
                 "kind": pa.array(truth["kind"], pa.string()),
