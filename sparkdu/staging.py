@@ -4460,3 +4460,48 @@ def pagexml_reading_order(spark, sf_dir):
             F.row_number().over(w).cast("int").alias("rord"),
         )
     )
+
+
+@q(
+    "pagexml_extract_text",
+    f"""SELECT doc_id,
+               string_agg(text, chr(10)
+                 ORDER BY part_id, ro_index, y1, x1, node_id) AS doc_text,
+               CAST(count(*) AS BIGINT) AS n_regions
+        FROM read_parquet('{fx("pagexml_nodes_truth")}')
+        WHERE kind = 'region' AND rtype IN ('paragraph', 'heading')
+        GROUP BY doc_id""",
+)
+def pagexml_extract_text(spark, sf_dir):
+    """The upstream's end product on its native format: per-document
+    extracted text — content regions only (page-number/marginalia types
+    stripped, the rule-based region-classification stage), assembled in
+    reading order (part, ReadingOrder index, then geometric fallback),
+    newline-joined. The deterministic sort rides an array_sort over
+    (part_id, ro_index, y1, x1, node_id, text) structs: node_id is unique
+    per doc, so the text field never influences the order — and the
+    whole assembly is one shuffle (the groupBy), no window pass."""
+    from .pagexml import pagexml_nodes
+
+    regions = (
+        pagexml_nodes(f(spark, "pagexml"))
+        .filter(
+            (F.col("kind") == "region")
+            & F.col("rtype").isin("paragraph", "heading")
+        )
+    )
+    return regions.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("part_id", "ro_index", "y1", "x1",
+                                 "node_id", "text")
+                    )
+                ),
+                lambda s: s.text,
+            ),
+            "\n",
+        ).alias("doc_text"),
+        F.count("*").alias("n_regions"),
+    )
