@@ -4505,3 +4505,94 @@ def pagexml_extract_text(spark, sf_dir):
         ).alias("doc_text"),
         F.count("*").alias("n_regions"),
     )
+
+
+@q(
+    "scan_pdf_runs",
+    f"""SELECT doc_id, part_id, run_id, page_w, page_h, x, y, size, text
+        FROM read_parquet('{fx("pdf_runs_truth")}')""",
+)
+def scan_pdf_runs(spark, sf_dir):
+    """PDF layout ingest (the north rule's 'PDF/layout parse' leg):
+    vectorized ISO 32000-1-subset parse of the binary pdf column into the
+    engine's run shape — classic xref (load-bearing: body object order is
+    shuffled), FlateDecode via stdlib zlib, indirect /Length, /Contents
+    arrays, /MediaBox INHERITED down the page tree, and a content-stream
+    text interpreter with full text-matrix math (Td/TD/Tm/T*/TL/Tj/TJ).
+    One mapInPandas, zero exchanges; truncated documents fail whole
+    (8 of the 90 fixture docs, absent from the truth). The oracle reads
+    the generator-truth parquet; hand-authored byte-literal vectors
+    de-correlate parser and generator (tests/test_pdf.py)."""
+    from .pdf import pdf_runs
+
+    return pdf_runs(f(spark, "pdf"))
+
+
+@q(
+    "scan_pdf_pages",
+    f"""SELECT doc_id, part_id,
+               any_value(page_w) AS page_w, any_value(page_h) AS page_h,
+               CAST(count(*) AS BIGINT) AS n_runs,
+               round(max(size), 2) AS max_size
+        FROM read_parquet('{fx("pdf_runs_truth")}')
+        GROUP BY doc_id, part_id""",
+)
+def scan_pdf_pages(spark, sf_dir):
+    """Per-page layout summary off the parsed run table: effective
+    MediaBox dims (exercises the page-tree inheritance — interior /Pages
+    nodes carry the box for their kids in the fixture), run counts, and
+    the max font size (the heading-detection signal). Parse + ONE
+    aggregation shuffle on (doc_id, part_id) — the same key the parse
+    emits grouped, so AQE coalesces it at scale."""
+    from .pdf import pdf_runs
+
+    return pdf_runs(f(spark, "pdf")).groupBy("doc_id", "part_id").agg(
+        F.first("page_w").alias("page_w"),
+        F.first("page_h").alias("page_h"),
+        F.count("*").alias("n_runs"),
+        F.round(F.max("size"), 2).alias("max_size"),
+    )
+
+
+@q(
+    "pdf_extract_text",
+    f"""SELECT doc_id,
+               string_agg(text, chr(10)
+                 ORDER BY part_id, y DESC, x, run_id) AS doc_text,
+               CAST(count(*) AS BIGINT) AS n_runs
+        FROM read_parquet('{fx("pdf_runs_truth")}')
+        WHERE size >= 9.0
+        GROUP BY doc_id""",
+)
+def pdf_extract_text(spark, sf_dir):
+    """The end product on the PDF leg: per-document extracted text —
+    content runs only (the size >= 9 rule strips the planted small-type
+    footer noise, the PDF analogue of boilerplate classification),
+    assembled in reading order (page, then top-to-bottom: PDF y grows
+    UPWARD so the struct sort negates it, then x, then run_id),
+    newline-joined. Same single-shuffle array_sort assembly as
+    pagexml_extract_text: run_id is unique per doc, so the text field
+    never influences the order."""
+    from .pdf import pdf_runs
+
+    runs = pdf_runs(f(spark, "pdf")).filter(F.col("size") >= 9.0)
+    return runs.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("part_id"),
+                            (-F.col("y")).alias("ny"),
+                            F.col("x"),
+                            F.col("run_id"),
+                            F.col("text"),
+                        )
+                    )
+                ),
+                lambda s: s.text,
+            ),
+            "\n",
+        ).alias("doc_text"),
+        F.count("*").alias("n_runs"),
+    )

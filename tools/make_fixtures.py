@@ -711,6 +711,53 @@ def make_pagexml() -> None:
 
 
 
+def make_pdf() -> None:
+    """pdf.parquet + pdf_runs_truth.parquet: deterministic born-digital
+    PDFs (classic xref, shuffled body order, raw + FlateDecode streams,
+    indirect /Length, /Contents arrays, inherited /MediaBox page trees)
+    with generator-truth text-run rows. Every 11th payload is truncated
+    with no truth rows — the fail-whole parse contract (see
+    sparkdu/pdf.py synth docstring)."""
+    from sparkdu.pdf import synth_pdf_bytes
+
+    docs = {"doc_id": [], "pdf": []}
+    truth = {k: [] for k in ("doc_id", "part_id", "run_id", "page_w",
+                             "page_h", "x", "y", "size", "text")}
+    for i in range(90):
+        payload, rows = synth_pdf_bytes(i)
+        docs["doc_id"].append(i)
+        docs["pdf"].append(payload)
+        for r in rows:
+            truth["doc_id"].append(i)
+            for k in r:
+                truth[k].append(r[k])
+    write(
+        "pdf.parquet",
+        pa.table(
+            {
+                "doc_id": pa.array(docs["doc_id"], pa.int64()),
+                "pdf": pa.array(docs["pdf"], pa.binary()),
+            }
+        ),
+    )
+    write(
+        "pdf_runs_truth.parquet",
+        pa.table(
+            {
+                "doc_id": pa.array(truth["doc_id"], pa.int64()),
+                "part_id": pa.array(truth["part_id"], pa.int32()),
+                "run_id": pa.array(truth["run_id"], pa.int32()),
+                "page_w": pa.array(truth["page_w"], pa.float64()),
+                "page_h": pa.array(truth["page_h"], pa.float64()),
+                "x": pa.array(truth["x"], pa.float64()),
+                "y": pa.array(truth["y"], pa.float64()),
+                "size": pa.array(truth["size"], pa.float64()),
+                "text": pa.array(truth["text"], pa.string()),
+            }
+        ),
+    )
+
+
 if __name__ == "__main__":
     main()
     make_edges()
@@ -728,3 +775,4 @@ if __name__ == "__main__":
     make_redirects()
     make_sitemaps()
     make_pagexml()
+    make_pdf()
