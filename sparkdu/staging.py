@@ -4596,3 +4596,57 @@ def pdf_extract_text(spark, sf_dir):
         ).alias("doc_text"),
         F.count("*").alias("n_runs"),
     )
+
+
+@q(
+    "pdf_vedges",
+    f"""WITH g AS (
+          SELECT 'pdf://' || CAST(doc_id AS VARCHAR) AS url, part_id,
+                 run_id AS node_id,
+                 x AS x1, x + 0.5 * size * length(text) AS x2,
+                 page_h - (y + size) AS y1, page_h - y AS y2
+          FROM read_parquet('{fx("pdf_runs_truth")}')
+          WHERE size >= 9.0)
+        SELECT a.url, a.node_id AS src_node_id, b.node_id AS dst_node_id,
+               b.y1 - a.y2 AS dist,
+               least(a.x2, b.x2) - greatest(a.x1, b.x1) AS overlap
+        FROM g a JOIN g b
+          ON a.url = b.url AND a.part_id = b.part_id
+         AND a.y2 <= b.y1
+         AND least(a.x2, b.x2) - greatest(a.x1, b.x1) > 0
+        WHERE NOT EXISTS (
+          SELECT 1 FROM g c
+          WHERE c.url = a.url AND c.part_id = a.part_id
+            AND a.y2 <= c.y1 AND c.y2 <= b.y1
+            AND least(a.x2, c.x2) > greatest(a.x1, c.x1)
+            AND least(b.x2, c.x2) > greatest(b.x1, c.x1))""",
+)
+def pdf_vedges(spark, sf_dir):
+    """J2 vertical neighbor edges on the PDF leg, completing native-format
+    parity with pagexml_vedges: parsed content runs (size >= 9 rule) become
+    line boxes — PDF reports only the text-space ANCHOR, so the box is the
+    standard fixed-advance model (width = 0.5 em x glyph count, height =
+    the font size above the baseline) with the y axis FLIPPED to screen
+    coords (page_h - y) so the engine's top-down interval join applies
+    unchanged. Spark runs parse -> box derivation -> interval join with
+    blocker elimination; the oracle runs the SAME join in SQL over the
+    generator-truth runs. All box arithmetic is float-exact (integer
+    anchors, dyadic sizes), so hash equality gates the whole path."""
+    from .graph import _axis_join
+    from .pdf import pdf_runs
+
+    lines = (
+        pdf_runs(f(spark, "pdf"))
+        .filter(F.col("size") >= 9.0)
+        .select(
+            F.concat(F.lit("pdf://"), F.col("doc_id").cast("string"))
+            .alias("url"),
+            "part_id",
+            F.col("run_id").alias("node_id"),
+            F.col("x").alias("x1"),
+            (F.col("x") + 0.5 * F.col("size") * F.length("text")).alias("x2"),
+            (F.col("page_h") - (F.col("y") + F.col("size"))).alias("y1"),
+            (F.col("page_h") - F.col("y")).alias("y2"),
+        )
+    )
+    return _axis_join(lines, "v").drop("edge_type")
