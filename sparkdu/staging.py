@@ -4650,3 +4650,105 @@ def pdf_vedges(spark, sf_dir):
         )
     )
     return _axis_join(lines, "v").drop("edge_type")
+
+
+def _geom_vblocks(df, gap: float):
+    """Geometric vertical-block segmentation: running-max interval islands
+    per (doc_id, part_id) over [y1, y2] boxes sorted top-to-bottom. A new
+    block starts when a box's top clears the running max bottom by more
+    than `gap`. Running max (not lag) makes it true interval clustering —
+    a tall box can bridge over a short one. Two window passes on one
+    partitioning = ONE shuffle; at 10^12 docs the partition key is
+    (doc, page), so blocks never cross executors."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id", "part_id").orderBy(
+        "y1", "y2", "node_id")
+    prev_max = F.max("y2").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    brk = F.when(F.col("y1") - prev_max > gap, 1).otherwise(0)
+    return df.withColumn(
+        "block_id",
+        (F.lit(1) + F.sum(brk).over(
+            w.rowsBetween(Window.unboundedPreceding, 0))).cast("int"),
+    )
+
+
+@q(
+    "pagexml_geom_blocks",
+    f"""WITH l AS (
+          SELECT doc_id, part_id, node_id, y1, y2
+          FROM read_parquet('{fx("pagexml_nodes_truth")}')
+          WHERE kind = 'line'),
+        s AS (
+          SELECT *, CASE WHEN y1 - max(y2) OVER (
+                   PARTITION BY doc_id, part_id ORDER BY y1, y2, node_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) > 5.0
+                 THEN 1 ELSE 0 END AS brk
+          FROM l)
+        SELECT doc_id, part_id, node_id,
+               CAST(1 + sum(brk) OVER (
+                 PARTITION BY doc_id, part_id ORDER BY y1, y2, node_id
+                 ROWS UNBOUNDED PRECEDING) AS INT) AS block_id
+        FROM s""",
+)
+def pagexml_geom_blocks(spark, sf_dir):
+    """Geometric layout segmentation on the PAGE-XML leg [U the layout-
+    analysis clustering at the heart of the upstream]: text LINES alone
+    (no region parentage consulted) agglomerate into vertical blocks by
+    interval islands (gap > 5). tests/test_pdf.py's twin gate asserts the
+    recovered blocks are a BIJECTION with the generator's true regions —
+    geometry-only segmentation recovers the structure. Spark runs parse ->
+    windowed islands; the oracle runs the same islands in SQL over the
+    generator-truth lines."""
+    from .pagexml import pagexml_nodes
+
+    lines = (
+        pagexml_nodes(f(spark, "pagexml"))
+        .filter(F.col("kind") == "line")
+        .select("doc_id", "part_id", "node_id", "y1", "y2")
+    )
+    return _geom_vblocks(lines, 5.0).select(
+        "doc_id", "part_id", "node_id", "block_id")
+
+
+@q(
+    "pdf_geom_blocks",
+    f"""WITH l AS (
+          SELECT doc_id, part_id, run_id AS node_id,
+                 page_h - (y + size) AS y1, page_h - y AS y2
+          FROM read_parquet('{fx("pdf_runs_truth")}')
+          WHERE size >= 9.0),
+        s AS (
+          SELECT *, CASE WHEN y1 - max(y2) OVER (
+                   PARTITION BY doc_id, part_id ORDER BY y1, y2, node_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) > 5.0
+                 THEN 1 ELSE 0 END AS brk
+          FROM l)
+        SELECT doc_id, part_id, node_id AS run_id,
+               CAST(1 + sum(brk) OVER (
+                 PARTITION BY doc_id, part_id ORDER BY y1, y2, node_id
+                 ROWS UNBOUNDED PRECEDING) AS INT) AS block_id
+        FROM s""",
+)
+def pdf_geom_blocks(spark, sf_dir):
+    """Geometric block segmentation on the PDF leg: content runs (size >=
+    9) become flipped-y line boxes and agglomerate by interval islands
+    (within-block leading leaves <= 2pt of air; the generator's inter-
+    block jitter guarantees > 8pt). tests/test_pdf.py asserts bijection
+    with the generator's true BT blocks via the planted text labels."""
+    from .pdf import pdf_runs
+
+    lines = (
+        pdf_runs(f(spark, "pdf"))
+        .filter(F.col("size") >= 9.0)
+        .select(
+            "doc_id", "part_id",
+            F.col("run_id").alias("node_id"),
+            (F.col("page_h") - (F.col("y") + F.col("size"))).alias("y1"),
+            (F.col("page_h") - F.col("y")).alias("y2"),
+        )
+    )
+    return _geom_vblocks(lines, 5.0).select(
+        "doc_id", "part_id",
+        F.col("node_id").alias("run_id"), "block_id")

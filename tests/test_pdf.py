@@ -217,3 +217,50 @@ def test_spark_runs_plan_and_fixture(spark):
         assert truth.exceptAll(runs).count() == 0
     finally:
         runs.unpersist()
+
+
+def test_geom_blocks_recover_true_structure(spark):
+    """The semantic anchor for the geom_blocks keys (their SQL oracles
+    mirror the islands mechanism; THIS asserts the mechanism recovers the
+    truth): geometry-only agglomeration must be a BIJECTION with the
+    generator's real structure — PAGE-XML lines -> their parent regions,
+    PDF content runs -> their BT blocks (via the planted b<k>l<i> text
+    labels; lines whose text was rewritten for escape coverage carry no
+    label and are skipped)."""
+    from pyspark.sql import functions as F
+
+    from sparkdu.harness import fx
+    from sparkdu.pagexml import pagexml_nodes
+    from sparkdu.pdf import pdf_runs
+    from sparkdu.staging import _geom_vblocks
+
+    def assert_bijection(df, true_col):
+        a = df.groupBy("doc_id", "part_id", "block_id").agg(
+            F.countDistinct(true_col).alias("n"))
+        assert a.filter("n != 1").count() == 0, f"block spans 2 {true_col}"
+        b = df.groupBy("doc_id", "part_id", true_col).agg(
+            F.countDistinct("block_id").alias("n"))
+        assert b.filter("n != 1").count() == 0, f"{true_col} split"
+
+    lines = (
+        pagexml_nodes(spark.read.parquet(fx("pagexml")))
+        .filter("kind = 'line'")
+        .select("doc_id", "part_id", "node_id", "parent_id", "y1", "y2")
+    )
+    assert_bijection(_geom_vblocks(lines, 5.0), "parent_id")
+
+    runs = (
+        pdf_runs(spark.read.parquet(fx("pdf")))
+        .filter("size >= 9.0")
+        .withColumn("blk", F.regexp_extract("text", r"^d\d+p\d+b(\d+)l", 1))
+        .select(
+            "doc_id", "part_id",
+            F.col("run_id").alias("node_id"), "blk",
+            (F.col("page_h") - (F.col("y") + F.col("size"))).alias("y1"),
+            (F.col("page_h") - F.col("y")).alias("y2"),
+        )
+    )
+    # islands over ALL content runs; the label check then skips the
+    # escape-coverage lines whose text carries no label
+    assert_bijection(
+        _geom_vblocks(runs, 5.0).filter("blk != ''"), "blk")
