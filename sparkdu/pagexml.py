@@ -175,6 +175,33 @@ def parse_pagexml(b: bytes) -> Optional[dict]:
     return {"pages": dims, "nodes": nodes}
 
 
+def pagexml_doc_text(nodes: DataFrame) -> DataFrame:
+    """Reading-order text assembly over (already-filtered) region nodes:
+    per-document newline-joined text, ordered by (part, ReadingOrder
+    index, then geometric fallback y1/x1, then node_id). One shuffle (the
+    groupBy) — the deterministic sort rides an array_sort over structs;
+    node_id is unique per doc, so the trailing text field never influences
+    the order. Callers choose the content filter (the registry's
+    `pagexml_extract_text` keeps rtype in paragraph/heading)."""
+    from pyspark.sql import functions as F
+
+    return nodes.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("part_id", "ro_index", "y1", "x1",
+                                 "node_id", "text")
+                    )
+                ),
+                lambda s: s.text,
+            ),
+            "\n",
+        ).alias("doc_text"),
+        F.count("*").alias("n_regions"),
+    )
+
+
 def pagexml_nodes(df: DataFrame, payload_col: str = "xml",
                   id_col: str = "doc_id") -> DataFrame:
     """Vectorized PAGE-XML -> node-table stage (the S1/S2 analogue for the

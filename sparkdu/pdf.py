@@ -468,6 +468,37 @@ def parse_pdf(b: bytes) -> Optional[dict]:
         return None
 
 
+def pdf_doc_text(runs: DataFrame) -> DataFrame:
+    """Reading-order text assembly over (already-filtered) text runs:
+    per-document newline-joined text, ordered by (page, top-to-bottom —
+    PDF y grows UPWARD so the struct sort negates it — then x, then
+    run_id). One shuffle (the groupBy); run_id is unique per doc, so the
+    trailing text field never influences the order. Callers choose the
+    content filter (the registry's `pdf_extract_text` keeps size >= 9)."""
+    from pyspark.sql import functions as F
+
+    return runs.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("part_id"),
+                            (-F.col("y")).alias("ny"),
+                            F.col("x"),
+                            F.col("run_id"),
+                            F.col("text"),
+                        )
+                    )
+                ),
+                lambda s: s.text,
+            ),
+            "\n",
+        ).alias("doc_text"),
+        F.count("*").alias("n_runs"),
+    )
+
+
 def pdf_runs(df: DataFrame, payload_col: str = "pdf",
              id_col: str = "doc_id") -> DataFrame:
     """Vectorized PDF -> run-table stage (the S1/S2 analogue for born-

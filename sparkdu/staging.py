@@ -4481,7 +4481,7 @@ def pagexml_extract_text(spark, sf_dir):
     (part_id, ro_index, y1, x1, node_id, text) structs: node_id is unique
     per doc, so the text field never influences the order — and the
     whole assembly is one shuffle (the groupBy), no window pass."""
-    from .pagexml import pagexml_nodes
+    from .pagexml import pagexml_doc_text, pagexml_nodes
 
     regions = (
         pagexml_nodes(f(spark, "pagexml"))
@@ -4490,21 +4490,7 @@ def pagexml_extract_text(spark, sf_dir):
             & F.col("rtype").isin("paragraph", "heading")
         )
     )
-    return regions.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct("part_id", "ro_index", "y1", "x1",
-                                 "node_id", "text")
-                    )
-                ),
-                lambda s: s.text,
-            ),
-            "\n",
-        ).alias("doc_text"),
-        F.count("*").alias("n_regions"),
-    )
+    return pagexml_doc_text(regions)
 
 
 @q(
@@ -4573,29 +4559,10 @@ def pdf_extract_text(spark, sf_dir):
     newline-joined. Same single-shuffle array_sort assembly as
     pagexml_extract_text: run_id is unique per doc, so the text field
     never influences the order."""
-    from .pdf import pdf_runs
+    from .pdf import pdf_doc_text, pdf_runs
 
     runs = pdf_runs(f(spark, "pdf")).filter(F.col("size") >= 9.0)
-    return runs.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            F.col("part_id"),
-                            (-F.col("y")).alias("ny"),
-                            F.col("x"),
-                            F.col("run_id"),
-                            F.col("text"),
-                        )
-                    )
-                ),
-                lambda s: s.text,
-            ),
-            "\n",
-        ).alias("doc_text"),
-        F.count("*").alias("n_runs"),
-    )
+    return pdf_doc_text(runs)
 
 
 @q(
