@@ -28,14 +28,32 @@ def main(argv=None) -> None:
     ap.add_argument("--model", default=None)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--master", default=None)
+    ap.add_argument("--format", default="html",
+                    choices=("html", "pagexml", "pdf"),
+                    help="input collection format: html pages parquet "
+                         "(url/warc_ts/html), or a native PAGE-XML/PDF "
+                         "collection parquet (doc_id + xml/pdf binary)")
     args = ap.parse_args(argv)
+
+    from pyspark.sql import functions as F
 
     from sparkdu.lineage import ExtractJobConfig, run_extract_job
     from sparkdu.session import get_spark
     from sparkdu.tables import PAGES_SCHEMA
 
     spark = get_spark(app=f"sparkdu-extract-{args.run_id}", master=args.master)
-    pages = spark.read.schema(PAGES_SCHEMA).parquet(args.input)
+    if args.format == "html":
+        pages = spark.read.schema(PAGES_SCHEMA).parquet(args.input)
+    else:
+        # native collection: synthesize the url/warc_ts key so the wave
+        # machinery (salting, J9 sort, checkpoints, resume) is shared
+        payload_col = "xml" if args.format == "pagexml" else "pdf"
+        pages = spark.read.parquet(args.input).select(
+            F.concat(F.lit(args.format + "://"),
+                     F.col("doc_id").cast("string")).alias("url"),
+            F.timestamp_seconds(F.lit(0)).alias("warc_ts"),
+            F.col(payload_col).alias("html"),
+        )
     cfg = ExtractJobConfig(
         run_id=args.run_id,
         out_dir=args.output,
@@ -43,6 +61,7 @@ def main(argv=None) -> None:
         waves=args.waves,
         model_path=args.model,
         resume=args.resume,
+        input_format=args.format,
     )
     t0 = time.time()
     total = run_extract_job(spark, pages, cfg)

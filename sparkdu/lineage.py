@@ -61,6 +61,7 @@ class ExtractJobConfig:
     model_path: Optional[str] = None
     resume: bool = False
     fail_after_waves: Optional[int] = None  # test hook (T5 failure injection)
+    input_format: str = "html"        # html | pagexml | pdf (native legs)
 
 
 def _extract_doc_metrics(html, model):
@@ -136,6 +137,78 @@ def lineage_extract_udf(model_path: Optional[str], dedup: bool = True):
     return fn
 
 
+NATIVE_VERSIONS = {"pagexml": "pagexml-1.0.0", "pdf": "pdf-1.0.0"}
+
+
+def native_extract_udf(fmt: str, dedup: bool = True):
+    """The PAGE-XML/PDF twin of `lineage_extract_udf`: same wave-committed
+    lineage contract (every input document yields exactly one output row;
+    fail-whole parses emit an empty row with had_error=1 so the checkpoint
+    counters account for them), but the per-document extraction is the
+    native leg — parse_pagexml/parse_pdf + the content filter + the
+    reading-order assembly (assemble_doc_text, differentially gated
+    against the DataFrame-agg form). The job synthesizes url/warc_ts from
+    doc_id and carries the payload in the `html` column so the wave
+    machinery (salting, J9 sort, checkpoints, resume) is shared verbatim.
+    """
+    import pyarrow as pa
+
+    from .api import _dedup_record_batches, _span_list_array
+
+    if fmt == "pagexml":
+        from .pagexml import assemble_doc_text, parse_pagexml as parse
+
+        items_of = lambda p: p["nodes"]  # noqa: E731
+    elif fmt == "pdf":
+        from .pdf import assemble_doc_text, parse_pdf as parse
+
+        items_of = lambda p: p["runs"]  # noqa: E731
+    else:
+        raise ValueError(f"unknown native format: {fmt!r}")
+    ver = NATIVE_VERSIONS[fmt]
+
+    def fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        if dedup:
+            batches = _dedup_record_batches(batches)
+        for rb in batches:
+            idx = {n: i for i, n in enumerate(rb.schema.names)}
+            out = {k: [] for k in ("extracted_text", "n_blocks", "spans",
+                                   "n_nodes", "n_bytes_in", "had_error")}
+            for h in rb.column(idx["html"]):
+                payload = h.as_py()
+                parsed = parse(payload) if payload is not None else None
+                if parsed is None:
+                    txt, nb, sp, nn, err = "", 0, [], 0, 1
+                else:
+                    items = items_of(parsed)
+                    txt, nb, sp = assemble_doc_text(items)
+                    nn, err = len(items), 0
+                out["extracted_text"].append(txt)
+                out["n_blocks"].append(nb)
+                out["spans"].append(sp)
+                out["n_nodes"].append(nn)
+                out["n_bytes_in"].append(
+                    len(payload) if payload is not None else 0)
+                out["had_error"].append(err)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(idx["url"]),
+                    rb.column(idx["warc_ts"]),
+                    pa.array(out["extracted_text"], pa.string()),
+                    pa.array(out["n_blocks"], pa.int32()),
+                    _span_list_array(pa, out["spans"]),
+                    pa.array([ver] * rb.num_rows, pa.string()),
+                    rb.column(idx["partition_key"]),
+                    pa.array(out["n_nodes"], pa.int32()),
+                    pa.array(out["n_bytes_in"], pa.int64()),
+                    pa.array(out["had_error"], pa.int32()),
+                ],
+                names=[f.name for f in EXTRACTED_LINEAGE_SCHEMA.fields],
+            )
+
+    return fn
+
+
 def done_partition_keys(spark: SparkSession, cfg: ExtractJobConfig) -> set[int]:
     cp = os.path.join(cfg.out_dir, "checkpoints")
     if not os.path.isdir(cp) or not os.listdir(cp):
@@ -174,7 +247,12 @@ def run_extract_job(spark: SparkSession, pages: DataFrame, cfg: ExtractJobConfig
             .sortWithinPartitions(  # J9 inside the UDF: one shuffle total
                 F.col("url").asc(), F.col("warc_ts").desc(), F.xxhash64("html").desc()
             )
-            .mapInArrow(lineage_extract_udf(cfg.model_path), schema=EXTRACTED_LINEAGE_SCHEMA)
+            .mapInArrow(
+                lineage_extract_udf(cfg.model_path)
+                if cfg.input_format == "html"
+                else native_extract_udf(cfg.input_format),
+                schema=EXTRACTED_LINEAGE_SCHEMA,
+            )
         )
         # A6: free pipeline metrics via observe() — evaluated during the
         # write action, no extra job (SURVEY SS2.4 A6 [B:6,14])

@@ -175,6 +175,33 @@ def parse_pagexml(b: bytes) -> Optional[dict]:
     return {"pages": dims, "nodes": nodes}
 
 
+CONTENT_RTYPES = ("paragraph", "heading")
+
+
+def assemble_doc_text(nodes: list) -> tuple:
+    """Per-document pure-Python twin of `pagexml_doc_text` + the registry's
+    content filter, for the wave-committed CLI leg (one doc per call inside
+    an Arrow batch UDF — documents are independent, so assembly needs no
+    aggregation). MUST stay byte-identical to the DataFrame-agg form;
+    tests/test_native_cli.py gates the differential over the fixture
+    corpus. Returns (text, n_blocks, spans) where spans mirror the HTML
+    spec §5: (node_id, start, end) offsets into the newline-joined text.
+    """
+    kept = sorted(
+        (n for n in nodes
+         if n["kind"] == "region" and n["rtype"] in CONTENT_RTYPES),
+        key=lambda n: (n["part_id"], n["ro_index"], n["y1"], n["x1"],
+                       n["node_id"]),
+    )
+    parts, spans, off = [], [], 0
+    for n in kept:
+        ln = len(n["text"])
+        spans.append((n["node_id"], off, off + ln))
+        parts.append(n["text"])
+        off += ln + 1
+    return "\n".join(parts), len(spans), spans
+
+
 def pagexml_doc_text(nodes: DataFrame) -> DataFrame:
     """Reading-order text assembly over (already-filtered) region nodes:
     per-document newline-joined text, ordered by (part, ReadingOrder

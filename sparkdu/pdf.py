@@ -468,6 +468,29 @@ def parse_pdf(b: bytes) -> Optional[dict]:
         return None
 
 
+MIN_CONTENT_SIZE = 9.0
+
+
+def assemble_doc_text(runs: list) -> tuple:
+    """Per-document pure-Python twin of `pdf_doc_text` + the registry's
+    size>=9 content filter, for the wave-committed CLI leg (one doc per
+    call inside an Arrow batch UDF). MUST stay byte-identical to the
+    DataFrame-agg form; tests/test_native_cli.py gates the differential
+    over the fixture corpus. Returns (text, n_blocks, spans) with spans
+    mirroring the HTML spec §5, keyed by run_id."""
+    kept = sorted(
+        (r for r in runs if r["size"] >= MIN_CONTENT_SIZE),
+        key=lambda r: (r["part_id"], -r["y"], r["x"], r["run_id"]),
+    )
+    parts, spans, off = [], [], 0
+    for r in kept:
+        ln = len(r["text"])
+        spans.append((r["run_id"], off, off + ln))
+        parts.append(r["text"])
+        off += ln + 1
+    return "\n".join(parts), len(spans), spans
+
+
 def pdf_doc_text(runs: DataFrame) -> DataFrame:
     """Reading-order text assembly over (already-filtered) text runs:
     per-document newline-joined text, ordered by (page, top-to-bottom —

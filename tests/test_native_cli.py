@@ -1,0 +1,99 @@
+"""CLI-leg gates for the native-format extraction (`extract_job --format
+pagexml|pdf`): the wave-committed, resumable lineage job must produce
+byte-identical per-document text to the registry's DataFrame-agg assembly
+(`pagexml_extract_text` / `pdf_extract_text`), account fail-whole parses
+as had_error rows (one output row per input document), and resume to a
+no-op. Also pins the pure-Python assemble_doc_text twins against the
+DataFrame-agg form directly (the MUST-stay-identical contract in their
+docstrings)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+import sparkdu.staging  # noqa: F401  (registers the staged QUERIES keys)
+from sparkdu.harness import QUERIES, fx
+from sparkdu.lineage import ExtractJobConfig, run_extract_job
+
+SF = "/root/testdata/sf0.01"
+
+
+def _native_pages(spark, fmt):
+    payload_col = "xml" if fmt == "pagexml" else "pdf"
+    return spark.read.parquet(fx(fmt)).select(
+        F.concat(F.lit(fmt + "://"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.timestamp_seconds(F.lit(0)).alias("warc_ts"),
+        F.col(payload_col).alias("html"),
+    )
+
+
+@pytest.mark.parametrize("fmt,key", [("pagexml", "pagexml_extract_text"),
+                                     ("pdf", "pdf_extract_text")])
+def test_cli_leg_matches_registry_assembly(spark, tmp_path, fmt, key):
+    pages = _native_pages(spark, fmt)
+    cfg = ExtractJobConfig(run_id=f"nat-{fmt}", out_dir=str(tmp_path),
+                           num_partitions=8, waves=2, input_format=fmt)
+    total = run_extract_job(spark, pages, cfg)
+    assert total["n_pages"] == 90          # one row per input document
+    assert total["n_errors"] == 8          # the truncated fail-whole docs
+
+    got = {
+        int(r["url"].split("://")[1]): (r["extracted_text"], r["n_blocks"])
+        for r in spark.read.parquet(f"{tmp_path}/extracted").collect()
+    }
+    assert len(got) == 90
+    want = {r["doc_id"]: r["doc_text"]
+            for r in QUERIES[key](spark, SF).collect()}
+    assert len(want) == 82
+    for did, (txt, nb) in got.items():
+        if did in want:
+            assert txt.encode("utf-8") == want[did].encode("utf-8"), did
+            assert nb > 0
+        else:                              # fail-whole: empty lineage row
+            assert (txt, nb) == ("", 0)
+
+    # resume: every checkpoint done -> nothing re-runs
+    total2 = run_extract_job(
+        spark, pages,
+        ExtractJobConfig(run_id=f"nat-{fmt}", out_dir=str(tmp_path),
+                         num_partitions=8, waves=2, input_format=fmt,
+                         resume=True))
+    assert total2["n_pages"] == 0 and total2["waves_run"] == 0
+
+
+def test_assemble_twins_match_dataframe_agg(spark):
+    """Direct differential: per-doc pure-Python assembly == DataFrame
+    array_sort assembly, every fixture document, both formats."""
+    from sparkdu.pagexml import (assemble_doc_text as px_asm,
+                                 pagexml_doc_text, pagexml_nodes)
+    from sparkdu.pdf import (assemble_doc_text as pdf_asm, pdf_doc_text,
+                             pdf_runs)
+
+    regions = pagexml_nodes(
+        spark.read.parquet(fx("pagexml"))).filter(
+        (F.col("kind") == "region")
+        & F.col("rtype").isin("paragraph", "heading"))
+    agg = {r["doc_id"]: r["doc_text"]
+           for r in pagexml_doc_text(regions).collect()}
+    rows = regions.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r.asDict())
+    assert set(by_doc) == set(agg)
+    for did, nodes in by_doc.items():
+        txt, nb, spans = px_asm(nodes)
+        assert txt == agg[did] and nb == len(nodes)
+        assert all(s[2] - s[1] == len(n) for s, n in
+                   zip(spans, txt.split("\n")))
+
+    runs = pdf_runs(spark.read.parquet(fx("pdf"))).filter(
+        F.col("size") >= 9.0)
+    agg = {r["doc_id"]: r["doc_text"] for r in pdf_doc_text(runs).collect()}
+    by_doc = {}
+    for r in runs.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r.asDict())
+    assert set(by_doc) == set(agg)
+    for did, rs in by_doc.items():
+        txt, nb, _ = pdf_asm(rs)
+        assert txt == agg[did] and nb == len(rs)
