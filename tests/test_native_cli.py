@@ -97,3 +97,68 @@ def test_assemble_twins_match_dataframe_agg(spark):
     for did, rs in by_doc.items():
         txt, nb, _ = pdf_asm(rs)
         assert txt == agg[did] and nb == len(rs)
+
+
+def test_assemble_twins_fuzz(spark):
+    """Seeded fuzz differential: 200 random documents with DELIBERATE ties
+    on every sort key except the unique id (part_id, ro_index, y, x drawn
+    from tiny value sets; duplicate texts) — the pure-Python twins must
+    still match the DataFrame array_sort assembly exactly, proving the
+    trailing struct fields never influence either order."""
+    import random
+
+    from sparkdu.pagexml import (assemble_doc_text as px_asm,
+                                 pagexml_doc_text)
+    from sparkdu.pdf import assemble_doc_text as pdf_asm, pdf_doc_text
+
+    rng = random.Random(20260818)
+    texts = ["alpha", "beta", "alpha", "x y", ""]
+    px_rows, pdf_rows = [], []
+    for did in range(200):
+        for nid in range(rng.randrange(1, 9)):
+            px_rows.append({
+                "doc_id": did, "part_id": rng.randrange(2),
+                "node_id": nid, "parent_id": -1, "kind": "region",
+                "rtype": rng.choice(["paragraph", "heading"]),
+                "text": rng.choice(texts),
+                "ro_index": rng.choice([-1, 0, 0, 1, 2]),
+                "y1": float(rng.choice([100, 100, 200])),
+                "x1": float(rng.choice([10, 10, 50])),
+                "x2": 900.0, "y2": 300.0,
+            })
+            pdf_rows.append({
+                "doc_id": did, "part_id": rng.randrange(2),
+                "run_id": nid,
+                "page_w": 612.0, "page_h": 792.0,
+                "x": float(rng.choice([72, 72, 300])),
+                "y": float(rng.choice([720, 720, 24])),
+                "size": float(rng.choice([7, 12, 12, 14])),
+                "text": rng.choice(texts),
+            })
+
+    px_df = spark.createDataFrame(
+        px_rows, "doc_id long, part_id int, node_id int, parent_id int, "
+        "kind string, rtype string, text string, ro_index int, "
+        "y1 double, x1 double, x2 double, y2 double")
+    agg = {r["doc_id"]: r["doc_text"]
+           for r in pagexml_doc_text(px_df).collect()}
+    by_doc = {}
+    for r in px_rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for did, nodes in by_doc.items():
+        assert px_asm(nodes)[0] == agg[did], f"pagexml doc {did}"
+
+    keep = [r for r in pdf_rows if r["size"] >= 9.0]
+    pdf_df = spark.createDataFrame(
+        keep, "doc_id long, part_id int, run_id int, page_w double, "
+        "page_h double, x double, y double, size double, text string")
+    agg = {r["doc_id"]: r["doc_text"]
+           for r in pdf_doc_text(pdf_df).collect()}
+    by_doc = {}
+    for r in pdf_rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for did, rs in by_doc.items():
+        if did in agg:
+            assert pdf_asm(rs)[0] == agg[did], f"pdf doc {did}"
+        else:
+            assert pdf_asm(rs)[0] == ""      # every run below size 9
