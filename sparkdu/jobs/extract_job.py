@@ -34,6 +34,9 @@ def main(argv=None) -> None:
                          "(url/warc_ts/html), or a native PAGE-XML/PDF "
                          "collection parquet (doc_id + xml/pdf binary)")
     args = ap.parse_args(argv)
+    if args.format != "html" and args.model:
+        ap.error("--model applies to --format html only (the native "
+                 "PAGE-XML/PDF legs use their format's content rule)")
 
     from pyspark.sql import functions as F
 
@@ -48,9 +51,16 @@ def main(argv=None) -> None:
         # native collection: synthesize the url/warc_ts key so the wave
         # machinery (salting, J9 sort, checkpoints, resume) is shared
         payload_col = "xml" if args.format == "pagexml" else "pdf"
+        # a NULL doc_id would make url NULL and be silently swallowed by
+        # the J9 dedup sort — fail loud instead (lineage accounts every doc)
         pages = spark.read.parquet(args.input).select(
-            F.concat(F.lit(args.format + "://"),
-                     F.col("doc_id").cast("string")).alias("url"),
+            F.when(
+                F.col("doc_id").isNotNull(),
+                F.concat(F.lit(args.format + "://"),
+                         F.col("doc_id").cast("string")),
+            ).otherwise(
+                F.raise_error(F.lit("native input row has NULL doc_id"))
+            ).alias("url"),
             F.timestamp_seconds(F.lit(0)).alias("warc_ts"),
             F.col(payload_col).alias("html"),
         )

@@ -176,13 +176,19 @@ def native_extract_udf(fmt: str, dedup: bool = True):
                                    "n_nodes", "n_bytes_in", "had_error")}
             for h in rb.column(idx["html"]):
                 payload = h.as_py()
-                parsed = parse(payload) if payload is not None else None
-                if parsed is None:
+                # belt over the parsers' fail-whole braces: ANY escaping
+                # exception still becomes a had_error row, never a failed
+                # wave (same contract as lineage_extract_udf)
+                try:
+                    parsed = parse(payload) if payload is not None else None
+                    if parsed is None:
+                        txt, nb, sp, nn, err = "", 0, [], 0, 1
+                    else:
+                        items = items_of(parsed)
+                        txt, nb, sp = assemble_doc_text(items)
+                        nn, err = len(items), 0
+                except Exception:
                     txt, nb, sp, nn, err = "", 0, [], 0, 1
-                else:
-                    items = items_of(parsed)
-                    txt, nb, sp = assemble_doc_text(items)
-                    nn, err = len(items), 0
                 out["extracted_text"].append(txt)
                 out["n_blocks"].append(nb)
                 out["spans"].append(sp)

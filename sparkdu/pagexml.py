@@ -59,17 +59,25 @@ def _local(tag: str) -> str:
 
 def _bbox(points: str):
     """'x,y x,y ...' polygon -> (x1, y1, x2, y2); None when unparseable
-    (fewer than 3 vertices, or non-numeric coordinates)."""
+    (fewer than 3 vertices, or non-numeric/non-FINITE coordinates —
+    float('nan')/float('inf') don't raise, and a NaN bbox would order
+    differently under Python sorted() vs Spark array_sort, breaking the
+    assemble_doc_text byte-identity contract)."""
+    import math
+
     xs, ys = [], []
     for pt in points.split():
         xy = pt.split(",")
         if len(xy) != 2:
             return None
         try:
-            xs.append(float(xy[0]))
-            ys.append(float(xy[1]))
+            x, y = float(xy[0]), float(xy[1])
         except ValueError:
             return None
+        if not (math.isfinite(x) and math.isfinite(y)):
+            return None
+        xs.append(x)
+        ys.append(y)
     if len(xs) < 3:
         return None
     return min(xs), min(ys), max(xs), max(ys)

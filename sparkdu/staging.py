@@ -15,6 +15,8 @@ import os
 from pyspark.sql import functions as F
 
 from sparkdu.harness import FIX, f, fx, q, t
+from sparkdu.pagexml import CONTENT_RTYPES as PAGEXML_CONTENT_RTYPES
+from sparkdu.pdf import MIN_CONTENT_SIZE as PDF_MIN_CONTENT_SIZE
 
 _ART = os.path.join(os.path.dirname(FIX), "artifacts")
 
@@ -4487,7 +4489,7 @@ def pagexml_extract_text(spark, sf_dir):
         pagexml_nodes(f(spark, "pagexml"))
         .filter(
             (F.col("kind") == "region")
-            & F.col("rtype").isin("paragraph", "heading")
+            & F.col("rtype").isin(*PAGEXML_CONTENT_RTYPES)
         )
     )
     return pagexml_doc_text(regions)
@@ -4561,7 +4563,7 @@ def pdf_extract_text(spark, sf_dir):
     never influences the order."""
     from .pdf import pdf_doc_text, pdf_runs
 
-    runs = pdf_runs(f(spark, "pdf")).filter(F.col("size") >= 9.0)
+    runs = pdf_runs(f(spark, "pdf")).filter(F.col("size") >= PDF_MIN_CONTENT_SIZE)
     return pdf_doc_text(runs)
 
 
@@ -4604,7 +4606,7 @@ def pdf_vedges(spark, sf_dir):
 
     lines = (
         pdf_runs(f(spark, "pdf"))
-        .filter(F.col("size") >= 9.0)
+        .filter(F.col("size") >= PDF_MIN_CONTENT_SIZE)
         .select(
             F.concat(F.lit("pdf://"), F.col("doc_id").cast("string"))
             .alias("url"),
@@ -4708,7 +4710,7 @@ def pdf_geom_blocks(spark, sf_dir):
 
     lines = (
         pdf_runs(f(spark, "pdf"))
-        .filter(F.col("size") >= 9.0)
+        .filter(F.col("size") >= PDF_MIN_CONTENT_SIZE)
         .select(
             "doc_id", "part_id",
             F.col("run_id").alias("node_id"),

@@ -67,9 +67,11 @@ def render_html(doc: list) -> bytes:
 
 def render_pagexml(doc: list) -> bytes:
     """One <Page> per part. Regions appear in REVERSED document order with
-    ReadingOrder indices carrying the true display order; a page-number
-    region (no ReadingOrder entry) plants boilerplate the rtype filter
-    must strip."""
+    ReadingOrder indices carrying the true display order, and the region
+    y-coordinates DECREASE with reading index — so neither parse order nor
+    the geometric y-fallback reproduces the display order; only honoring
+    ReadingOrder can. A page-number region (no ReadingOrder entry) plants
+    boilerplate the rtype filter must strip."""
     ns = "http://schema.primaresearch.org/PAGE/gts/pagecontent/2013-07-15"
     pages = []
     for pi, part in enumerate(doc):
@@ -77,7 +79,7 @@ def render_pagexml(doc: list) -> bytes:
         for j, text in enumerate(part):
             rid = f"r{pi}_{j}"
             rtype = "heading" if j == 0 else "paragraph"
-            y = 100 + 80 * j
+            y = 1000 - 80 * j
             refs.append(
                 f'<RegionRefIndexed index="{j}" regionRef="{rid}"/>')
             regions.append(

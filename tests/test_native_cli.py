@@ -162,3 +162,31 @@ def test_assemble_twins_fuzz(spark):
             assert pdf_asm(rs)[0] == agg[did], f"pdf doc {did}"
         else:
             assert pdf_asm(rs)[0] == ""      # every run below size 9
+
+
+def test_null_doc_id_fails_loud(spark, tmp_path):
+    """A NULL doc_id would synthesize a NULL url and be silently swallowed
+    by the J9 dedup sort — the job must fail loud instead (extract_job
+    guards with raise_error)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sparkdu.jobs.extract_job import main
+
+    bad = str(tmp_path / "bad.parquet")
+    pq.write_table(
+        pa.table({"doc_id": pa.array([0, None], pa.int64()),
+                  "xml": pa.array([b"<x/>", b"<y/>"], pa.binary())}), bad)
+    with pytest.raises(Exception, match="NULL doc_id"):
+        main(["--input", bad, "--output", str(tmp_path / "out"),
+              "--run-id", "nullcase", "--format", "pagexml",
+              "--partitions", "2", "--waves", "1",
+              "--master", "local[2]"])
+
+
+def test_model_flag_rejected_for_native_formats(tmp_path):
+    from sparkdu.jobs.extract_job import main
+
+    with pytest.raises(SystemExit):
+        main(["--input", "x", "--output", str(tmp_path), "--run-id", "m",
+              "--format", "pdf", "--model", "artifacts/clf_v1.json"])

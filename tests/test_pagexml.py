@@ -176,3 +176,18 @@ def test_multipage_mpxml_parts():
     assert parse_pagexml(
         two_page.replace(b'imageWidth="800" ', b"")
     ) is None
+
+
+def test_nonfinite_coords_fail_whole():
+    """float('nan')/float('inf') don't raise ValueError, so _bbox must
+    reject them explicitly: a NaN bbox would order differently under
+    Python sorted() vs Spark array_sort, silently breaking the CLI-leg
+    assembly twin. Fail-whole, like every other malformed geometry."""
+    ns = "http://schema.primaresearch.org/PAGE/gts/pagecontent/2013-07-15"
+    for bad in ("nan,0 nan,10 nan,20", "inf,0 1,10 2,20",
+                "1e999,0 1,10 2,20"):
+        xml = (f'<PcGts xmlns="{ns}"><Page imageWidth="100" '
+               f'imageHeight="100"><TextRegion id="r0" type="paragraph">'
+               f'<Coords points="{bad}"/><TextEquiv><Unicode>t</Unicode>'
+               f"</TextEquiv></TextRegion></Page></PcGts>").encode()
+        assert parse_pagexml(xml) is None, bad
