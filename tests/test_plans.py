@@ -320,3 +320,20 @@ def test_dup_spans_single_lgram_shuffle_no_cartesian(spark):
     plan = _plan(dedup_dup_spans(spark, "/root/testdata/sf0.001"))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoop" not in plan, plan
+
+
+def test_native_extract_text_partial_agg_single_exchange(spark, sf_dir):
+    """The PAGE-XML/PDF reading-order assemblies must be partial
+    ObjectHashAggregate (map-side) -> ONE Exchange on doc_id -> final
+    aggregate: the collect_list+array_sort form never shuffles raw nodes
+    twice and never windows."""
+    import re
+
+    import sparkdu.staging  # noqa: F401
+    from sparkdu.harness import QUERIES
+
+    for key in ("pagexml_extract_text", "pdf_extract_text"):
+        plan = _plan(QUERIES[key](spark, sf_dir))
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, (key, plan)
+        assert len(re.findall(r"ObjectHashAggregate", plan)) >= 2, (key, plan)
+        assert "Window" not in plan, (key, plan)
