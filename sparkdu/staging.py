@@ -4721,3 +4721,61 @@ def pdf_geom_blocks(spark, sf_dir):
     return _geom_vblocks(lines, 5.0).select(
         "doc_id", "part_id",
         F.col("node_id").alias("run_id"), "block_id")
+
+
+# ---------------------------------------------------------------------
+# learned region-TYPE classification over native layout geometry
+# ---------------------------------------------------------------------
+
+def _region_cls_sql() -> tuple:
+    """Build the frozen-artifact scoring expressions ONCE, shared verbatim
+    by the Spark selectExpr and the DuckDB oracle: per-class linear scores
+    are pure IEEE +,*,/ over decimal-literal weights in identical
+    association order (no transcendentals), so the argmax is engine-
+    invariant. Returns (case_expr, score_exprs)."""
+    with open(os.path.join(FIX, "..", "artifacts",
+                           "clf_regions_v1.json")) as fh:
+        art = json.load(fh)
+    feats = art["feature_exprs"]
+    scores = []
+    for w_row, b in zip(art["W"], art["b"]):
+        terms = " + ".join(f"({w!r} * {fe})" for w, fe in zip(w_row, feats))
+        scores.append(f"({terms} + {b!r})")
+    s = scores
+    case = (
+        f"CASE WHEN {s[0]} >= {s[1]} AND {s[0]} >= {s[2]} "
+        f"AND {s[0]} >= {s[3]} THEN '{art['classes'][0]}' "
+        f"WHEN {s[1]} >= {s[2]} AND {s[1]} >= {s[3]} "
+        f"THEN '{art['classes'][1]}' "
+        f"WHEN {s[2]} >= {s[3]} THEN '{art['classes'][2]}' "
+        f"ELSE '{art['classes'][3]}' END"
+    )
+    return case, scores
+
+
+_REGION_CASE, _REGION_SCORES = _region_cls_sql()
+
+
+@q(
+    "layout_region_classify",
+    f"""SELECT doc_id, node_id, rtype,
+               {_REGION_CASE} AS pred_rtype
+        FROM read_parquet('{fx("layout_regions")}')""",
+)
+def layout_region_classify(spark, sf_dir):
+    """The upstream's CORE task on its native leg [U: zone/region-type
+    classification over PAGE-XML layout features — the multiclass sibling
+    of the HTML leg's content/boiler decision (S4/M5)]: softmax regression
+    over real geometry (relative width/height/position, text length, line
+    count, ReadingOrder membership), weights trained OFFLINE on a disjoint
+    doc split and frozen in artifacts/clf_regions_v1.json (two-phase rule,
+    SPEC §4; held-out accuracy recorded in the artifact). Scoring is a
+    pure zero-exchange JVM map — the per-class linear scores are plain
+    arithmetic selectExpr strings shared VERBATIM with the DuckDB oracle,
+    so the cross-engine check covers the learned decision itself, not a
+    re-derivation. tests/test_layout_cls.py gates held-out accuracy and
+    the plan shape."""
+    return spark.read.parquet(fx("layout_regions")).selectExpr(
+        "doc_id", "node_id", "rtype",
+        f"{_REGION_CASE} AS pred_rtype",
+    )
