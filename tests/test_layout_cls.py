@@ -65,3 +65,20 @@ def test_artifact_weights_are_decimal_literals():
         for w in row:
             assert round(w, 6) == w  # exact decimal literal both engines
     assert len(art["feature_exprs"]) == len(art["W"][0]) == 7
+
+
+def test_table_grid_exact_recovery(spark):
+    """2-D grid recovery: interval islands per axis must reproduce the
+    generator's row/col indices exactly on every cell — ragged heights/
+    widths, jittered insets, ~10% sparse cells included (1-based island
+    ids vs 0-based truth)."""
+    pred = QUERIES["layout_table_grid"](spark, SF)
+    truth = spark.read.parquet(fx("table_cells")).select(
+        "doc_id", "cell_id", "true_row", "true_col")
+    j = pred.join(truth, ["doc_id", "cell_id"])
+    n = j.count()
+    assert n == truth.count() == 2509
+    bad = j.filter(
+        (F.col("row_id") != F.col("true_row") + 1)
+        | (F.col("col_id") != F.col("true_col") + 1)).count()
+    assert bad == 0

@@ -776,3 +776,63 @@ if __name__ == "__main__":
     make_sitemaps()
     make_pagexml()
     make_pdf()
+
+
+def make_table_cells() -> None:
+    """table_cells.parquet: deterministic table-layout fixtures for the
+    2-D grid-recovery operator (the upstream's table-understanding task:
+    assign row/col indices to cell boxes from geometry alone). Per doc, a
+    ragged grid (3-8 rows x 2-6 cols, per-row heights and per-col widths
+    varying independently), jittered cell insets (0-2 px), ~10% of cells
+    missing (sparse tables) — inter-row/col gaps are 6-14 px, so interval
+    islands at threshold 3 must recover the exact grid. true_row/true_col
+    are generator truth, 0-based top-to-bottom / left-to-right."""
+    rng = random.Random(42_424_242)
+    cols = {k: [] for k in ("doc_id", "cell_id", "x1", "y1", "x2", "y2",
+                            "true_row", "true_col")}
+    for did in range(120):
+        n_rows, n_cols = rng.randint(3, 8), rng.randint(2, 6)
+        heights = [rng.randint(28, 80) for _ in range(n_rows)]
+        widths = [rng.randint(60, 220) for _ in range(n_cols)]
+        rgaps = [rng.randint(6, 14) for _ in range(n_rows)]
+        cgaps = [rng.randint(6, 14) for _ in range(n_cols)]
+        y = float(rng.randint(40, 120))
+        cid = 0
+        ys = []
+        for r in range(n_rows):
+            ys.append(y)
+            y += heights[r] + rgaps[r]
+        xs = []
+        x = float(rng.randint(30, 90))
+        for c in range(n_cols):
+            xs.append(x)
+            x += widths[c] + cgaps[c]
+        for r in range(n_rows):
+            for c in range(n_cols):
+                if rng.random() < 0.10 and not (r == 0 or c == 0):
+                    continue  # sparse cell (keep row 0/col 0 complete)
+                i1, i2 = rng.uniform(0, 2), rng.uniform(0, 2)
+                cols["doc_id"].append(did)
+                cols["cell_id"].append(cid)
+                cols["x1"].append(round(xs[c] + i1, 1))
+                cols["y1"].append(round(ys[r] + i2, 1))
+                cols["x2"].append(round(xs[c] + widths[c] - rng.uniform(0, 2), 1))
+                cols["y2"].append(round(ys[r] + heights[r] - rng.uniform(0, 2), 1))
+                cols["true_row"].append(r)
+                cols["true_col"].append(c)
+                cid += 1
+    write(
+        "table_cells.parquet",
+        pa.table(
+            {
+                "doc_id": pa.array(cols["doc_id"], pa.int64()),
+                "cell_id": pa.array(cols["cell_id"], pa.int32()),
+                "x1": pa.array(cols["x1"], pa.float64()),
+                "y1": pa.array(cols["y1"], pa.float64()),
+                "x2": pa.array(cols["x2"], pa.float64()),
+                "y2": pa.array(cols["y2"], pa.float64()),
+                "true_row": pa.array(cols["true_row"], pa.int32()),
+                "true_col": pa.array(cols["true_col"], pa.int32()),
+            }
+        ),
+    )
