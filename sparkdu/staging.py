@@ -4841,3 +4841,104 @@ def layout_table_grid(spark, sf_dir):
              F.col("block_id").alias("col_id"))
     return rows.join(cols, ["doc_id", "cell_id"]).select(
         "doc_id", "cell_id", "row_id", "col_id")
+
+
+def _span_axis(cells, lo: str, hi: str, out_start: str, out_end: str):
+    """Span-aware band assignment for one axis: cluster cells' START
+    coordinates into anchor bands (point islands, gap > 3 — every true
+    row/col has at least one unspanned cell starting there, the planted
+    ABP-table precondition), then a cell's span extent = how many band
+    anchors its [lo, hi] box covers. Plain interval islands would FUSE
+    the rows a rowspan bridges; anchor bands don't. One window pass +
+    one small equi-join on doc_id (bands per doc <= grid size)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(lo, "cell_id")
+    prev_max = F.max(lo).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    brk = F.when(F.col(lo) - prev_max > 3.0, 1).otherwise(0)
+    with_band = cells.withColumn(
+        out_start,
+        F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("int"),
+    )
+    bands = with_band.groupBy("doc_id", out_start).agg(
+        F.min(lo).alias("_band_lo"))
+    ends = (
+        cells.select("doc_id", "cell_id", hi)
+        .join(bands.select("doc_id", "_band_lo"), "doc_id")
+        .filter(F.col("_band_lo") <= F.col(hi))
+        .groupBy("doc_id", "cell_id")
+        .agg((F.count("*") - 1).cast("int").alias(out_end))
+    )
+    return with_band.select("doc_id", "cell_id", out_start).join(
+        ends, ["doc_id", "cell_id"])
+
+
+@q(
+    "layout_table_spans",
+    f"""WITH c AS (
+          SELECT doc_id, cell_id, x1, y1, x2, y2
+          FROM read_parquet('{fx("table_span_cells")}')),
+        rb AS (
+          SELECT doc_id, cell_id, y2, CASE WHEN y1 - max(y1) OVER (
+                   PARTITION BY doc_id ORDER BY y1, cell_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) > 3.0
+                 THEN 1 ELSE 0 END AS brk, y1
+          FROM c),
+        rs AS (
+          SELECT doc_id, cell_id, y2, CAST(sum(brk) OVER (
+                   PARTITION BY doc_id ORDER BY y1, cell_id
+                   ROWS UNBOUNDED PRECEDING) AS INT) AS row_start, y1
+          FROM rb),
+        rband AS (
+          SELECT doc_id, row_start, min(y1) AS band_lo
+          FROM rs GROUP BY doc_id, row_start),
+        re AS (
+          SELECT c.doc_id, c.cell_id,
+                 CAST(count(*) - 1 AS INT) AS row_end
+          FROM c JOIN rband b ON c.doc_id = b.doc_id
+                             AND b.band_lo <= c.y2
+          GROUP BY c.doc_id, c.cell_id),
+        cb AS (
+          SELECT doc_id, cell_id, x2, CASE WHEN x1 - max(x1) OVER (
+                   PARTITION BY doc_id ORDER BY x1, cell_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) > 3.0
+                 THEN 1 ELSE 0 END AS brk, x1
+          FROM c),
+        cs AS (
+          SELECT doc_id, cell_id, x2, CAST(sum(brk) OVER (
+                   PARTITION BY doc_id ORDER BY x1, cell_id
+                   ROWS UNBOUNDED PRECEDING) AS INT) AS col_start, x1
+          FROM cb),
+        cband AS (
+          SELECT doc_id, col_start, min(x1) AS band_lo
+          FROM cs GROUP BY doc_id, col_start),
+        ce AS (
+          SELECT c.doc_id, c.cell_id,
+                 CAST(count(*) - 1 AS INT) AS col_end
+          FROM c JOIN cband b ON c.doc_id = b.doc_id
+                             AND b.band_lo <= c.x2
+          GROUP BY c.doc_id, c.cell_id)
+        SELECT rs.doc_id, rs.cell_id, rs.row_start, re.row_end,
+               cs.col_start, ce.col_end
+        FROM rs JOIN re USING (doc_id, cell_id)
+                JOIN cs USING (doc_id, cell_id)
+                JOIN ce USING (doc_id, cell_id)""",
+)
+def layout_table_spans(spark, sf_dir):
+    """Span-aware table structure [U the upstream's ABP-table suites:
+    merged cells are the norm in historical tables]: plain interval
+    islands FUSE the rows a rowspan bridges, so this uses anchor bands —
+    cluster START coordinates per axis (every true row/col keeps at least
+    one unspanned anchor cell, planted + documented in the fixture), then
+    a cell's (row_start, row_end, col_start, col_end) = its own band plus
+    how many band anchors its box covers. 0-based inclusive, matching the
+    generator truth; tests/test_layout_cls.py asserts EXACT recovery on
+    all cells including every merged one."""
+    cells = spark.read.parquet(fx("table_span_cells")).select(
+        "doc_id", "cell_id", "x1", "y1", "x2", "y2")
+    rows = _span_axis(cells, "y1", "y2", "row_start", "row_end")
+    cols = _span_axis(cells, "x1", "x2", "col_start", "col_end")
+    return rows.join(cols, ["doc_id", "cell_id"]).select(
+        "doc_id", "cell_id", "row_start", "row_end",
+        "col_start", "col_end")

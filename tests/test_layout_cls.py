@@ -82,3 +82,48 @@ def test_table_grid_exact_recovery(spark):
         (F.col("row_id") != F.col("true_row") + 1)
         | (F.col("col_id") != F.col("true_col") + 1)).count()
     assert bad == 0
+
+
+def test_table_spans_exact_recovery(spark):
+    """Span-aware structure: every cell's (row_start,row_end,col_start,
+    col_end) — merged cells included — must equal generator truth; and
+    the fixture must actually contain spans (else the test gates
+    nothing)."""
+    pred = QUERIES["layout_table_spans"](spark, SF)
+    truth = spark.read.parquet(fx("table_span_cells"))
+    j = pred.join(
+        truth.select("doc_id", "cell_id",
+                     F.col("row_start").alias("t_rs"),
+                     F.col("row_end").alias("t_re"),
+                     F.col("col_start").alias("t_cs"),
+                     F.col("col_end").alias("t_ce")),
+        ["doc_id", "cell_id"])
+    assert j.count() == truth.count() == 2113
+    n_span = truth.filter(
+        (F.col("row_end") > F.col("row_start"))
+        | (F.col("col_end") > F.col("col_start"))).count()
+    assert n_span > 100
+    bad = j.filter(
+        (F.col("row_start") != F.col("t_rs"))
+        | (F.col("row_end") != F.col("t_re"))
+        | (F.col("col_start") != F.col("t_cs"))
+        | (F.col("col_end") != F.col("t_ce"))).count()
+    assert bad == 0
+
+
+def test_plain_islands_would_fail_on_spans(spark):
+    """Negative control: the non-span-aware islands operator applied to
+    the span fixture MUST disagree with truth somewhere — proving the
+    anchor-band algorithm is load-bearing, not redundant."""
+    cells = spark.read.parquet(fx("table_span_cells")).select(
+        "doc_id", F.lit(0).alias("part_id"),
+        F.col("cell_id").alias("node_id"), "y1", "y2")
+    from sparkdu.staging import _geom_vblocks
+
+    merged = _geom_vblocks(cells, 3.0)
+    truth = spark.read.parquet(fx("table_span_cells")).select(
+        F.col("doc_id"), F.col("cell_id").alias("node_id"),
+        (F.col("row_start") + 1).alias("want"))
+    n_bad = merged.join(truth, ["doc_id", "node_id"]).filter(
+        F.col("block_id") != F.col("want")).count()
+    assert n_bad > 0

@@ -836,3 +836,79 @@ def make_table_cells() -> None:
             }
         ),
     )
+
+
+def make_table_span_cells() -> None:
+    """table_span_cells.parquet: table layouts WITH merged cells (row/col
+    spans), the shape real ABP-style tables exhibit and where plain
+    interval islands fail by design (a spanning cell bridges the gap its
+    covered rows leave). ~15% of eligible cells span 2 rows or 2 cols
+    (absorbing the covered neighbor). Column 0 and row 0 never span, so
+    every row band has an unspanned start cell and every col band an
+    unspanned left edge — the anchor-band recovery precondition, planted
+    deliberately and documented. Truth: row_start/row_end/col_start/
+    col_end (0-based, inclusive)."""
+    rng = random.Random(777_777)
+    cols = {k: [] for k in ("doc_id", "cell_id", "x1", "y1", "x2", "y2",
+                            "row_start", "row_end", "col_start", "col_end")}
+    for did in range(100):
+        n_rows, n_cols = rng.randint(3, 7), rng.randint(3, 6)
+        heights = [rng.randint(28, 80) for _ in range(n_rows)]
+        widths = [rng.randint(60, 220) for _ in range(n_cols)]
+        rgap, cgap = rng.randint(6, 14), rng.randint(6, 14)
+        ys, y = [], float(rng.randint(40, 120))
+        for r in range(n_rows):
+            ys.append(y)
+            y += heights[r] + rgap
+        xs, x = [], float(rng.randint(30, 90))
+        for c in range(n_cols):
+            xs.append(x)
+            x += widths[c] + cgap
+        taken = [[False] * n_cols for _ in range(n_rows)]
+        cid = 0
+        for r in range(n_rows):
+            for c in range(n_cols):
+                if taken[r][c]:
+                    continue
+                rs = re_ = r
+                cs = ce = c
+                if r > 0 and c > 0 and rng.random() < 0.15:
+                    if (rng.random() < 0.5 and r + 1 < n_rows
+                            and not taken[r + 1][c]):
+                        re_ = r + 1
+                    elif c + 1 < n_cols and not taken[r][c + 1]:
+                        ce = c + 1
+                for rr in range(rs, re_ + 1):
+                    for cc in range(cs, ce + 1):
+                        taken[rr][cc] = True
+                i = rng.uniform(0, 2)
+                cols["doc_id"].append(did)
+                cols["cell_id"].append(cid)
+                cols["x1"].append(round(xs[cs] + i, 1))
+                cols["y1"].append(round(ys[rs] + rng.uniform(0, 2), 1))
+                cols["x2"].append(round(
+                    xs[ce] + widths[ce] - rng.uniform(0, 2), 1))
+                cols["y2"].append(round(
+                    ys[re_] + heights[re_] - rng.uniform(0, 2), 1))
+                cols["row_start"].append(rs)
+                cols["row_end"].append(re_)
+                cols["col_start"].append(cs)
+                cols["col_end"].append(ce)
+                cid += 1
+    write(
+        "table_span_cells.parquet",
+        pa.table(
+            {
+                "doc_id": pa.array(cols["doc_id"], pa.int64()),
+                "cell_id": pa.array(cols["cell_id"], pa.int32()),
+                "x1": pa.array(cols["x1"], pa.float64()),
+                "y1": pa.array(cols["y1"], pa.float64()),
+                "x2": pa.array(cols["x2"], pa.float64()),
+                "y2": pa.array(cols["y2"], pa.float64()),
+                "row_start": pa.array(cols["row_start"], pa.int32()),
+                "row_end": pa.array(cols["row_end"], pa.int32()),
+                "col_start": pa.array(cols["col_start"], pa.int32()),
+                "col_end": pa.array(cols["col_end"], pa.int32()),
+            }
+        ),
+    )
