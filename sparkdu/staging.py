@@ -4727,14 +4727,13 @@ def pdf_geom_blocks(spark, sf_dir):
 # learned region-TYPE classification over native layout geometry
 # ---------------------------------------------------------------------
 
-def _region_cls_sql() -> tuple:
-    """Build the frozen-artifact scoring expressions ONCE, shared verbatim
+def _region_cls_sql() -> str:
+    """Build the frozen-artifact scoring expression ONCE, shared verbatim
     by the Spark selectExpr and the DuckDB oracle: per-class linear scores
     are pure IEEE +,*,/ over decimal-literal weights in identical
     association order (no transcendentals), so the argmax is engine-
-    invariant. Returns (case_expr, score_exprs)."""
-    with open(os.path.join(FIX, "..", "artifacts",
-                           "clf_regions_v1.json")) as fh:
+    invariant. Returns the argmax CASE expression."""
+    with open(os.path.join(_ART, "clf_regions_v1.json")) as fh:
         art = json.load(fh)
     feats = art["feature_exprs"]
     scores = []
@@ -4750,10 +4749,10 @@ def _region_cls_sql() -> tuple:
         f"WHEN {s[2]} >= {s[3]} THEN '{art['classes'][2]}' "
         f"ELSE '{art['classes'][3]}' END"
     )
-    return case, scores
+    return case
 
 
-_REGION_CASE, _REGION_SCORES = _region_cls_sql()
+_REGION_CASE = _region_cls_sql()
 
 
 @q(
@@ -4822,8 +4821,6 @@ def layout_table_grid(spark, sf_dir):
     grids with jittered insets and ~10% sparse cells; the pytest gate
     asserts EXACT recovery (row_id == true_row+1, col_id == true_col+1,
     every cell)."""
-    from .pdf import pdf_runs  # noqa: F401  (module pattern consistency)
-
     cells = spark.read.parquet(fx("table_cells")).select(
         "doc_id", "cell_id", "x1", "y1", "x2", "y2")
     rows = _geom_vblocks(

@@ -37,3 +37,9 @@ def latest_rows(pages_rows):
         if r["url"] not in latest or r["warc_ts"] > latest[r["url"]]["warc_ts"]:
             latest[r["url"]] = r
     return latest
+
+
+def plan_of(df) -> str:
+    """Formatted physical plan (shared by the plan-shape test files)."""
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")

@@ -14,17 +14,12 @@ from sparkdu.harness import QUERIES, fx
 SF = "/root/testdata/sf0.01"
 
 
-def _plan(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted")
+from tests.conftest import plan_of as _plan
 
 
 def test_heldout_accuracy(spark):
     df = QUERIES["layout_region_classify"](spark, SF)
-    test = df.join(
-        spark.read.parquet(fx("layout_regions")).select("doc_id", "node_id"),
-        ["doc_id", "node_id"],
-    ).filter(F.col("doc_id") % 5 == 0)
+    test = df.filter(F.col("doc_id") % 5 == 0)
     n = test.count()
     ok = test.filter(F.col("pred_rtype") == F.col("rtype")).count()
     art = json.load(open("artifacts/clf_regions_v1.json"))

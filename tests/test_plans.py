@@ -9,8 +9,7 @@ import pytest
 from pyspark.sql import functions as F
 
 
-def _plan(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+from tests.conftest import plan_of as _plan
 
 
 @pytest.fixture(scope="module")

@@ -912,3 +912,11 @@ def make_table_span_cells() -> None:
             }
         ),
     )
+
+
+if __name__ == "__main__":
+    # defined below the primary __main__ block, so invoked here: the
+    # documented regeneration entry point must produce EVERY committed
+    # fixture (tests/test_layout_cls.py reads both)
+    make_table_cells()
+    make_table_span_cells()
