@@ -1717,76 +1717,78 @@ def tpch_q4ish(spark, sf_dir):
 
 
 # =====================================================================
-# Driver-window ordering (round 4)
+# Driver-window ordering (round 5)
 # =====================================================================
 # The driver verifies roughly the first 50 keys of queries() in insertion
-# order.  Union of CORRECTNESS_r01-r03 = 89 keys attested (87 healthy,
-# 2 errs now fixed); rotating banked keys behind costs nothing, so this
-# round's window is: the 2 fixed err keys first (re-attest the array->
-# string fix), then 48 never-driver-checked SQL-oracled keys — every one
-# re-verified green by tools/check_harness.py at sf0.01 this session, all
-# under 8s wall each.  The ~42 still-pending keys (20 SQL + 22 rows-only,
-# incl. the snapshot DML / graph fixpoint / ANN-PQ families) are round 5's
-# window — see VERDICT r3 "Next round" #6.  FROZEN for round 4 —
-# post-freeze operators go to sparkdu/staging.py and register after
-# everything here.
+# order.  Union of CORRECTNESS_r01-r04 = 137 keys attested, all healthy;
+# rotating banked keys behind costs nothing.  This round's window is the
+# 56 never-driver-checked keys from tools/r5_window_plan.json: all 33
+# SQL-oracled keys first, then 17 of the 23 rows-only keys — the 6
+# SLOWEST rows-only keys by measured sf0.01 wall (dedup_incremental_near
+# 20.3s, graph_hits 10.6s, sim_ann_ivfpq 9.8s, graph_pagerank 9.5s,
+# sim_ann_pq 9.3s, incremental_extract 6.6s; /tmp timing run 2026-08-18)
+# are pushed past position 50 and stay pytest-gated, exactly as the plan
+# prescribed.  Net: every one of the 154 SQL-oracled keys is driver-
+# attested by end of round 5.  FROZEN for round 5 — post-freeze operators
+# go to sparkdu/staging.py and register after everything here.
 DRIVER_PRIORITY: list[str] = [
-    # -- r3 driver errs, fixed this round (arrays stringified) --
-    "emb_quantize_int8",
-    "mm_decode_features",
-    # -- never driver-checked, SQL-oracled: TPC-H tail --
-    "tpch_q2ish",
-    "tpch_q7ish",
-    "tpch_q8ish",
-    "tpch_q9ish",
-    "tpch_q10ish",
-    "tpch_q11ish",
-    "tpch_q12ish",
-    "tpch_q13ish",
-    "tpch_q15ish",
-    "tpch_q16ish",
-    "tpch_q17ish",
-    "tpch_q18ish",
-    "tpch_q19ish",
-    "tpch_q20ish",
-    "tpch_q21ish",
-    "tpch_q22ish",
-    # -- text/corpus quality + dedup families --
-    "text_repetition",
-    "text_pii_redact",
-    "text_para_dedup",
-    "text_lm_score",
-    "text_topgram_frac",
-    "text_inverted_postings",
-    "text_boolean_search",
-    "text_bm25_topk",
-    "dedup_contamination",
-    "dedup_cc_components",
-    "dedup_dup_spans",
-    "dedup_span_rewrite",
-    "dedup_url_canon_latest",
-    "dedup_incremental_exact",
-    # -- sampling / packing / filtering --
-    "sample_domain_temp",
-    "sample_split_assign",
-    "pack_seq_chunks",
-    "filter_domain_blocklist",
-    "agg_salted_skew",
-    "agg_ngram_topk",
-    "agg_domain_stats",
-    "fn_url_canon",
-    "win_event_funnel",
-    "win_gap_fill",
-    # -- multimodal pixel/AV decode (real decoders, generator-truth SQL) --
-    "mm_audio_features",
-    "mm_image_pixels",
-    "mm_gif_pixels",
-    "mm_jpeg_pixels",
-    "mm_video_meta",
-    "mm_video_pixels",
-    # -- crawl + markdown --
-    "crawl_robots_allow",
-    "extract_markdown",
+    # -- never driver-checked, SQL-oracled: layout / text / corpus --
+    "layout_zorder",
+    "text_chunk_windows",
+    "split_domain_disjoint",
+    "corpus_links",
+    "corpus_indegree",
+    "text_quality_gopher",
+    "text_dsir_weight",
+    "corpus_anchor_text",
+    "corpus_link_hygiene",
+    # -- crawl family --
+    "crawl_recrawl_priority",
+    "crawl_frontier",
+    "crawl_redirect_resolve",
+    "crawl_url_templates",
+    "crawl_sitemap_gap",
+    "crawl_fetch_schedule",
+    "mm_sniff_mime",
+    # -- text scoring tail --
+    "text_keyword_topk",
+    "text_readability",
+    "agg_grouping_sets",
+    "agg_retention_cohorts",
+    # -- PAGE-XML native ingest leg --
+    "scan_pagexml_nodes",
+    "pagexml_vedges",
+    "pagexml_reading_order",
+    "pagexml_extract_text",
+    "pagexml_geom_blocks",
+    # -- PDF native ingest leg --
+    "scan_pdf_runs",
+    "scan_pdf_pages",
+    "pdf_extract_text",
+    "pdf_vedges",
+    "pdf_geom_blocks",
+    # -- learned layout understanding --
+    "layout_region_classify",
+    "layout_table_grid",
+    "layout_table_spans",
+    # -- rows-only (driver records a rows-only row; pytest is the gate) --
+    "pack_greedy_bins",
+    "agg_hll_mergeable",
+    "stream_snapshot_sink_once",
+    "dedup_semantic",
+    "bpe_train_merges",
+    "text_bpe_encode",
+    "snapshot_diff",
+    "sketch_countmin",
+    "dedup_bloom_prefilter",
+    "graph_trustrank",
+    "snapshot_merge",
+    "snapshot_delete",
+    "snapshot_prune_stats",
+    "snapshot_zorder_prune",
+    "snapshot_delete_mor",
+    "snapshot_wap",
+    "stream_extract_pipeline_once",
 ]
 
 

@@ -9,25 +9,32 @@ mapInPandas over the binary column: no per-row Python on the driver, no
 shuffle, scale-identical to the HTML/PAGE-XML parse stages.
 
 Format reference is the PUBLIC ISO 32000-1 spec (the classic PDF 1.x
-subset): header, body of indirect objects, a classic cross-reference table,
-trailer with /Root. Implemented object syntax: dictionaries, arrays, names,
-numbers, literal strings (with escapes and octal), hex strings, booleans,
-null, indirect references, and streams (with direct or INDIRECT /Length and
-optional /FlateDecode via stdlib zlib). Document structure: catalog ->
-/Pages tree (interior nodes recursed, /MediaBox INHERITED down the tree) ->
-/Page leaves -> /Contents (single stream or array, concatenated). The
-content-stream interpreter tracks the text state per ISO 32000-1 §9.4
-(BT/ET, Tf, Td, TD, Tm, T*, TL, Tj, ', TJ) with full 6-tuple text-matrix
-math and emits one run per show operator (a TJ array concatenates its
-string elements; its kerning numbers adjust glyph spacing, not the run's
-anchor). Everything else in a content stream (graphics operators, colors,
-paths) is operand-stack noise and is skipped.
+subset): header, body of indirect objects, classic cross-reference
+table(s) — incremental updates followed via trailer /Prev, newest section
+wins per object — trailer with /Root. Implemented object syntax:
+dictionaries, arrays, names, numbers, literal strings (with escapes and
+octal), hex strings, booleans, null, indirect references, and streams
+(with direct or INDIRECT /Length and optional /FlateDecode via stdlib
+zlib). Document structure: catalog -> /Pages tree (interior nodes
+recursed, /MediaBox INHERITED down the tree) -> /Page leaves -> /Contents
+(single stream or array, concatenated; ABSENT /Contents is a valid empty
+page). The content-stream interpreter tracks the text state per ISO
+32000-1 §9.4 (BT/ET, Tf, Td, TD, Tm, T*, TL, Tj, ', ", TJ) with full
+6-tuple text-matrix math composed with the CTM (q/Q/cm) and emits one run
+per show operator (a TJ array concatenates its string elements; its
+kerning numbers adjust glyph spacing, not the run's anchor). Operators
+PROVEN harmless to text (colors, paths, dash/line state, marked content —
+the _SKIP_OPS allowlist) are operand-stack noise; any OTHER operator
+fails the document whole, because "unknown == skip" silently yields
+partial text with had_error=0 (a skipped `Do` drops a form XObject's
+text; `BI` inline-image data desyncs the tokenizer). Xref streams /
+object streams (PDF 1.5+) are out of the classic subset and fail whole.
 
 Fail-whole per document, the same contract as the PAGE-XML and image/AV
-decoders: malformed xref, a broken object, an undecodable stream, or a
-missing /MediaBox anywhere rejects the WHOLE document (None / no rows),
-because a partially-ingested layout silently corrupts downstream reading
-order and neighbor graphs.
+decoders: malformed xref, a broken object, an undecodable stream, a
+missing /MediaBox, or an unsupported operator anywhere rejects the WHOLE
+document (None / no rows), because a partially-ingested layout silently
+corrupts downstream reading order and neighbor graphs.
 """
 
 from __future__ import annotations
@@ -239,30 +246,51 @@ class _Doc:
             pass
         if m is None:
             raise ValueError("no startxref")
-        xref_off = int(m.group(1))
-        i = _skip_ws(b, xref_off)
-        if b[i : i + 4] != b"xref":
-            raise ValueError("xref keyword missing (xref streams unsupported)")
-        i += 4
+        # Incrementally-updated PDFs chain xref sections via trailer /Prev
+        # (ISO 32000-1 §7.5.6): walk newest -> oldest; the FIRST section
+        # to mention an object id decides it (newest update wins, and a
+        # freed entry in a newer section shadows an older in-use one).
         self.offsets: dict[int, int] = {}
-        while True:
-            i = _skip_ws(b, i)
-            if b[i : i + 7] == b"trailer":
-                i += 7
-                break
-            tok, i = _read_token(b, i)  # subsection start
-            start = int(tok)
-            tok, i = _read_token(b, _skip_ws(b, i))  # subsection count
-            count = int(tok)
-            for k in range(count):
+        self.trailer: dict = {}
+        decided: set[int] = set()
+        seen_off: set[int] = set()
+        xref_off: Optional[int] = int(m.group(1))
+        while xref_off is not None:
+            if xref_off in seen_off:
+                raise ValueError("xref /Prev cycle")
+            seen_off.add(xref_off)
+            i = _skip_ws(b, xref_off)
+            if b[i : i + 4] != b"xref":
+                raise ValueError(
+                    "xref keyword missing (xref streams unsupported)"
+                )
+            i += 4
+            while True:
                 i = _skip_ws(b, i)
-                ent = b[i : i + 18]
-                off, _gen, kind = ent[:10], ent[11:16], ent[17:18]
-                if kind == b"n":
-                    self.offsets[start + k] = int(off)
-                i += 18
-        self.trailer, _ = _parse_value(b, _skip_ws(b, i))
-        if not isinstance(self.trailer, dict) or "Root" not in self.trailer:
+                if b[i : i + 7] == b"trailer":
+                    i += 7
+                    break
+                tok, i = _read_token(b, i)  # subsection start
+                start = int(tok)
+                tok, i = _read_token(b, _skip_ws(b, i))  # subsection count
+                count = int(tok)
+                for k in range(count):
+                    i = _skip_ws(b, i)
+                    ent = b[i : i + 18]
+                    off, _gen, kind = ent[:10], ent[11:16], ent[17:18]
+                    if start + k not in decided:
+                        decided.add(start + k)
+                        if kind == b"n":
+                            self.offsets[start + k] = int(off)
+                    i += 18
+            trailer, _ = _parse_value(b, _skip_ws(b, i))
+            if not isinstance(trailer, dict):
+                raise ValueError("bad trailer")
+            if not self.trailer:  # newest trailer is authoritative
+                self.trailer = trailer
+            prev = trailer.get("Prev")  # direct integer per spec
+            xref_off = prev if isinstance(prev, int) else None
+        if "Root" not in self.trailer:
             raise ValueError("trailer has no /Root")
         self._cache: dict[int, tuple] = {}
 
@@ -328,13 +356,42 @@ def _mat_mul(m1, m2):
 _ID = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
 
 
+# Operators we consciously SKIP because they cannot move, hide, or add
+# text: color/shading state, path construction + painting, line/dash/
+# rendering-intent state, and marked-content markers. Anything NOT in this
+# set and not explicitly interpreted below fails the document whole —
+# "unknown == harmless" silently corrupts extraction (a skipped `Do` drops
+# a form XObject's text; a skipped text op desyncs the text matrix).
+_SKIP_OPS = frozenset(
+    # colors / shading
+    "g rg k cs sc scn G RG K CS SC SCN sh "
+    # paths: construct + paint + clip
+    "m l c v y h re S s f F f* B B* b b* n W W* "
+    # general graphics state that never repositions text
+    "gs w J j M d ri i "
+    # marked content / compatibility sections
+    "BMC BDC EMC MP DP BX EX "
+    # text state that does not move the run anchor we emit (char/word
+    # spacing, horizontal scale, render mode, rise adjust glyph layout
+    # inside a run, not the run's anchor or its characters)
+    "Tc Tw Tz Tr Ts".split()
+)
+
+
 def _interp_content(content: bytes) -> list:
     """Interpret a page content stream -> [(x, y, size, text), ...] in
-    document order. Operand-stack model: unknown operators consume and
-    discard their operands (ISO 32000-1 §8.2)."""
+    document order. Text state per ISO 32000-1 §9.4 (BT/ET, Tf, Td, TD,
+    Tm, T*, TL, Tj, ', \", TJ) composed with the CTM (q/Q/cm, §8.4.4):
+    the emitted anchor is the translation of Tm x CTM. Operators proven
+    harmless to text (_SKIP_OPS) discard their operands; any OTHER
+    operator raises so the document fails whole — notably `Do` (a form
+    XObject may contain text we cannot reach) and `BI` (inline image data
+    would desync the tokenizer)."""
     runs = []
     stack: list = []
     tm = tlm = _ID
+    ctm = _ID
+    gs_stack: list = []
     tl = 0.0
     size = 0.0
     in_text = False
@@ -342,14 +399,16 @@ def _interp_content(content: bytes) -> list:
     n = len(content)
 
     def _emit(raw):
+        if not in_text:  # show op outside BT/ET: invalid per §9.4.3
+            raise ValueError("show operator outside text object")
         if isinstance(raw, bytes):
             txt = raw.decode("latin-1")
         else:  # TJ array: strings concatenated, kerning numbers skipped
             txt = b"".join(e for e in raw if isinstance(e, bytes)).decode(
                 "latin-1"
             )
-        if in_text:
-            runs.append((tm[4], tm[5], size, txt))
+        m = _mat_mul(tm, ctm)
+        runs.append((m[4], m[5], size, txt))
 
     while True:
         i = _skip_ws(content, i)
@@ -373,6 +432,12 @@ def _interp_content(content: bytes) -> list:
             in_text = True
         elif op == "ET":
             in_text = False
+        elif op == "q":
+            gs_stack.append(ctm)
+        elif op == "Q":
+            ctm = gs_stack.pop() if gs_stack else _ID
+        elif op == "cm":
+            ctm = _mat_mul(tuple(float(v) for v in stack[-6:]), ctm)
         elif op == "Tf":
             size = float(stack[-1])
         elif op == "TL":
@@ -390,10 +455,13 @@ def _interp_content(content: bytes) -> list:
             tm = tlm
         elif op == "Tj" or op == "TJ":
             _emit(stack[-1])
-        elif op == "'":
+        elif op == "'" or op == '"':
+            # ": aw ac string — word/char spacing don't move the anchor
             tlm = _mat_mul((1.0, 0.0, 0.0, 1.0, 0.0, -tl), tlm)
             tm = tlm
             _emit(stack[-1])
+        elif op not in _SKIP_OPS:
+            raise ValueError(f"unsupported content operator {op!r}")
         stack = []
     return runs
 
@@ -443,6 +511,9 @@ def parse_pdf(b: bytes) -> Optional[dict]:
         for part_id, (page, mb) in enumerate(leaves):
             w, h = mb[2] - mb[0], mb[3] - mb[1]
             dims.append((w, h))
+            if page.get("Contents") is None:
+                continue  # /Contents is optional (ISO 32000-1 Table 30):
+                # a valid EMPTY page — zero runs, dims still counted
             contents = doc.resolve(page.get("Contents"))
             chunks = []
             refs = contents if isinstance(contents, list) else [

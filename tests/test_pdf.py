@@ -167,6 +167,124 @@ def test_malformed_fail_whole(mutate):
     assert parse_pdf(mutate(BASE)) is None
 
 
+def test_quote_show_operators():
+    """' and \" both advance to the next line (TL leading) then show; \"'s
+    word/char-spacing operands don't move the anchor."""
+    content = (b"BT\n/F1 11 Tf\n14 TL\n100 600 Td\n(l1) Tj\n"
+               b"(l2) '\n-2 1 (l3) \"\nET")
+    p = parse_pdf(_one_page_pdf(content))
+    assert p is not None
+    assert [(r["x"], r["y"], r["size"], r["text"]) for r in p["runs"]] == [
+        (100.0, 600.0, 11.0, "l1"),
+        (100.0, 586.0, 11.0, "l2"),
+        (100.0, 572.0, 11.0, "l3"),
+    ]
+
+
+def test_ctm_composes_into_run_anchor():
+    """q/Q/cm: the emitted anchor is the translation of Tm x CTM."""
+    content = (b"q\n1 0 0 1 10 20 cm\n"
+               b"BT /F1 12 Tf 50 100 Td (a) Tj ET\n"
+               b"Q\n"
+               b"BT /F1 12 Tf 50 100 Td (b) Tj ET\n"
+               b"2 0 0 3 0 0 cm\n"
+               b"BT /F1 12 Tf 10 10 Td (c) Tj ET")
+    p = parse_pdf(_one_page_pdf(content))
+    assert p is not None
+    assert [(r["x"], r["y"], r["text"]) for r in p["runs"]] == [
+        (60.0, 120.0, "a"),    # translate(10,20) CTM
+        (50.0, 100.0, "b"),    # Q restored identity
+        (20.0, 30.0, "c"),     # scale(2,3) CTM
+    ]
+
+
+def test_harmless_ops_skipped():
+    """Colors / paths / dash state / marked content are operand-stack
+    noise — they must not move or drop text."""
+    content = (b"0.5 g\n/GS1 gs\n10 10 m 100 100 l S\n"
+               b"30 30 200 40 re f\n/MC BMC\n"
+               b"BT /F1 12 Tf 1 0 0 1 50 50 Tm 0.1 Tc 2 Tw (x) Tj ET\n"
+               b"EMC")
+    p = parse_pdf(_one_page_pdf(content))
+    assert p is not None
+    assert [(r["x"], r["y"], r["size"], r["text"]) for r in p["runs"]] == [
+        (50.0, 50.0, 12.0, "x")
+    ]
+
+
+@pytest.mark.parametrize("content", [
+    b"BT /F1 12 Tf 10 10 Td (x) Tj XX ET",   # unknown op in text object
+    b"/Im1 Do",                               # form XObject: may hold text
+    b"BI /W 1 /H 1 ID \x00 EI",               # inline image: desyncs lexer
+    b"(orphan) Tj",                           # show outside BT/ET
+])
+def test_unsupported_operators_fail_whole(content):
+    """ADVICE r4: text shown via/after unsupported operators must not be
+    silently discarded as stack noise — the document fails whole."""
+    assert parse_pdf(_one_page_pdf(content)) is None
+
+
+def test_page_without_contents_is_valid_empty_page():
+    """/Contents is optional (ISO 32000-1 Table 30): a page without it is
+    a valid EMPTY page — zero runs, dims still counted, document OK."""
+    c1 = b"BT /F1 10 Tf 60 400 Td (p1) Tj ET"
+    pdf = _assemble({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /MediaBox [0 0 500 600] "
+           b"/Kids [ 3 0 R 4 0 R ] /Count 2 >>",
+        3: b"<< /Type /Page /Parent 2 0 R >>",
+        4: b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>",
+        5: b"<< /Length %d >>\nstream\n%s\nendstream" % (len(c1), c1),
+    })
+    p = parse_pdf(pdf)
+    assert p is not None and p["pages"] == [(500.0, 600.0)] * 2
+    assert [(r["part_id"], r["text"]) for r in p["runs"]] == [(1, "p1")]
+
+
+def test_incremental_update_prev_chain():
+    """Trailer /Prev chains merge newest-first: an appended update that
+    replaces the content stream (object 4) must win over the original."""
+    import re as _re
+
+    new_c = b"BT /F1 12 Tf 30 40 Td (updated) Tj ET"
+    obj = (b"4 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+           % (len(new_c), new_c))
+    out = bytearray(BASE)
+    obj_off = len(out)
+    out += obj
+    xref_off = len(out)
+    prev_off = int(_re.search(rb"startxref\s+(\d+)", BASE[-256:]).group(1))
+    out += b"xref\n4 1\n%010d 00000 n \n" % obj_off
+    out += (b"trailer\n<< /Size 6 /Root 1 0 R /Prev %d >>\n"
+            b"startxref\n%d\n%%%%EOF\n" % (prev_off, xref_off))
+    p = parse_pdf(bytes(out))
+    assert p is not None
+    assert [(r["x"], r["y"], r["text"]) for r in p["runs"]] == [
+        (30.0, 40.0, "updated")
+    ]
+
+
+def test_incremental_update_freed_object_and_prev_cycle():
+    import re as _re
+
+    prev_off = int(_re.search(rb"startxref\s+(\d+)", BASE[-256:]).group(1))
+    # (a) newer section FREES object 4 (the /Contents): resolving it must
+    # fail the document whole, not fall back to the older live entry
+    out = bytearray(BASE)
+    xref_off = len(out)
+    out += b"xref\n4 1\n0000000000 65535 f \n"
+    out += (b"trailer\n<< /Size 6 /Root 1 0 R /Prev %d >>\n"
+            b"startxref\n%d\n%%%%EOF\n" % (prev_off, xref_off))
+    assert parse_pdf(bytes(out)) is None
+    # (b) /Prev pointing at the SAME section = cycle: fail whole
+    out = bytearray(BASE)
+    xref_off = len(out)
+    out += b"xref\n0 0\n"
+    out += (b"trailer\n<< /Size 6 /Root 1 0 R /Prev %d >>\n"
+            b"startxref\n%d\n%%%%EOF\n" % (xref_off, xref_off))
+    assert parse_pdf(bytes(out)) is None
+
+
 def test_string_and_value_parsers():
     s, _ = _parse_literal_string(b"(a\\(b\\)c\\\\d\\n\\101)", 0)
     assert s == b"a(b)c\\d\nA"

@@ -758,26 +758,6 @@ def make_pdf() -> None:
     )
 
 
-if __name__ == "__main__":
-    main()
-    make_edges()
-    make_audio()
-    make_images_px()
-    make_images_gif()
-    make_images_jpeg()
-    make_videos()
-    make_avis()
-    make_model_golden()
-    make_model_golden("clf_v3_hi.json", "golden_extracted_model_v3.parquet")
-    make_idf_table()
-    make_links()
-    make_robots()
-    make_redirects()
-    make_sitemaps()
-    make_pagexml()
-    make_pdf()
-
-
 def make_table_cells() -> None:
     """table_cells.parquet: deterministic table-layout fixtures for the
     2-D grid-recovery operator (the upstream's table-understanding task:
@@ -914,9 +894,31 @@ def make_table_span_cells() -> None:
     )
 
 
-if __name__ == "__main__":
-    # defined below the primary __main__ block, so invoked here: the
-    # documented regeneration entry point must produce EVERY committed
-    # fixture (tests/test_layout_cls.py reads both)
+def regenerate_all() -> None:
+    """The single documented regeneration entry point: produces EVERY
+    committed fixture. New generators must be appended HERE (the only
+    __main__ block is at the end of the file, after all defs, so nothing
+    can be defined 'below main' and silently skipped)."""
+    main()
+    make_edges()
+    make_audio()
+    make_images_px()
+    make_images_gif()
+    make_images_jpeg()
+    make_videos()
+    make_avis()
+    make_model_golden()
+    make_model_golden("clf_v3_hi.json", "golden_extracted_model_v3.parquet")
+    make_idf_table()
+    make_links()
+    make_robots()
+    make_redirects()
+    make_sitemaps()
+    make_pagexml()
+    make_pdf()
     make_table_cells()
     make_table_span_cells()
+
+
+if __name__ == "__main__":
+    regenerate_all()
