@@ -8,10 +8,13 @@ engine's run-table shape with REAL page geometry — one vectorized
 mapInPandas over the binary column: no per-row Python on the driver, no
 shuffle, scale-identical to the HTML/PAGE-XML parse stages.
 
-Format reference is the PUBLIC ISO 32000-1 spec (the classic PDF 1.x
-subset): header, body of indirect objects, classic cross-reference
-table(s) — incremental updates followed via trailer /Prev, newest section
-wins per object — trailer with /Root. Implemented object syntax:
+Format reference is the PUBLIC ISO 32000-1 spec: header, body of indirect
+objects, cross-reference data as classic xref table(s) OR cross-reference
+STREAMS (§7.5.8: /W field widths, /Index subsections, FlateDecode +
+PNG-predictor /DecodeParms per RFC 2083) with compressed objects in
+object streams (§7.5.7), hybrid-reference files via /XRefStm —
+incremental updates followed via trailer /Prev, newest section wins per
+object — trailer with /Root. Implemented object syntax:
 dictionaries, arrays, names, numbers, literal strings (with escapes and
 octal), hex strings, booleans, null, indirect references, and streams
 (with direct or INDIRECT /Length and optional /FlateDecode via stdlib
@@ -27,8 +30,7 @@ PROVEN harmless to text (colors, paths, dash/line state, marked content —
 the _SKIP_OPS allowlist) are operand-stack noise; any OTHER operator
 fails the document whole, because "unknown == skip" silently yields
 partial text with had_error=0 (a skipped `Do` drops a form XObject's
-text; `BI` inline-image data desyncs the tokenizer). Xref streams /
-object streams (PDF 1.5+) are out of the classic subset and fail whole.
+text; `BI` inline-image data desyncs the tokenizer).
 
 Fail-whole per document, the same contract as the PAGE-XML and image/AV
 decoders: malformed xref, a broken object, an undecodable stream, a
@@ -235,8 +237,54 @@ def _parse_value(b: bytes, i: int) -> tuple:
     raise ValueError(f"unexpected token {tok[:20]!r}")
 
 
+def _png_unpredict(data: bytes, predictor: int, columns: int) -> bytes:
+    """Reverse PNG row predictors (RFC 2083 §6) on byte-wide samples, the
+    /DecodeParms form xref streams use (Colors=1, BitsPerComponent=8, so
+    bpp=1). Predictor 1 = identity; 10..15 = PNG: each row is prefixed by
+    a per-row filter byte (None/Sub/Up/Average/Paeth)."""
+    if predictor <= 1:
+        return data
+    if predictor < 10:
+        raise ValueError(f"unsupported predictor {predictor}")
+    rowlen = columns + 1
+    if columns <= 0 or len(data) % rowlen:
+        raise ValueError("predictor row misalignment")
+    out = bytearray()
+    prev = bytes(columns)
+    for r in range(0, len(data), rowlen):
+        ft = data[r]
+        row = bytearray(data[r + 1 : r + rowlen])
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub
+            for j in range(1, columns):
+                row[j] = (row[j] + row[j - 1]) & 0xFF
+        elif ft == 2:  # Up
+            for j in range(columns):
+                row[j] = (row[j] + prev[j]) & 0xFF
+        elif ft == 3:  # Average
+            for j in range(columns):
+                left = row[j - 1] if j else 0
+                row[j] = (row[j] + (left + prev[j]) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for j in range(columns):
+                a = row[j - 1] if j else 0
+                bb, cc = prev[j], (prev[j - 1] if j else 0)
+                p = a + bb - cc
+                pa, pb, pc = abs(p - a), abs(p - bb), abs(p - cc)
+                pr = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else cc)
+                row[j] = (row[j] + pr) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter byte {ft}")
+        out += row
+        prev = row
+    return bytes(out)
+
+
 class _Doc:
-    """Lazy object store over a classic-xref PDF body."""
+    """Lazy object store over a PDF body: classic xref tables AND
+    cross-reference streams (ISO 32000-1 §7.5.8) with compressed objects
+    in object streams (§7.5.7)."""
 
     def __init__(self, b: bytes):
         self.b = b
@@ -250,56 +298,213 @@ class _Doc:
         # (ISO 32000-1 §7.5.6): walk newest -> oldest; the FIRST section
         # to mention an object id decides it (newest update wins, and a
         # freed entry in a newer section shadows an older in-use one).
-        self.offsets: dict[int, int] = {}
+        # offsets values: int = byte offset; ("objstm", stm, idx) = object
+        # number `stm`'s object stream, position idx (xref type-2 entry).
+        self.offsets: dict[int, object] = {}
         self.trailer: dict = {}
+        self._cache: dict[int, tuple] = {}
+        self._objstm_cache: dict[int, tuple] = {}
+        self._objstm_loading: set[int] = set()
         decided: set[int] = set()
         seen_off: set[int] = set()
+
+        def commit(entries):
+            for num, loc in entries:
+                if num not in decided:
+                    decided.add(num)
+                    if loc is not None:
+                        self.offsets[num] = loc
+
         xref_off: Optional[int] = int(m.group(1))
         while xref_off is not None:
             if xref_off in seen_off:
                 raise ValueError("xref /Prev cycle")
             seen_off.add(xref_off)
             i = _skip_ws(b, xref_off)
-            if b[i : i + 4] != b"xref":
-                raise ValueError(
-                    "xref keyword missing (xref streams unsupported)"
-                )
-            i += 4
-            while True:
-                i = _skip_ws(b, i)
-                if b[i : i + 7] == b"trailer":
-                    i += 7
-                    break
-                tok, i = _read_token(b, i)  # subsection start
-                start = int(tok)
-                tok, i = _read_token(b, _skip_ws(b, i))  # subsection count
-                count = int(tok)
-                for k in range(count):
-                    i = _skip_ws(b, i)
-                    ent = b[i : i + 18]
-                    off, _gen, kind = ent[:10], ent[11:16], ent[17:18]
-                    if start + k not in decided:
-                        decided.add(start + k)
-                        if kind == b"n":
-                            self.offsets[start + k] = int(off)
-                    i += 18
-            trailer, _ = _parse_value(b, _skip_ws(b, i))
+            if b[i : i + 4] == b"xref":
+                entries, trailer = self._read_classic_section(i + 4)
+            else:
+                entries, trailer = self._read_xref_stream(xref_off)
             if not isinstance(trailer, dict):
                 raise ValueError("bad trailer")
+            # hybrid-reference file (§7.5.8.4): the classic trailer's
+            # /XRefStm entries take precedence over its own section
+            xstm = trailer.get("XRefStm")
+            if isinstance(xstm, int):
+                if xstm in seen_off:
+                    raise ValueError("xref /XRefStm cycle")
+                seen_off.add(xstm)
+                x_entries, _ = self._read_xref_stream(xstm)
+                commit(x_entries)
+            commit(entries)
             if not self.trailer:  # newest trailer is authoritative
                 self.trailer = trailer
             prev = trailer.get("Prev")  # direct integer per spec
             xref_off = prev if isinstance(prev, int) else None
         if "Root" not in self.trailer:
             raise ValueError("trailer has no /Root")
-        self._cache: dict[int, tuple] = {}
+
+    def _read_classic_section(self, i: int) -> tuple:
+        """Classic xref subsections at i (past the 'xref' keyword) ->
+        ([(num, offset_or_None)], trailer_dict)."""
+        b = self.b
+        entries = []
+        while True:
+            i = _skip_ws(b, i)
+            if b[i : i + 7] == b"trailer":
+                i += 7
+                break
+            tok, i = _read_token(b, i)  # subsection start
+            start = int(tok)
+            tok, i = _read_token(b, _skip_ws(b, i))  # subsection count
+            count = int(tok)
+            for k in range(count):
+                i = _skip_ws(b, i)
+                ent = b[i : i + 18]
+                off, _gen, kind = ent[:10], ent[11:16], ent[17:18]
+                entries.append(
+                    (start + k, int(off) if kind == b"n" else None)
+                )
+                i += 18
+        trailer, _ = _parse_value(b, _skip_ws(b, i))
+        return entries, trailer
+
+    def _read_xref_stream(self, off: int) -> tuple:
+        """Cross-reference STREAM at byte offset off (§7.5.8) ->
+        ([(num, loc_or_None)], stream_dict). The stream dict doubles as
+        the trailer (/Root /Prev live there). /Length, /W, /Index,
+        /DecodeParms must be DIRECT here — the xref needed to resolve an
+        indirect value is the very thing being built."""
+        b = self.b
+        i = _skip_ws(b, off)
+        tok, i = _read_token(b, i)
+        if not tok.isdigit():
+            raise ValueError("xref stream: not an indirect object")
+        _gen, i = _read_token(b, _skip_ws(b, i))
+        kw, i = _read_token(b, _skip_ws(b, i))
+        if kw != b"obj":
+            raise ValueError("xref stream: obj keyword missing")
+        val, i = _parse_value(b, i)
+        if not isinstance(val, dict) or str(val.get("Type")) != "XRef":
+            raise ValueError("xref stream: /Type /XRef missing")
+        if not isinstance(val.get("Length"), int):
+            raise ValueError("xref stream: /Length must be direct")
+        data = self._read_stream_data(val, i, val["Length"])
+        parms = val.get("DecodeParms") or {}
+        if not isinstance(parms, dict):
+            raise ValueError("xref stream: /DecodeParms must be direct")
+        data = _png_unpredict(
+            data, int(parms.get("Predictor", 1)), int(parms.get("Columns", 1))
+        )
+        w = val.get("W")
+        if (not isinstance(w, list) or len(w) != 3
+                or not all(isinstance(x, int) and 0 <= x <= 8 for x in w)):
+            raise ValueError("xref stream: bad /W")
+        w1, w2, w3 = w
+        size = val.get("Size")
+        index = val.get("Index", [0, size])
+        if (not isinstance(index, list) or len(index) % 2
+                or not all(isinstance(x, int) for x in index)):
+            raise ValueError("xref stream: bad /Index")
+        rowlen = w1 + w2 + w3
+        n_rows = sum(index[k + 1] for k in range(0, len(index), 2))
+        if rowlen <= 0 or len(data) < n_rows * rowlen:
+            raise ValueError("xref stream: data shorter than /Index")
+        entries = []
+        pos = 0
+
+        def field(width, default):
+            nonlocal pos
+            if width == 0:
+                return default
+            v = int.from_bytes(data[pos : pos + width], "big")
+            pos += width
+            return v
+
+        for k in range(0, len(index), 2):
+            start, count = index[k], index[k + 1]
+            for num in range(start, start + count):
+                typ = field(w1, 1)  # absent type field defaults to 1
+                f2 = field(w2, 0)
+                f3 = field(w3, 0)
+                if typ == 0:
+                    entries.append((num, None))
+                elif typ == 1:
+                    entries.append((num, f2))
+                elif typ == 2:
+                    entries.append((num, ("objstm", f2, f3)))
+                else:  # §7.5.8.3: unknown types SHALL be treated as free
+                    entries.append((num, None))
+        return entries, val
+
+    def _read_stream_data(self, val: dict, i: int, length: int) -> bytes:
+        """Raw stream bytes following the dict that ends at i, de-filtered
+        (FlateDecode only, like everything else in this subset)."""
+        b = self.b
+        i = _skip_ws(b, i)
+        if b[i : i + 6] != b"stream":
+            raise ValueError("stream keyword missing")
+        i += 6
+        if b[i : i + 2] == b"\r\n":
+            i += 2
+        elif b[i : i + 1] == b"\n":
+            i += 1
+        data = b[i : i + length]
+        if len(data) != length:
+            raise ValueError("stream truncated")
+        filt = val.get("Filter")
+        if filt is not None:
+            filts = filt if isinstance(filt, list) else [filt]
+            for fl in filts:
+                if str(fl) == "FlateDecode":
+                    data = zlib.decompress(data)
+                else:
+                    raise ValueError(f"unsupported filter {fl}")
+        return data
+
+    def _objstm_get(self, stm_num: int, idx: int, want: int):
+        """Object idx inside object stream stm_num (§7.5.7); the header's
+        object number at idx must equal `want`."""
+        if stm_num in self._objstm_loading:
+            raise ValueError("object stream cycle")
+        if stm_num not in self._objstm_cache:
+            self._objstm_loading.add(stm_num)
+            try:
+                val, data = self.obj(stm_num)
+            finally:
+                self._objstm_loading.discard(stm_num)
+            if (not isinstance(val, dict)
+                    or str(val.get("Type")) != "ObjStm" or data is None):
+                raise ValueError("not an object stream")
+            n = self.resolve(val.get("N"))
+            first = self.resolve(val.get("First"))
+            if not isinstance(n, int) or not isinstance(first, int):
+                raise ValueError("object stream: bad /N or /First")
+            pairs = []
+            j = 0
+            for _ in range(n):
+                tok, j = _read_token(data, _skip_ws(data, j))
+                num = int(tok)
+                tok, j = _read_token(data, _skip_ws(data, j))
+                pairs.append((num, int(tok)))
+            self._objstm_cache[stm_num] = (pairs, first, data)
+        pairs, first, data = self._objstm_cache[stm_num]
+        if idx >= len(pairs) or pairs[idx][0] != want:
+            raise ValueError("object stream index mismatch")
+        v, _ = _parse_value(data, first + pairs[idx][1])
+        return v
 
     def obj(self, num: int) -> tuple:
         """-> (value, stream_bytes_or_None), stream already de-filtered."""
         if num in self._cache:
             return self._cache[num]
         b = self.b
-        i = self.offsets[num]
+        loc = self.offsets[num]
+        if isinstance(loc, tuple):  # compressed object in an ObjStm
+            v = self._objstm_get(loc[1], loc[2], num)
+            self._cache[num] = (v, None)  # ObjStm members are never streams
+            return self._cache[num]
+        i = loc
         tok, i = _read_token(b, _skip_ws(b, i))
         if int(tok) != num:
             raise ValueError("xref offset points at wrong object")
@@ -658,6 +863,38 @@ def synth_pdf_bytes(doc_id: int) -> tuple:
     Returns (pdf_bytes, truth_rows) with truth_rows matching
     PDF_RUNS_SCHEMA minus doc_id.
     """
+    rng, objs, cat_id, truth = _synth_pdf_objects(doc_id)
+    order = sorted(objs)  # ids
+    rng.shuffle(order)    # SHUFFLED body order: xref is load-bearing
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+    for oid in order:
+        offsets[oid] = len(out)
+        out += b"%d 0 obj\n" % oid + objs[oid] + b"\nendobj\n"
+    xref_off = len(out)
+    n_obj = max(objs) + 1
+    out += b"xref\n0 %d\n" % n_obj
+    out += b"0000000000 65535 f \n"
+    for oid in range(1, n_obj):
+        out += b"%010d 00000 n \n" % offsets[oid]
+    out += (
+        b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (n_obj, cat_id, xref_off)
+    )
+    payload = bytes(out)
+    if doc_id % 11 == 10:  # truncated document: fail-whole, no truth
+        return payload[: len(payload) * 2 // 3], []
+    return payload, truth
+
+
+def _synth_pdf_objects(doc_id: int) -> tuple:
+    """Shared object/truth synthesis behind synth_pdf_bytes (classic 1.4
+    assembly) and synth_pdf15_bytes (xref-stream 1.5 assembly): the SAME
+    logical document either way, so the two physical formats must extract
+    byte-identically. Returns (rng, objs, cat_id, truth); rng is handed
+    back mid-sequence so the classic assembler's body shuffle consumes
+    exactly the draws it did before this refactor (committed fixture
+    bytes must not change)."""
     rng = random.Random(SEED_BASE + 888_000_000 + doc_id)
     n_pages = 3 if doc_id % 12 == 4 else (2 if doc_id % 4 == 0 else 1)
     tree_mode = n_pages >= 2 and doc_id % 8 == 0
@@ -840,24 +1077,159 @@ def synth_pdf_bytes(doc_id: int) -> tuple:
             % (b" ".join(b"%d 0 R" % p for p in page_ids), n_pages)
         )
 
-    order = sorted(objs)  # ids
-    rng.shuffle(order)    # SHUFFLED body order: xref is load-bearing
-    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
-    offsets = {}
-    for oid in order:
-        offsets[oid] = len(out)
-        out += b"%d 0 obj\n" % oid + objs[oid] + b"\nendobj\n"
-    xref_off = len(out)
-    n_obj = max(objs) + 1
-    out += b"xref\n0 %d\n" % n_obj
-    out += b"0000000000 65535 f \n"
-    for oid in range(1, n_obj):
-        out += b"%010d 00000 n \n" % offsets[oid]
-    out += (
-        b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-        % (n_obj, cat_id, xref_off)
+    return rng, objs, cat_id, truth
+
+
+def _png_filter_rows(raw: bytes, columns: int, rng) -> bytes:
+    """FORWARD PNG filtering (the generator half; the parser holds the
+    inverse in _png_unpredict): per-row filter type drawn from all five
+    RFC 2083 filters, row prefixed with its filter byte."""
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    out = bytearray()
+    prev = bytes(columns)
+    for r in range(0, len(raw), columns):
+        row = raw[r : r + columns]
+        ft = rng.choice((0, 1, 2, 3, 4))
+        out.append(ft)
+        if ft == 0:
+            out += row
+        elif ft == 1:
+            out += bytes((row[j] - (row[j - 1] if j else 0)) & 0xFF
+                         for j in range(columns))
+        elif ft == 2:
+            out += bytes((row[j] - prev[j]) & 0xFF for j in range(columns))
+        elif ft == 3:
+            out += bytes(
+                (row[j] - ((row[j - 1] if j else 0) + prev[j]) // 2) & 0xFF
+                for j in range(columns))
+        else:
+            out += bytes(
+                (row[j] - paeth(row[j - 1] if j else 0, prev[j],
+                                prev[j - 1] if j else 0)) & 0xFF
+                for j in range(columns))
+        prev = row
+    return bytes(out)
+
+
+def synth_pdf15_bytes(doc_id: int) -> tuple:
+    """The SAME logical document as synth_pdf_bytes(doc_id) assembled as
+    PDF 1.5: cross-reference STREAM instead of a classic table, with the
+    non-stream objects compressed into an object stream. Truth rows are
+    therefore IDENTICAL to the classic leg's — the cross-version
+    differential (same doc_id extracts byte-identically from both
+    physical formats) is the gate. Adversarial knobs, seeded separately
+    from the content rng so the logical document is untouched:
+
+    - ALL non-stream objects (catalog, /Pages nodes, page dicts, font,
+      and the INDIRECT /Length integers) move into one FlateDecode
+      object stream, in shuffled header order — resolving a stream's
+      /Length then requires the full §7.5.7 machinery;
+    - the xref stream alternates raw rows / PNG-predicted rows
+      (/DecodeParms /Predictor 12), with per-row filter types drawn from
+      all five RFC 2083 filters;
+    - /Index splits the object range into two subsections half the time;
+    - every 6th document appends an incremental update: a second xref
+      stream whose /Prev chains to the first and re-points the catalog
+      at a byte-equal copy (newest-wins resolution must pick it);
+    - every 11th document truncates with EMPTY truth, same fail-whole
+      rule as the classic leg.
+    """
+    rng, objs, cat_id, truth = _synth_pdf_objects(doc_id)
+    rng15 = random.Random(SEED_BASE + 889_000_000 + doc_id)
+
+    stream_ids = sorted(o for o in objs if b"endstream" in objs[o])
+    packed_ids = sorted(o for o in objs if o not in set(stream_ids))
+    objstm_id = max(objs) + 1
+    xref_id = max(objs) + 2
+
+    # ---- object stream: header of (num, offset) pairs, then bodies ----
+    rng15.shuffle(packed_ids)
+    bodies, hdr, off = [], [], 0
+    for oid in packed_ids:
+        hdr.append(b"%d %d" % (oid, off))
+        bodies.append(objs[oid])
+        off += len(objs[oid]) + 1
+    header = b" ".join(hdr) + b"\n"
+    payload = header + b" ".join(bodies) + b" "
+    comp = zlib.compress(payload)
+    objstm = (
+        b"<< /Type /ObjStm /N %d /First %d /Length %d "
+        b"/Filter /FlateDecode >>\nstream\n"
+        % (len(packed_ids), len(header), len(comp))
+        + comp + b"\nendstream"
     )
-    payload = bytes(out)
+
+    # ---- body: uncompressed stream objects + the ObjStm, shuffled -----
+    body_ids = stream_ids + [objstm_id]
+    rng15.shuffle(body_ids)
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for oid in body_ids:
+        offsets[oid] = len(out)
+        body = objstm if oid == objstm_id else objs[oid]
+        out += b"%d 0 obj\n" % oid + body + b"\nendobj\n"
+
+    w1, w2, w3 = 1, 2, 2
+    columns = w1 + w2 + w3
+
+    def pack_rows(entries: list) -> bytes:
+        return b"".join(
+            bytes([typ]) + f2.to_bytes(w2, "big") + f3.to_bytes(w3, "big")
+            for _num, typ, f2, f3 in entries
+        )
+
+    entries = [(0, 0, 0, 65535)]
+    for num in range(1, xref_id):
+        if num in offsets:
+            entries.append((num, 1, offsets[num], 0))
+        else:
+            entries.append((num, 2, objstm_id, packed_ids.index(num)))
+    xref_off = len(out)
+    entries.append((xref_id, 1, xref_off, 0))
+    size = xref_id + 1
+    raw = pack_rows(entries)
+    if rng15.random() < 0.5:
+        data = zlib.compress(_png_filter_rows(raw, columns, rng15))
+        parms = b"/DecodeParms << /Predictor 12 /Columns %d >> " % columns
+    else:
+        data = zlib.compress(raw)
+        parms = b""
+    if rng15.random() < 0.5:  # two contiguous /Index subsections
+        k = len(entries) // 2
+        index = b"/Index [0 %d %d %d]" % (k, k, len(entries) - k)
+    else:
+        index = b"/Index [0 %d]" % len(entries)
+    out += (
+        b"%d 0 obj\n<< /Type /XRef /W [%d %d %d] %s /Size %d %s"
+        b"/Root %d 0 R /Length %d /Filter /FlateDecode >>\nstream\n"
+        % (xref_id, w1, w2, w3, index, size, parms, cat_id, len(data))
+        + data + b"\nendstream\nendobj\n"
+    )
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_off
+
+    if doc_id % 6 == 1:
+        # incremental update: byte-equal catalog copy wins via /Prev chain
+        upd_off = len(out)
+        out += b"%d 0 obj\n" % cat_id + objs[cat_id] + b"\nendobj\n"
+        x2_id = xref_id + 1
+        x2_off = len(out)
+        raw2 = pack_rows([(cat_id, 1, upd_off, 0), (x2_id, 1, x2_off, 0)])
+        data2 = zlib.compress(raw2)
+        out += (
+            b"%d 0 obj\n<< /Type /XRef /W [%d %d %d] "
+            b"/Index [%d 1 %d 1] /Size %d /Prev %d "
+            b"/Root %d 0 R /Length %d /Filter /FlateDecode >>\nstream\n"
+            % (x2_id, w1, w2, w3, cat_id, x2_id, x2_id + 1, xref_off,
+               cat_id, len(data2))
+            + data2 + b"\nendstream\nendobj\n"
+        )
+        out += b"startxref\n%d\n%%%%EOF\n" % x2_off
+
+    payload_bytes = bytes(out)
     if doc_id % 11 == 10:  # truncated document: fail-whole, no truth
-        return payload[: len(payload) * 2 // 3], []
-    return payload, truth
+        return payload_bytes[: len(payload_bytes) * 2 // 3], []
+    return payload_bytes, truth

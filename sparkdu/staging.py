@@ -4939,3 +4939,63 @@ def layout_table_spans(spark, sf_dir):
     return rows.join(cols, ["doc_id", "cell_id"]).select(
         "doc_id", "cell_id", "row_start", "row_end",
         "col_start", "col_end")
+
+
+# =====================================================================
+# Round 5 post-freeze additions (register LAST: the round-5 driver
+# window in harness.DRIVER_PRIORITY is frozen; these keys append after
+# every banked key, positions > 190)
+# =====================================================================
+
+
+@q(
+    "scan_pdf15_runs",
+    f"""SELECT doc_id, part_id, run_id, page_w, page_h, x, y, size, text
+        FROM read_parquet('{fx("pdf_runs_truth")}')""",
+)
+def scan_pdf15_runs(spark, sf_dir):
+    """PDF 1.5 ingest: the SAME 90 logical documents as scan_pdf_runs but
+    assembled with cross-reference STREAMS (ISO 32000-1 §7.5.8: /W field
+    widths, /Index subsections, PNG-predictor /DecodeParms per RFC 2083),
+    every non-stream object compressed into an object stream (§7.5.7 —
+    even the indirect /Length integers, so de-referencing a content
+    stream's length exercises the ObjStm machinery), and /Prev-chained
+    incremental updates on every 6th doc. The oracle is the UNCHANGED
+    classic-leg truth table: identical runs from a different physical
+    format is the point. Same zero-exchange mapInPandas plan as the
+    classic leg; truncated docs fail whole."""
+    from .pdf import pdf_runs
+
+    return pdf_runs(f(spark, "pdf15"))
+
+
+@q(
+    "pdf15_crossversion_text",
+    f"""SELECT doc_id,
+               md5(string_agg(text, chr(10)
+                 ORDER BY part_id, y DESC, x, run_id)) AS md5_14,
+               md5(string_agg(text, chr(10)
+                 ORDER BY part_id, y DESC, x, run_id)) AS md5_15
+        FROM read_parquet('{fx("pdf_runs_truth")}')
+        WHERE size >= {PDF_MIN_CONTENT_SIZE!r}
+        GROUP BY doc_id""",
+)
+def pdf15_crossversion_text(spark, sf_dir):
+    """Cross-version byte-identity, SQL-gated: extract reading-order
+    content text (size >= 9 boilerplate rule) independently from the
+    classic-1.4 and the 1.5 parquet and return both md5s per doc — the
+    oracle computes the single truth md5 for both columns, so EITHER
+    parse leg drifting by one byte fails the hash compare. Two parses +
+    two doc_id-keyed aggregations + one join on doc_id; at scale the two
+    legs are independent scans that AQE plans side by side."""
+    from .pdf import MIN_CONTENT_SIZE, pdf_doc_text, pdf_runs
+
+    def leg(name, alias):
+        runs = pdf_runs(f(spark, name)).filter(
+            F.col("size") >= MIN_CONTENT_SIZE
+        )
+        return pdf_doc_text(runs).select(
+            "doc_id", F.md5(F.col("doc_text")).alias(alias)
+        )
+
+    return leg("pdf", "md5_14").join(leg("pdf15", "md5_15"), "doc_id")

@@ -285,6 +285,162 @@ def test_incremental_update_freed_object_and_prev_cycle():
     assert parse_pdf(bytes(out)) is None
 
 
+def _hand_pdf15(content: bytes = b"BT /F1 12 Tf 72 700 Td (xs) Tj ET",
+                w_literal: bytes = b"[1 2 2]",
+                break_objstm_header: bool = False,
+                predictor: int = 0) -> bytes:
+    """Minimal hand-built PDF 1.5: catalog/pages/page packed in an
+    UNCOMPRESSED object stream, content stream in the body, raw xref
+    stream. Every structural byte below is typed against ISO 32000-1
+    §7.5.7/§7.5.8 — independent of the synth generator."""
+    import zlib as _z
+
+    packed = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 4 0 R >>"),
+    ]
+    hdr, bodies, off = [], [], 0
+    for num, body in packed:
+        n = num + 90 if break_objstm_header else num
+        hdr.append(b"%d %d" % (n, off))
+        bodies.append(body)
+        off += len(body) + 1
+    header = b" ".join(hdr) + b"\n"
+    stm_payload = header + b" ".join(bodies)
+    objstm = (b"<< /Type /ObjStm /N 3 /First %d /Length %d >>\nstream\n"
+              % (len(header), len(stm_payload)) + stm_payload
+              + b"\nendstream")
+    cont = (b"<< /Length %d >>\nstream\n" % len(content) + content
+            + b"\nendstream")
+
+    out = bytearray(b"%PDF-1.5\n")
+    offs = {}
+    for oid, body in ((4, cont), (5, objstm)):
+        offs[oid] = len(out)
+        out += b"%d 0 obj\n" % oid + body + b"\nendobj\n"
+    xref_off = len(out)
+    w1, w2, w3 = 1, 2, 2  # packing widths; w_literal may LIE in the dict
+    rows = [
+        (0, 0, 65535), (2, 5, 0), (2, 5, 1), (2, 5, 2),  # 0 free; 1-3 ObjStm
+        (1, offs[4], 0), (1, offs[5], 0), (1, xref_off, 0),  # 4,5,6 body
+    ]
+    raw = b"".join(t.to_bytes(w1, "big") + a.to_bytes(w2, "big")
+                   + b_.to_bytes(w3, "big") for t, a, b_ in rows)
+    if predictor >= 10:
+        # single Up-filtered row block: prepend filter byte 2 per row
+        cols = w1 + w2 + w3
+        enc, prev = bytearray(), bytes(cols)
+        for r in range(0, len(raw), cols):
+            row = raw[r:r + cols]
+            enc.append(2)
+            enc += bytes((row[j] - prev[j]) & 0xFF for j in range(cols))
+            prev = row
+        data = _z.compress(bytes(enc))
+        parms = (b"/DecodeParms << /Predictor %d /Columns %d >> "
+                 % (predictor, cols))
+        filt = b"/Filter /FlateDecode "
+    else:
+        data, parms, filt = raw, b"", b""
+    out += (b"6 0 obj\n<< /Type /XRef /W %s /Size 7 %s%s"
+            b"/Root 1 0 R /Length %d >>\nstream\n"
+            % (w_literal, parms, filt, len(data)) + data
+            + b"\nendstream\nendobj\n")
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_off
+    return bytes(out)
+
+
+def test_xref_stream_and_objstm_hand_vector():
+    """PDF 1.5 cross-reference stream + object stream, typed by hand:
+    catalog/pages/page resolve through ObjStm type-2 entries."""
+    p = parse_pdf(_hand_pdf15())
+    assert p is not None and p["pages"] == [(612.0, 792.0)]
+    assert [(r["x"], r["y"], r["size"], r["text"]) for r in p["runs"]] == [
+        (72.0, 700.0, 12.0, "xs")
+    ]
+
+
+def test_xref_stream_png_predictor():
+    """Same document with the xref stream rows Up-predicted (/Predictor
+    12) and FlateDecoded — decode must invert RFC 2083 filtering."""
+    p = parse_pdf(_hand_pdf15(predictor=12))
+    assert p is not None
+    assert [r["text"] for r in p["runs"]] == ["xs"]
+
+
+def test_png_unpredict_inverts_all_filters():
+    import random as _random
+
+    from sparkdu.pdf import _png_filter_rows, _png_unpredict
+
+    for seed in range(5):
+        rng = _random.Random(seed)
+        raw = bytes(rng.randrange(256) for _ in range(5 * 13))
+        enc = _png_filter_rows(raw, 5, _random.Random(seed + 100))
+        assert _png_unpredict(enc, 12, 5) == raw
+
+
+@pytest.mark.parametrize("mutate", [
+    lambda: _hand_pdf15(w_literal=b"[1 2]"),       # /W must have 3 ints
+    lambda: _hand_pdf15(break_objstm_header=True),  # ObjStm num mismatch
+    lambda: _hand_pdf15().replace(b"/Type /XRef", b"/Type /XXXX"),
+    lambda: _hand_pdf15(predictor=12).replace(
+        b"/Predictor 12", b"/Predictor 5"),         # TIFF predictor: out
+    lambda: _hand_pdf15().replace(b"/Size 7", b"/Size 9"),  # short data
+])
+def test_pdf15_malformed_fail_whole(mutate):
+    assert parse_pdf(mutate()) is None
+
+
+def test_hybrid_xrefstm_precedence():
+    """Hybrid-reference file (§7.5.8.4): an appended classic section with
+    ZERO entries but an /XRefStm whose entries re-point the content
+    stream — the stream's entry must win over the /Prev chain."""
+    import re as _re
+
+    new_c = b"BT /F1 12 Tf 10 20 Td (hybrid) Tj ET"
+    prev_off = int(_re.search(rb"startxref\s+(\d+)", BASE[-256:]).group(1))
+    out = bytearray(BASE)
+    new4_off = len(out)
+    out += (b"4 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+            % (len(new_c), new_c))
+    xstm_off = len(out)
+    rows = [(1, new4_off, 0), (1, xstm_off, 0)]
+    raw = b"".join(t.to_bytes(1, "big") + a.to_bytes(2, "big")
+                   + b_.to_bytes(2, "big") for t, a, b_ in rows)
+    out += (b"7 0 obj\n<< /Type /XRef /W [1 2 2] /Index [4 1 7 1] "
+            b"/Size 8 /Root 1 0 R /Length %d >>\nstream\n" % len(raw)
+            + raw + b"\nendstream\nendobj\n")
+    cls_off = len(out)
+    out += (b"xref\n0 0\ntrailer\n<< /Size 8 /Root 1 0 R /Prev %d "
+            b"/XRefStm %d >>\nstartxref\n%d\n%%%%EOF\n"
+            % (prev_off, xstm_off, cls_off))
+    p = parse_pdf(bytes(out))
+    assert p is not None
+    assert [(r["x"], r["y"], r["text"]) for r in p["runs"]] == [
+        (10.0, 20.0, "hybrid")
+    ]
+
+
+def test_generator_pdf15_differential():
+    """Every synthetic doc: the 1.5 assembly parses to runs IDENTICAL to
+    the classic 1.4 assembly (truncated docs fail whole in both)."""
+    from sparkdu.pdf import synth_pdf15_bytes, synth_pdf_bytes
+
+    for i in range(0, 36):
+        c, t14 = synth_pdf_bytes(i)
+        m, t15 = synth_pdf15_bytes(i)
+        assert t14 == t15
+        pc, pm = parse_pdf(c), parse_pdf(m)
+        if i % 11 == 10:
+            assert pc is None and pm is None
+            continue
+        assert pc is not None and pm is not None
+        assert pc["pages"] == pm["pages"]
+        assert pc["runs"] == pm["runs"]
+
+
 def test_string_and_value_parsers():
     s, _ = _parse_literal_string(b"(a\\(b\\)c\\\\d\\n\\101)", 0)
     assert s == b"a(b)c\\d\nA"

@@ -758,6 +758,33 @@ def make_pdf() -> None:
     )
 
 
+def make_pdf15() -> None:
+    """pdf15.parquet: the SAME 90 logical documents as pdf.parquet,
+    assembled as PDF 1.5 — cross-reference streams (with PNG-predictor
+    /DecodeParms), non-stream objects packed into an object stream,
+    /Index subsection splits, and /Prev-chained incremental updates on
+    every 6th doc. No separate truth file: synth_pdf15_bytes returns
+    truth IDENTICAL to the classic leg's, so pdf_runs_truth.parquet is
+    the oracle for both (asserted here at generation time)."""
+    from sparkdu.pdf import synth_pdf15_bytes, synth_pdf_bytes
+
+    docs = {"doc_id": [], "pdf": []}
+    for i in range(90):
+        payload, rows = synth_pdf15_bytes(i)
+        assert rows == synth_pdf_bytes(i)[1], f"truth drift at doc {i}"
+        docs["doc_id"].append(i)
+        docs["pdf"].append(payload)
+    write(
+        "pdf15.parquet",
+        pa.table(
+            {
+                "doc_id": pa.array(docs["doc_id"], pa.int64()),
+                "pdf": pa.array(docs["pdf"], pa.binary()),
+            }
+        ),
+    )
+
+
 def make_table_cells() -> None:
     """table_cells.parquet: deterministic table-layout fixtures for the
     2-D grid-recovery operator (the upstream's table-understanding task:
@@ -916,6 +943,7 @@ def regenerate_all() -> None:
     make_sitemaps()
     make_pagexml()
     make_pdf()
+    make_pdf15()
     make_table_cells()
     make_table_span_cells()
 
