@@ -39,6 +39,15 @@ LOGICAL_DOCS = [
       "Déjà vu sur la côte."]],
     [["Part One", "First part body text here."],
      ["Part Two", "Second part body text, longer than the first."]],
+    # normalization adversary (VERDICT r4 #6): every accent is latin-1
+    # (the PDF literal-string byte range); the HTML renderer emits this
+    # doc with NFD-DECOMPOSED combining marks as numeric entities and
+    # &nbsp; in place of spaces, so the HTML leg only matches if its
+    # unescape -> NFC -> \s-collapse path (SPEC F1/F2; \s includes
+    # U+00A0) converges to the literal bytes the XML/PDF legs carry.
+    [["Résumé détails",
+      "Déjà café açaí noël.",
+      "Voilà précis à propos."]],
 ]
 
 EXPECTED = ["\n".join(b for part in doc for b in part)
@@ -47,17 +56,36 @@ EXPECTED = ["\n".join(b for part in doc for b in part)
 
 # ----------------------------- HTML ----------------------------------
 
-def render_html(doc: list) -> bytes:
+def _adversarial_html(s: str) -> str:
+    """Re-encode logical text the nastiest way HTML allows while staying
+    the SAME logical document: NFD-decompose, emit every combining mark
+    as a numeric entity, and swap alternating spaces for &nbsp; (U+00A0
+    is \\s in Python str regexes, so the spec collapse maps it back)."""
+    import unicodedata
+
+    out = []
+    for i, ch in enumerate(unicodedata.normalize("NFD", s)):
+        if unicodedata.combining(ch):
+            out.append(f"&#x{ord(ch):X};")
+        elif ch == " " and i % 2 == 0:
+            out.append("&nbsp;")
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def render_html(doc: list, adversarial: bool = False) -> bytes:
     """First block of each part is an <h2>, the rest <p>; parts separated
     by <hr> (the spec v1.1 pagination rule); a <footer> plants boilerplate
     the v1 rule must strip via anc_boiler."""
+    enc = _adversarial_html if adversarial else (lambda s: s)
     out = ["<html><body>"]
     for pi, part in enumerate(doc):
         if pi:
             out.append("<hr>")
-        out.append(f"<h2>{part[0]}</h2>")
+        out.append(f"<h2>{enc(part[0])}</h2>")
         for b in part[1:]:
-            out.append(f"<p>{b}</p>")
+            out.append(f"<p>{enc(b)}</p>")
     out.append("<footer>Copyright 2099 Example Corp</footer>")
     out.append("</body></html>")
     return "".join(out).encode("utf-8")
@@ -166,7 +194,7 @@ def legs(spark):
     """Run all three pipeline legs over the rendered corpus once."""
     ts = datetime.datetime(2026, 1, 1)
     pages = spark.createDataFrame(
-        [(f"https://cross.test/{i}", ts, render_html(d))
+        [(f"https://cross.test/{i}", ts, render_html(d, adversarial=(i == 3)))
          for i, d in enumerate(LOGICAL_DOCS)],
         "url string, warc_ts timestamp, html binary")
     html = {int(r["url"].rsplit("/", 1)[1]): r["extracted_text"]
@@ -207,6 +235,44 @@ def test_boilerplate_stripped_everywhere(legs):
         joined = "\n".join(leg.values())
         assert "Copyright 2099" not in joined
         assert "42" not in joined
+
+
+def test_rtl_text_html_pagexml_identical(spark):
+    """RTL adversary (VERDICT r4 #6): Hebrew blocks with an RLM control
+    (U+200F — a Cf char, NOT \\s, so the collapse must preserve it), the
+    HTML side carrying every char as a numeric entity plus &nbsp;/&rlm;
+    named forms. Two-leg gate only: the PDF leg's ISO 32000-1 literal
+    strings are latin-1-bounded in this subset (full Unicode show-text
+    needs font CMaps, out of scope and documented in sparkdu/pdf.py), so
+    RTL byte-identity is proven HTML <-> PAGE-XML."""
+    import datetime as _dt
+
+    rtl_doc = [["שלום עולם", "דג‏סקר כאן."]]
+    html_src = ("<html><body><h2>"
+                + "".join(f"&#x{ord(c):X};" for c in rtl_doc[0][0])
+                + "</h2><p>"
+                + "".join("&nbsp;" if c == " " else
+                          ("&rlm;" if c == "‏" else f"&#{ord(c)};")
+                          for c in rtl_doc[0][1])
+                + "</p></body></html>").encode("utf-8")
+    pages = spark.createDataFrame(
+        [("https://rtl.test/0", _dt.datetime(2026, 1, 1), html_src)],
+        "url string, warc_ts timestamp, html binary")
+    html_text = extract_pages(
+        spark, pages, ExtractConfig(model_path=None)
+    ).collect()[0]["extracted_text"]
+
+    xml_df = spark.createDataFrame(
+        [(0, render_pagexml(rtl_doc))], "doc_id long, xml binary")
+    regions = pagexml_nodes(xml_df).filter(
+        (F.col("kind") == "region")
+        & F.col("rtype").isin("paragraph", "heading"))
+    xml_text = pagexml_doc_text(regions).collect()[0]["doc_text"]
+
+    want = "\n".join(rtl_doc[0])
+    assert html_text.encode("utf-8") == want.encode("utf-8")
+    assert xml_text.encode("utf-8") == want.encode("utf-8")
+    assert "‏" in html_text  # the Cf control survived the collapse
 
 
 def test_reading_order_not_document_order(legs):
