@@ -645,3 +645,82 @@ def test_avi_walk_hand_built_container():
     bad = bytearray(payload)
     bad[24 + 8 + 16] = 3                              # dwTotalFrames = 3
     assert parse_avi(bytes(bad)) is None
+
+
+def test_decode_features_routes_real_decoders(spark):
+    """VERDICT r4 #2 gate: _decode_payload routes by container magic to
+    the REAL decoders — decode_status must be 'ok' with truth-derived
+    feature values for every decodable fixture payload, and 'stubbed'
+    (sha256 fake) ONLY for payload types with no offline decoder."""
+    import pyarrow.parquet as pq
+
+    from sparkdu.harness import fx
+    from sparkdu.multimodal import decode_features, fake_features
+
+    def run(table, id_col, n=6):
+        rows = pq.read_table(fx(table)).to_pylist()[:n]
+        df = spark.createDataFrame(
+            [(str(r[id_col]), bytes(r["payload"])) for r in rows],
+            "url string, payload binary")
+        out = {r["url"]: r for r in
+               decode_features(df, payload_col="payload").collect()}
+        return rows, out
+
+    # images: feature[4] is px.mean()/255 == truth px_mean/255; fixture
+    # rows with NULL truth are planted-corrupt and must route to 'error'
+    # (claimed-but-broken container), never to the fake path
+    for table in ("images_px", "images_gif", "images_jpeg"):
+        rows, out = run(table, "img_id", n=16)
+        n_ok = 0
+        for r in rows:
+            got = out[str(r["img_id"])]
+            if r["width"] is None:
+                assert got["decode_status"] == "error", (table, r["img_id"])
+                continue
+            assert got["decode_status"] == "ok", (table, r["img_id"])
+            n_ok += 1
+            f = got["feature"]
+            assert f[0] == 1.0
+            assert (f[1], f[2], f[3]) == (r["width"], r["height"],
+                                          r["channels"])
+            assert abs(f[4] - r["px_mean"] / 255.0) < 1e-6
+        assert n_ok > 0
+
+    # audio: rate/n/rms/zcr against generator truth
+    rows, out = run("audio", "audio_id")
+    n_ok = 0
+    for r in rows:
+        got = out[str(r["audio_id"])]
+        if got["decode_status"] == "error":
+            continue  # planted corrupt payloads in the fixture
+        n_ok += 1
+        f = got["feature"]
+        assert f[0] == 2.0
+        assert (f[1], f[2]) == (r["sample_rate"], r["n_samples"])
+        assert abs(f[5] - r["rms"]) < 1e-6  # truth rms is /2^15-normalized
+        assert abs(f[6] * (r["n_samples"] - 1) - r["zcr"]) < 0.5
+    assert n_ok > 0
+
+    # video (MJPEG-AVI): dims/fps/frame count from the real container walk
+    rows, out = run("videos_avi", "vid_id")
+    n_ok = 0
+    for r in rows:
+        got = out[str(r["vid_id"])]
+        if got["decode_status"] == "error":
+            continue  # planted truncated containers
+        n_ok += 1
+        f = got["feature"]
+        assert f[0] == 3.0
+        assert (f[1], f[2], f[4]) == (r["width"], r["height"],
+                                      r["n_frames"])
+        assert abs(f[3] - r["fps"]) < 1e-9
+        assert abs(f[5] - r["frame_means"][0] / 255.0) < 1e-6
+    assert n_ok > 0
+
+    # undecodable types: fake path, and ONLY there
+    html = b"<html><body>hi</body></html>"
+    df = spark.createDataFrame([("h", html)], "url string, payload binary")
+    got = decode_features(df, payload_col="payload").collect()[0]
+    assert got["decode_status"] == "stubbed"
+    assert [round(v, 6) for v in got["feature"]] == [
+        round(v, 6) for v in fake_features(html)]
