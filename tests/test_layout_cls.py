@@ -122,3 +122,47 @@ def test_plain_islands_would_fail_on_spans(spark):
     n_bad = merged.join(truth, ["doc_id", "node_id"]).filter(
         F.col("block_id") != F.col("want")).count()
     assert n_bad > 0
+
+
+# ------------------- line-level BIESO classifier ----------------------
+
+def test_line_heldout_accuracy(spark):
+    df = QUERIES["layout_line_classify"](spark, SF)
+    test = df.filter(F.col("doc_id") % 5 == 0)
+    n = test.count()
+    ok = test.filter(F.col("pred_label") == F.col("label")).count()
+    art = json.load(open("artifacts/clf_lines_v1.json"))
+    assert n == art["n_test"] > 500
+    acc = ok / n
+    assert acc >= 0.88, acc
+    assert abs(acc - art["test_acc"]) < 1e-9  # frozen = reproducible
+    assert art["train_acc"] - art["test_acc"] < 0.05
+
+
+def test_line_every_class_predicted_and_confusable(spark):
+    """All five BIESO labels appear in predictions, and the planted noise
+    means SOME rows disagree (pred must come from geometry/typography,
+    not the label column)."""
+    df = QUERIES["layout_line_classify"](spark, SF)
+    preds = {r["pred_label"] for r in df.select("pred_label")
+             .distinct().collect()}
+    assert preds == {"B", "I", "E", "S", "O"}
+    assert df.filter(F.col("pred_label") != F.col("label")).count() > 0
+
+
+def test_line_scoring_is_zero_exchange_pure_map(spark):
+    plan = _plan(QUERIES["layout_line_classify"](spark, SF))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    assert "codegen id" in plan
+
+
+def test_line_artifact_weights_are_decimal_literals():
+    art = json.load(open("artifacts/clf_lines_v1.json"))
+    assert art["train_split"] == "doc_id % 5 != 0"
+    assert len(art["W"]) == len(art["classes"]) == 5
+    assert art["classes"] == ["B", "I", "E", "S", "O"]
+    for row in art["W"]:
+        for w in row:
+            assert round(w, 6) == w
+    assert len(art["feature_exprs"]) == len(art["W"][0]) == 7
