@@ -190,3 +190,33 @@ def test_model_flag_rejected_for_native_formats(tmp_path):
     with pytest.raises(SystemExit):
         main(["--input", "x", "--output", str(tmp_path), "--run-id", "m",
               "--format", "pdf", "--model", "artifacts/clf_v1.json"])
+
+
+def test_cli_pdf15_matches_classic_byte_identical(spark, tmp_path):
+    """The CLI pdf leg over the PDF 1.5 fixture (xref streams + object
+    streams + /Prev updates) must produce byte-identical extracted text
+    to the classic-1.4 fixture — the same 90 logical documents in two
+    physical formats, through the full wave/lineage job machinery."""
+    def run(fixture, run_id, out):
+        pages = spark.read.parquet(fx(fixture)).select(
+            F.concat(F.lit("pdf://"),
+                     F.col("doc_id").cast("string")).alias("url"),
+            F.timestamp_seconds(F.lit(0)).alias("warc_ts"),
+            F.col("pdf").alias("html"),
+        )
+        cfg = ExtractJobConfig(run_id=run_id, out_dir=str(out),
+                               num_partitions=8, waves=2,
+                               input_format="pdf")
+        total = run_extract_job(spark, pages, cfg)
+        assert total["n_pages"] == 90 and total["n_errors"] == 8
+        return {r["url"]: (r["extracted_text"], r["n_blocks"])
+                for r in spark.read.parquet(f"{out}/extracted").collect()}
+
+    got14 = run("pdf", "x14", tmp_path / "v14")
+    got15 = run("pdf15", "x15", tmp_path / "v15")
+    assert got14.keys() == got15.keys() and len(got14) == 90
+    for url in got14:
+        t14, n14 = got14[url]
+        t15, n15 = got15[url]
+        assert t14.encode("utf-8") == t15.encode("utf-8"), url
+        assert n14 == n15
