@@ -336,3 +336,24 @@ def test_native_extract_text_partial_agg_single_exchange(spark, sf_dir):
         assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, (key, plan)
         assert len(re.findall(r"ObjectHashAggregate", plan)) >= 2, (key, plan)
         assert "Window" not in plan, (key, plan)
+
+
+def test_pdf15_scan_zero_exchange_and_crossversion_shape(spark, sf_dir):
+    """The PDF 1.5 scan must keep the classic leg's plan: one mapInPandas
+    over the binary column, ZERO exchanges. The cross-version md5 key is
+    two independent parse+assembly legs joined once on doc_id — exactly
+    2 single-exchange aggregations + the join's exchanges, and never a
+    cartesian."""
+    import re
+
+    import sparkdu.staging  # noqa: F401
+    from sparkdu.harness import QUERIES
+
+    plan = _plan(QUERIES["scan_pdf15_runs"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan
+    assert "MapInPandas" in plan
+
+    plan = _plan(QUERIES["pdf15_crossversion_text"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert len(re.findall(r"ObjectHashAggregate", plan)) >= 4, plan
