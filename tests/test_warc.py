@@ -1,0 +1,137 @@
+"""WARC/1.0 ingest gates (sparkdu/warc.py).
+
+The fixture keys (scan_warc_records / warc_http_pages) cross-check parser
+vs generator — same-author twins — so the load-bearing gates here are
+HAND-TYPED byte vectors against ISO 28500 (version line, case-insensitive
+named headers, Content-Length framing, CRLF CRLF terminators, HTTP
+payload split, member-gzip), plus the malformed-rejection matrix, the
+extract-pipeline composition, and the zero-exchange plan shape.
+"""
+
+import zlib
+
+import pytest
+
+from sparkdu.warc import (
+    _gunzip_members,
+    parse_warc,
+    synth_warc_bytes,
+    warc_pages,
+)
+
+CRLF = b"\r\n"
+
+# One response record, every byte typed out. Body is the 27-byte HTML;
+# the HTTP block is status line + 2 headers + blank + body = 92 bytes.
+HAND_BODY = b"<html><body>x</body></html>"
+HAND_HTTP = (b"HTTP/1.1 200 OK" + CRLF
+             + b"Content-Type: text/html; charset=utf-8" + CRLF
+             + b"Server: t" + CRLF + CRLF + HAND_BODY)
+HAND_RECORD = (b"WARC/1.0" + CRLF
+               + b"warc-TYPE: response" + CRLF          # case-insensitive
+               + b"WARC-Record-ID: <urn:uuid:1>" + CRLF
+               + b"WARC-Target-URI: https://h.test/a" + CRLF
+               + b"WARC-Date: 2026-08-18T00:00:00Z" + CRLF
+               + b"Content-Type: application/http; msgtype=response" + CRLF
+               + b"Content-Length: %d" % len(HAND_HTTP) + CRLF + CRLF
+               + HAND_HTTP + CRLF + CRLF)
+HAND_INFO = (b"WARC/1.0" + CRLF
+             + b"WARC-Type: warcinfo" + CRLF
+             + b"WARC-Record-ID: <urn:uuid:0>" + CRLF
+             + b"WARC-Date: 2026-08-18T00:00:00Z" + CRLF
+             + b"Content-Length: 4" + CRLF + CRLF
+             + b"s: 1" + CRLF + CRLF)
+
+
+def test_hand_vector_record_exact():
+    recs = parse_warc(HAND_INFO + HAND_RECORD)
+    assert recs is not None and len(recs) == 2
+    info, resp = recs
+    assert (info["rec_type"], info["url"], info["status"]) == (
+        "warcinfo", None, None)
+    assert resp["rec_type"] == "response"
+    assert resp["url"] == "https://h.test/a"
+    assert resp["warc_date"] == "2026-08-18T00:00:00Z"
+    assert resp["status"] == 200
+    assert resp["mime"] == "text/html"
+    assert resp["n_body"] == len(HAND_BODY)
+    assert resp["_body"] == HAND_BODY
+
+
+def test_hand_vector_gzip_members_roundtrip():
+    def member(b):
+        c = zlib.compressobj(6, zlib.DEFLATED, 31)
+        return c.compress(b) + c.flush()
+
+    gz = member(HAND_INFO) + member(HAND_RECORD)
+    assert _gunzip_members(gz) == HAND_INFO + HAND_RECORD
+    recs = parse_warc(gz)
+    assert recs is not None and recs[1]["_body"] == HAND_BODY
+
+
+@pytest.mark.parametrize("mutate", [
+    lambda b: b.replace(b"WARC/1.0", b"WARC/9.9", 1),      # version
+    lambda b: b.replace(b"WARC-Date: ", b"X-Date: "),      # mandatory hdr
+    lambda b: b.replace(b"Content-Length: %d"
+                        % len(HAND_HTTP),
+                        b"Content-Length: 99999"),          # overrun
+    lambda b: b[:-2],                                       # terminator
+    lambda b: b[: len(b) // 2],                             # truncated
+])
+def test_malformed_fail_whole(mutate):
+    assert parse_warc(mutate(HAND_INFO + HAND_RECORD)) is None
+
+
+def test_corrupt_gzip_member_fails_whole():
+    def member(b):
+        c = zlib.compressobj(6, zlib.DEFLATED, 31)
+        return c.compress(b) + c.flush()
+
+    gz = member(HAND_INFO) + member(HAND_RECORD)
+    assert parse_warc(gz[: len(gz) - 8]) is None           # truncated member
+    assert parse_warc(gz[:40] + b"\x00" * 8 + gz[48:]) is None
+
+
+def test_generator_parser_differential():
+    """Every synthetic shard roundtrips exactly (the Spark fixture keys
+    check the same thing through the registry; this is the direct form)."""
+    for i in range(40):
+        payload, truth = synth_warc_bytes(i)
+        recs = parse_warc(payload)
+        if i % 9 == 5:
+            assert recs is None and truth == []
+            continue
+        got = [{k: r[k] for k in r if k != "_body"} for r in recs]
+        assert got == truth, i
+
+
+def test_warc_pages_feeds_extract_pipeline(spark):
+    """Composition: WARC shards -> pages shape -> the flagship extract.
+    Every HTTP-200 text/html record must come out the far end with
+    non-empty extracted text and its url intact."""
+    from pyspark.sql import functions as F
+
+    from sparkdu.api import ExtractConfig, extract_pages
+    from sparkdu.harness import fx
+
+    shards = spark.read.parquet(fx("warc")).limit(20)
+    pages = warc_pages(shards)
+    want_urls = {r["url"] for r in pages.select("url").collect()}
+    assert len(want_urls) > 20
+    out = extract_pages(spark, pages, ExtractConfig(model_path=None))
+    got = {r["url"]: r["extracted_text"] for r in out.collect()}
+    assert set(got) == want_urls
+    n_nonempty = sum(1 for t in got.values() if t)
+    assert n_nonempty == len(got)  # every synth page carries content
+
+
+def test_scan_is_zero_exchange(spark):
+    import re
+
+    import sparkdu.staging  # noqa: F401
+    from sparkdu.harness import QUERIES
+    from tests.conftest import plan_of
+
+    plan = plan_of(QUERIES["scan_warc_records"](spark, "/root/testdata/sf0.01"))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan
+    assert "MapInPandas" in plan

@@ -785,6 +785,55 @@ def make_pdf15() -> None:
     )
 
 
+def make_warc() -> None:
+    """warc.parquet + warc_records_truth.parquet: deterministic REAL
+    WARC/1.0 shards (ISO 28500 — warcinfo/request/response records,
+    case-varied header names, HTTP response payloads mixing 200 text/html
+    with 404/301/text-plain, every 7th shard member-gzipped like actual
+    Common-Crawl output) with generator-truth record rows. Every 9th
+    shard is truncated mid-record with no truth — fail-whole per shard
+    (see sparkdu/warc.py)."""
+    from sparkdu.warc import synth_warc_bytes
+
+    docs = {"shard_id": [], "payload": []}
+    truth = {k: [] for k in ("shard_id", "rec_idx", "rec_type", "url",
+                             "warc_date", "status", "mime", "n_body",
+                             "body_sha")}
+    for i in range(80):
+        payload, rows = synth_warc_bytes(i)
+        docs["shard_id"].append(i)
+        docs["payload"].append(payload)
+        for r in rows:
+            truth["shard_id"].append(i)
+            for k in r:
+                truth[k].append(r[k])
+    write(
+        "warc.parquet",
+        pa.table(
+            {
+                "shard_id": pa.array(docs["shard_id"], pa.int64()),
+                "payload": pa.array(docs["payload"], pa.binary()),
+            }
+        ),
+    )
+    write(
+        "warc_records_truth.parquet",
+        pa.table(
+            {
+                "shard_id": pa.array(truth["shard_id"], pa.int64()),
+                "rec_idx": pa.array(truth["rec_idx"], pa.int32()),
+                "rec_type": pa.array(truth["rec_type"], pa.string()),
+                "url": pa.array(truth["url"], pa.string()),
+                "warc_date": pa.array(truth["warc_date"], pa.string()),
+                "status": pa.array(truth["status"], pa.int32()),
+                "mime": pa.array(truth["mime"], pa.string()),
+                "n_body": pa.array(truth["n_body"], pa.int32()),
+                "body_sha": pa.array(truth["body_sha"], pa.string()),
+            }
+        ),
+    )
+
+
 def make_table_cells() -> None:
     """table_cells.parquet: deterministic table-layout fixtures for the
     2-D grid-recovery operator (the upstream's table-understanding task:
@@ -944,6 +993,7 @@ def regenerate_all() -> None:
     make_pagexml()
     make_pdf()
     make_pdf15()
+    make_warc()
     make_table_cells()
     make_table_span_cells()
 
