@@ -5160,7 +5160,7 @@ def snapshot_zorder_read(spark, sf_dir):
 @q(
     "scan_warc_records",
     f"""SELECT shard_id, rec_idx, rec_type, url, warc_date,
-               status, mime, n_body, body_sha
+               status, mime, n_body, body_sha, "offset", length
         FROM read_parquet('{fx("warc_records_truth")}')""",
 )
 def scan_warc_records(spark, sf_dir):
@@ -5203,3 +5203,49 @@ def warc_http_pages(spark, sf_dir):
         F.length("html").cast("int").alias("n_html"),
         F.substring(F.sha2("html", 256), 1, 16).alias("html_sha"),
     )
+
+
+@q(
+    "warc_cdx_index",
+    f"""SELECT array_to_string(list_reverse(string_split(
+                 lower(regexp_extract(url, '^https?://([^/]+)', 1)), '.')),
+                 ',')
+               || ')' ||
+               coalesce(nullif(regexp_extract(
+                 url, '^https?://[^/]+(/.*)$', 1), ''), '/') AS urlkey,
+               regexp_replace(warc_date, '[^0-9]', '', 'g') AS ts14,
+               url, mime, status, body_sha AS digest,
+               "offset", length, shard_id
+        FROM read_parquet('{fx("warc_records_truth")}')
+        WHERE rec_type = 'response'""",
+)
+def warc_cdx_index(spark, sf_dir):
+    """CDX capture index off the WARC scan (the PUBLIC Common-Crawl index
+    format): one row per response record keyed by the SURT-transformed
+    url (host lowercased, dot-reversed, comma-joined, ')' + path — the
+    sort key that clusters a domain's captures), ts14 timestamp digits,
+    payload digest, and the (offset, length) seek extent the parser
+    stamped — raw bytes for plain shards, COMPRESSED gzip-member extents
+    otherwise, so an index consumer range-requests exactly one record.
+    Globally range-sorted by (urlkey, ts14): the one exchange here IS the
+    product (a binary-searchable index layout); everything upstream is
+    the zero-exchange scan. The oracle recomputes SURT independently in
+    DuckDB SQL over generator truth — two dialects, one transform."""
+    from .warc import warc_records
+
+    recs = warc_records(f(spark, "warc")).filter(
+        F.col("rec_type") == "response"
+    )
+    host = F.lower(F.regexp_extract("url", r"^https?://([^/]+)", 1))
+    path = F.regexp_extract("url", r"^https?://[^/]+(/.*)$", 1)
+    return recs.select(
+        F.concat(
+            F.array_join(F.reverse(F.split(host, r"\.")), ","),
+            F.lit(")"),
+            F.when(path == "", "/").otherwise(path),
+        ).alias("urlkey"),
+        F.regexp_replace("warc_date", "[^0-9]", "").alias("ts14"),
+        "url", "mime", "status",
+        F.col("body_sha").alias("digest"),
+        "offset", "length", "shard_id",
+    ).orderBy("urlkey", "ts14")

@@ -60,6 +60,8 @@ WARC_RECORDS_SCHEMA = T.StructType(
         T.StructField("mime", T.StringType()),         # payload Content-Type
         T.StructField("n_body", T.IntegerType()),      # entity body bytes
         T.StructField("body_sha", T.StringType()),     # sha256 hex, 16 chars
+        T.StructField("offset", T.LongType()),         # seek domain: raw
+        T.StructField("length", T.IntegerType()),      # or gzip-member
     ]
 )
 
@@ -109,53 +111,95 @@ def _parse_http_response(block: bytes) -> tuple:
     return status, mime, block[i:]
 
 
+def _iter_members(b: bytes) -> list:
+    """Member-gzip shard -> [(comp_offset, comp_length, plain_bytes)];
+    raises on a corrupt/truncated member (fail-whole). Offsets are in the
+    COMPRESSED file — the domain a range request seeks in."""
+    out = []
+    pos = 0
+    rest = b
+    while rest:
+        d = zlib.decompressobj(31)
+        plain = d.decompress(rest) + d.flush()
+        if not d.eof:
+            raise ValueError("truncated gzip member")
+        consumed = len(rest) - len(d.unused_data)
+        out.append((pos, consumed, plain))
+        pos += consumed
+        rest = d.unused_data
+    return out
+
+
+def _parse_records(b: bytes) -> list:
+    """Records from a plain byte run, each stamped with its raw-domain
+    (offset, length). Raises on any malformation."""
+    recs = []
+    i = 0
+    n = len(b)
+    while i < n:
+        start = i
+        j = b.index(CRLF, i)
+        if b[i:j] != b"WARC/1.0":
+            raise ValueError("bad WARC version line")
+        headers, i = _parse_headers(b, j + 2)
+        for req in ("warc-type", "warc-record-id", "warc-date",
+                    "content-length"):
+            if req not in headers:
+                raise ValueError(f"missing mandatory header {req}")
+        clen = int(headers["content-length"])
+        block = b[i : i + clen]
+        if len(block) != clen:
+            raise ValueError("Content-Length overruns shard")
+        i += clen
+        if b[i : i + 4] != CRLF + CRLF:
+            raise ValueError("bad record terminator")
+        i += 4
+        rtype = headers["warc-type"]
+        status = mime = body = None
+        if (rtype == "response"
+                and headers.get("content-type", "")
+                .startswith("application/http")):
+            status, mime, body = _parse_http_response(block)
+        recs.append({
+            "rec_idx": len(recs),
+            "rec_type": rtype,
+            "url": headers.get("warc-target-uri"),
+            "warc_date": headers["warc-date"],
+            "status": status,
+            "mime": mime,
+            "n_body": len(body) if body is not None else None,
+            "body_sha": (hashlib.sha256(body).hexdigest()[:16]
+                         if body is not None else None),
+            "offset": start,
+            "length": i - start,
+            "_body": body,
+        })
+    return recs
+
+
 def parse_warc(b: bytes) -> Optional[list]:
     """Parse one WARC shard -> list of record dicts (WARC_RECORDS_SCHEMA
     minus shard_id) in record order, or None (fail-whole). Accepts plain
-    or member-gzipped shards (sniffed by the gzip magic)."""
+    or member-gzipped shards (sniffed by the gzip magic). Every record
+    carries its (offset, length) in the domain a reader would seek in —
+    raw bytes for plain shards, the COMPRESSED member extent for
+    member-gzip shards (the CDX seekability contract); a gzip member
+    holding anything but exactly one record breaks that contract and
+    fails the shard whole."""
     try:
         b = bytes(b) if b is not None else b""
         if b[:2] == b"\x1f\x8b":
-            b = _gunzip_members(b)
-        recs = []
-        i = 0
-        n = len(b)
-        while i < n:
-            j = b.index(CRLF, i)
-            if b[i:j] != b"WARC/1.0":
-                raise ValueError("bad WARC version line")
-            headers, i = _parse_headers(b, j + 2)
-            for req in ("warc-type", "warc-record-id", "warc-date",
-                        "content-length"):
-                if req not in headers:
-                    raise ValueError(f"missing mandatory header {req}")
-            clen = int(headers["content-length"])
-            block = b[i : i + clen]
-            if len(block) != clen:
-                raise ValueError("Content-Length overruns shard")
-            i += clen
-            if b[i : i + 4] != CRLF + CRLF:
-                raise ValueError("bad record terminator")
-            i += 4
-            rtype = headers["warc-type"]
-            status = mime = body = None
-            if (rtype == "response"
-                    and headers.get("content-type", "")
-                    .startswith("application/http")):
-                status, mime, body = _parse_http_response(block)
-            recs.append({
-                "rec_idx": len(recs),
-                "rec_type": rtype,
-                "url": headers.get("warc-target-uri"),
-                "warc_date": headers["warc-date"],
-                "status": status,
-                "mime": mime,
-                "n_body": len(body) if body is not None else None,
-                "body_sha": (hashlib.sha256(body).hexdigest()[:16]
-                             if body is not None else None),
-                "_body": body,
-            })
-        return recs
+            recs = []
+            for off, ln, plain in _iter_members(b):
+                rs = _parse_records(plain)
+                if len(rs) != 1:
+                    raise ValueError("gzip member != exactly one record")
+                r = rs[0]
+                r["rec_idx"] = len(recs)
+                r["offset"], r["length"] = off, ln
+                recs.append(r)
+            return recs
+        return _parse_records(b)
     except Exception:
         return None
 
@@ -178,7 +222,8 @@ def warc_records(df: DataFrame, payload_col: str = "payload",
                                 **{k: r[k] for k in r if k != "_body"}})
             o = pd.DataFrame(out, columns=cols)
             o["shard_id"] = pd.array(o["shard_id"], dtype="int64")
-            for c in ("rec_idx", "status", "n_body"):
+            o["offset"] = pd.array(o["offset"], dtype="int64")
+            for c in ("rec_idx", "status", "n_body", "length"):
                 o[c] = pd.array(o[c], dtype="Int32")
             yield o
 
@@ -319,10 +364,15 @@ def synth_warc_bytes(shard_id: int) -> tuple:
               ("Content-Type", b"application/http; msgtype=response")],
              http, url, status, mime.decode(), body)
 
-    if shard_id % 7 == 3:  # member-gzip layout (one member per record)
-        payload = b"".join(_gzip_member(r) for r in recs)
-    else:
-        payload = b"".join(recs)
+    # stamp truth offsets in the SEEK domain the parser must report:
+    # raw bytes for plain shards, compressed member extents for gzip
+    parts = ([_gzip_member(r) for r in recs]
+             if shard_id % 7 == 3 else recs)
+    pos = 0
+    for t, p in zip(truth, parts):
+        t["offset"], t["length"] = pos, len(p)
+        pos += len(p)
+    payload = b"".join(parts)
     if shard_id % 9 == 5:  # truncated shard: fail-whole, no truth
         return payload[: max(10, len(payload) * 3 // 5)], []
     return payload, truth

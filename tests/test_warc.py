@@ -56,6 +56,10 @@ def test_hand_vector_record_exact():
     assert resp["mime"] == "text/html"
     assert resp["n_body"] == len(HAND_BODY)
     assert resp["_body"] == HAND_BODY
+    # seek extents, hand-computed: info starts at 0, response follows it
+    assert (info["offset"], info["length"]) == (0, len(HAND_INFO))
+    assert (resp["offset"], resp["length"]) == (len(HAND_INFO),
+                                                len(HAND_RECORD))
 
 
 def test_hand_vector_gzip_members_roundtrip():
@@ -67,6 +71,12 @@ def test_hand_vector_gzip_members_roundtrip():
     assert _gunzip_members(gz) == HAND_INFO + HAND_RECORD
     recs = parse_warc(gz)
     assert recs is not None and recs[1]["_body"] == HAND_BODY
+    # gzip extents are in the COMPRESSED domain: re-inflating the second
+    # record's extent alone must yield exactly that record
+    off, ln = recs[1]["offset"], recs[1]["length"]
+    assert (off, off + ln) == (len(member(HAND_INFO)), len(gz))
+    d = zlib.decompressobj(31)
+    assert d.decompress(gz[off:off + ln]) + d.flush() == HAND_RECORD
 
 
 @pytest.mark.parametrize("mutate", [
@@ -123,6 +133,29 @@ def test_warc_pages_feeds_extract_pipeline(spark):
     assert set(got) == want_urls
     n_nonempty = sum(1 for t in got.values() if t)
     assert n_nonempty == len(got)  # every synth page carries content
+
+
+def test_cdx_index_sorted_and_seekable(spark):
+    """The CDX rows come back globally sorted by (urlkey, ts14), and a
+    sampled extent really fetches its record from the shard bytes."""
+    import pyarrow.parquet as pq
+
+    import sparkdu.staging  # noqa: F401
+    from sparkdu.harness import QUERIES, fx
+
+    rows = QUERIES["warc_cdx_index"](spark, "/root/testdata/sf0.01").collect()
+    keys = [(r["urlkey"], r["ts14"]) for r in rows]
+    assert keys == sorted(keys) and len(rows) > 300
+    assert all(r["urlkey"].startswith("test,") for r in rows[:5])
+    shards = {r["shard_id"]: bytes(r["payload"])
+              for r in pq.read_table(fx("warc")).to_pylist()}
+    for r in rows[:10]:
+        ext = shards[r["shard_id"]][r["offset"]:r["offset"] + r["length"]]
+        if ext[:2] == b"\x1f\x8b":
+            d = zlib.decompressobj(31)
+            ext = d.decompress(ext) + d.flush()
+        assert ext.startswith(b"WARC/1.0")
+        assert r["url"].encode() in ext
 
 
 def test_scan_is_zero_exchange(spark):

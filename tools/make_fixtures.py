@@ -798,7 +798,7 @@ def make_warc() -> None:
     docs = {"shard_id": [], "payload": []}
     truth = {k: [] for k in ("shard_id", "rec_idx", "rec_type", "url",
                              "warc_date", "status", "mime", "n_body",
-                             "body_sha")}
+                             "body_sha", "offset", "length")}
     for i in range(80):
         payload, rows = synth_warc_bytes(i)
         docs["shard_id"].append(i)
@@ -829,6 +829,8 @@ def make_warc() -> None:
                 "mime": pa.array(truth["mime"], pa.string()),
                 "n_body": pa.array(truth["n_body"], pa.int32()),
                 "body_sha": pa.array(truth["body_sha"], pa.string()),
+                "offset": pa.array(truth["offset"], pa.int64()),
+                "length": pa.array(truth["length"], pa.int32()),
             }
         ),
     )
