@@ -29,13 +29,16 @@ def main(argv=None) -> None:
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--master", default=None)
     ap.add_argument("--format", default="html",
-                    choices=("html", "pagexml", "pdf"),
+                    choices=("html", "pagexml", "pdf", "warc"),
                     help="input collection format: html pages parquet "
-                         "(url/warc_ts/html), or a native PAGE-XML/PDF "
-                         "collection parquet (doc_id + xml/pdf binary)")
+                         "(url/warc_ts/html), a native PAGE-XML/PDF "
+                         "collection parquet (doc_id + xml/pdf binary), "
+                         "or WARC/1.0 shards (shard_id + payload binary) "
+                         "— warc feeds the html pipeline after container "
+                         "extraction, so --model applies")
     args = ap.parse_args(argv)
-    if args.format != "html" and args.model:
-        ap.error("--model applies to --format html only (the native "
+    if args.format in ("pagexml", "pdf") and args.model:
+        ap.error("--model applies to --format html/warc only (the native "
                  "PAGE-XML/PDF legs use their format's content rule)")
 
     from pyspark.sql import functions as F
@@ -47,6 +50,21 @@ def main(argv=None) -> None:
     spark = get_spark(app=f"sparkdu-extract-{args.run_id}", master=args.master)
     if args.format == "html":
         pages = spark.read.schema(PAGES_SCHEMA).parquet(args.input)
+    elif args.format == "warc":
+        # WARC/1.0 shards -> HTTP-200 text/html pages -> the HTML
+        # pipeline (wave machinery, model, resume all apply). Fail-whole
+        # drops corrupt shards SILENTLY at the record level, so account
+        # them here at shard granularity — an invisible coverage hole is
+        # the one thing a crawl-scale job must never have.
+        from sparkdu.warc import warc_pages, warc_records
+
+        shards = spark.read.parquet(args.input)
+        n_shards = shards.count()
+        ok_shards = (
+            warc_records(shards).select("shard_id").distinct().count()
+        )
+        print(f"warc: shards={n_shards} shard_errors={n_shards - ok_shards}")
+        pages = warc_pages(shards)
     else:
         # native collection: synthesize the url/warc_ts key so the wave
         # machinery (salting, J9 sort, checkpoints, resume) is shared
@@ -71,7 +89,9 @@ def main(argv=None) -> None:
         waves=args.waves,
         model_path=args.model,
         resume=args.resume,
-        input_format=args.format,
+        # warc is a container around html pages: downstream extraction is
+        # the HTML pipeline
+        input_format=("html" if args.format == "warc" else args.format),
     )
     t0 = time.time()
     total = run_extract_job(spark, pages, cfg)

@@ -168,3 +168,34 @@ def test_scan_is_zero_exchange(spark):
     plan = plan_of(QUERIES["scan_warc_records"](spark, "/root/testdata/sf0.01"))
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan
     assert "MapInPandas" in plan
+
+
+def test_warc_cli_leg_end_to_end(spark, tmp_path):
+    """`--format warc` through the wave/lineage machinery: every HTTP-200
+    text/html record lands in the output with its url and non-empty text;
+    request/404/301/text-plain records and the 9 truncated shards fall
+    away; resume re-runs nothing."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from sparkdu.harness import QUERIES, fx
+    from sparkdu.lineage import ExtractJobConfig, run_extract_job
+
+    pages = warc_pages(spark.read.parquet(fx("warc")))
+    cfg = ExtractJobConfig(run_id="warc-e2e", out_dir=str(tmp_path),
+                           num_partitions=8, waves=2, input_format="html")
+    total = run_extract_job(spark, pages, cfg)
+    want = {r["url"] for r in
+            QUERIES["warc_http_pages"](spark, "/root/testdata/sf0.01")
+            .select("url").collect()}
+    assert total["n_pages"] == len(want) and total["n_errors"] == 0
+    got = {r["url"]: r["extracted_text"] for r in
+           spark.read.parquet(f"{tmp_path}/extracted").collect()}
+    assert set(got) == want
+    assert all(got.values())
+
+    total2 = run_extract_job(
+        spark, pages,
+        ExtractJobConfig(run_id="warc-e2e", out_dir=str(tmp_path),
+                         num_partitions=8, waves=2, input_format="html",
+                         resume=True))
+    assert total2["n_pages"] == 0 and total2["waves_run"] == 0
