@@ -5217,7 +5217,7 @@ def warc_http_pages(spark, sf_dir):
                url, mime, status, body_sha AS digest,
                "offset", length, shard_id
         FROM read_parquet('{fx("warc_records_truth")}')
-        WHERE rec_type = 'response'""",
+        WHERE rec_type IN ('response', 'revisit')""",
 )
 def warc_cdx_index(spark, sf_dir):
     """CDX capture index off the WARC scan (the PUBLIC Common-Crawl index
@@ -5234,7 +5234,7 @@ def warc_cdx_index(spark, sf_dir):
     from .warc import warc_records
 
     recs = warc_records(f(spark, "warc")).filter(
-        F.col("rec_type") == "response"
+        F.col("rec_type").isin("response", "revisit")
     )
     host = F.lower(F.regexp_extract("url", r"^https?://([^/]+)", 1))
     path = F.regexp_extract("url", r"^https?://[^/]+(/.*)$", 1)
@@ -5249,3 +5249,50 @@ def warc_cdx_index(spark, sf_dir):
         F.col("body_sha").alias("digest"),
         "offset", "length", "shard_id",
     ).orderBy("urlkey", "ts14")
+
+
+@q(
+    "warc_revisit_resolve",
+    f"""SELECT rv.url AS revisit_url, rv.warc_date AS revisit_date,
+               rv.body_sha AS digest,
+               o.url AS original_url, o.warc_date AS original_date,
+               o.n_body AS n_body
+        FROM read_parquet('{fx("warc_records_truth")}') rv
+        JOIN read_parquet('{fx("warc_records_truth")}') o
+          ON o.body_sha = rv.body_sha
+         AND o.rec_type = 'response' AND o.status = 200
+         AND o.mime = 'text/html'
+        WHERE rv.rec_type = 'revisit'""",
+)
+def warc_revisit_resolve(spark, sf_dir):
+    """Revisit resolution (ISO 28500 §6.7.2 identical-payload-digest —
+    Common Crawl's URL-agnostic dedup): revisit records carry a DECLARED
+    payload digest and no body; joining them back to the original
+    response by digest materializes the full url->content mapping without
+    ever storing the duplicate bytes. This is the crawl-side mirror of
+    the engine's content dedup family — the crawler already deduped, the
+    reader must re-attach. One digest-keyed shuffle join (at 100 TB the
+    revisit side is the small fraction the crawler deduped away — broadcast
+    candidate, AQE decides); both legs come off the same zero-exchange
+    scan. Oracle: DuckDB self-join over generator truth."""
+    from .warc import warc_records
+
+    recs = warc_records(f(spark, "warc"))
+    rv = recs.filter(F.col("rec_type") == "revisit").select(
+        F.col("url").alias("revisit_url"),
+        F.col("warc_date").alias("revisit_date"),
+        F.col("body_sha").alias("digest"),
+    )
+    orig = recs.filter(
+        (F.col("rec_type") == "response") & (F.col("status") == 200)
+        & (F.col("mime") == "text/html")
+    ).select(
+        F.col("body_sha").alias("digest"),
+        F.col("url").alias("original_url"),
+        F.col("warc_date").alias("original_date"),
+        "n_body",
+    )
+    return rv.join(orig, "digest").select(
+        "revisit_url", "revisit_date", "digest",
+        "original_url", "original_date", "n_body",
+    )

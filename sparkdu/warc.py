@@ -156,10 +156,26 @@ def _parse_records(b: bytes) -> list:
         i += 4
         rtype = headers["warc-type"]
         status = mime = body = None
-        if (rtype == "response"
+        n_body = body_sha = None
+        if (rtype in ("response", "revisit")
                 and headers.get("content-type", "")
                 .startswith("application/http")):
             status, mime, body = _parse_http_response(block)
+            if rtype == "revisit":
+                # revisit (ISO 28500 §6.7.2, identical-payload-digest
+                # profile): HTTP headers only, NO entity body — the
+                # payload digest is DECLARED in WARC-Payload-Digest, to
+                # be resolved against the original capture by join
+                if body:
+                    raise ValueError("revisit record carries a body")
+                body = None
+                digest = headers.get("warc-payload-digest", "")
+                if not digest.startswith("sha256:"):
+                    raise ValueError("revisit without sha256 payload digest")
+                body_sha = digest.split(":", 1)[1]
+            else:
+                n_body = len(body)
+                body_sha = hashlib.sha256(body).hexdigest()[:16]
         recs.append({
             "rec_idx": len(recs),
             "rec_type": rtype,
@@ -167,9 +183,8 @@ def _parse_records(b: bytes) -> list:
             "warc_date": headers["warc-date"],
             "status": status,
             "mime": mime,
-            "n_body": len(body) if body is not None else None,
-            "body_sha": (hashlib.sha256(body).hexdigest()[:16]
-                         if body is not None else None),
+            "n_body": n_body,
+            "body_sha": body_sha,  # computed (response) / declared (revisit)
             "offset": start,
             "length": i - start,
             "_body": body,
@@ -301,7 +316,8 @@ def synth_warc_bytes(shard_id: int) -> tuple:
     truth = []
 
     def emit(rtype: str, headers: list, block: bytes,
-             url: Optional[str], status, mime, body: Optional[bytes]):
+             url: Optional[str], status, mime, body: Optional[bytes],
+             digest: Optional[str] = None):
         recs.append(_record(headers, block))
         wdate = next(v for k, v in headers if k.lower() == "warc-date")
         truth.append({
@@ -310,7 +326,7 @@ def synth_warc_bytes(shard_id: int) -> tuple:
             "status": status, "mime": mime,
             "n_body": len(body) if body is not None else None,
             "body_sha": (hashlib.sha256(body).hexdigest()[:16]
-                         if body is not None else None),
+                         if body is not None else digest),
         })
 
     date = f"2026-08-{day:02d}T{rng.randint(0,23):02d}:00:00Z".encode()
@@ -363,6 +379,30 @@ def synth_warc_bytes(shard_id: int) -> tuple:
               ("warc-date", date),
               ("Content-Type", b"application/http; msgtype=response")],
              http, url, status, mime.decode(), body)
+        if status == 200 and mime == b"text/html" and rng.random() < 0.3:
+            # later re-capture of the same content: a REVISIT record
+            # (identical-payload-digest profile) — HTTP headers only,
+            # digest declared, resolved against the original by join
+            digest = hashlib.sha256(body).hexdigest()[:16]
+            rurl = url + "?re"
+            rdate = (f"2026-08-{day:02d}T23:"
+                     f"{rng.randint(0,59):02d}:00Z").encode()
+            hdr_only = (b"HTTP/1.1 200 X" + CRLF
+                        + b"Content-Type: text/html; charset=utf-8"
+                        + CRLF + CRLF)
+            emit("revisit",
+                 [("WARC-Type", b"revisit"),
+                  ("WARC-Record-ID", b"<urn:uuid:%08d-%03d-v>"
+                   % (shard_id, k)),
+                  ("WARC-Target-URI", rurl.encode()),
+                  ("WARC-Date", rdate),
+                  ("WARC-Profile",
+                   b"http://netpreserve.org/warc/1.0/revisit/"
+                   b"identical-payload-digest"),
+                  ("WARC-Payload-Digest", b"sha256:" + digest.encode()),
+                  ("Content-Type",
+                   b"application/http; msgtype=response")],
+                 hdr_only, rurl, 200, "text/html", None, digest)
 
     # stamp truth offsets in the SEEK domain the parser must report:
     # raw bytes for plain shards, compressed member extents for gzip
