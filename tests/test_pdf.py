@@ -538,3 +538,26 @@ def test_geom_blocks_recover_true_structure(spark):
     # escape-coverage lines whose text carries no label
     assert_bijection(
         _geom_vblocks(runs, 5.0).filter("blk != ''"), "blk")
+
+
+def test_parse_pdf_never_raises_fuzz():
+    """Total-function contract: arbitrary byte mutations of valid 1.4 and
+    1.5 documents (and raw garbage) must yield None or a parse dict —
+    never an exception escaping parse_pdf."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from sparkdu.pdf import synth_pdf15_bytes
+
+    b15 = synth_pdf15_bytes(0)[0]
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.binary(max_size=64), st.integers(0, min(len(BASE), len(b15)) - 1),
+           st.integers(0, 32))
+    def run(junk, cut, drop):
+        for base in (BASE, b15):
+            for b in (junk, base[:cut] + junk + base[cut + drop:]):
+                out = parse_pdf(b)
+                assert out is None or isinstance(out, dict)
+
+    run()

@@ -199,3 +199,23 @@ def test_warc_cli_leg_end_to_end(spark, tmp_path):
                          num_partitions=8, waves=2, input_format="html",
                          resume=True))
     assert total2["n_pages"] == 0 and total2["waves_run"] == 0
+
+
+def test_parse_never_raises_fuzz():
+    """Total-function contract: arbitrary byte mutations of a valid shard
+    (and raw garbage) must yield None or a valid record list — never an
+    exception escaping parse_warc."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    base = HAND_INFO + HAND_RECORD
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=64), st.integers(0, len(base) - 1),
+           st.integers(0, 32))
+    def run(junk, cut, drop):
+        for b in (junk, base[:cut] + junk + base[cut + drop:]):
+            out = parse_warc(b)
+            assert out is None or isinstance(out, list)
+
+    run()
