@@ -5296,3 +5296,92 @@ def warc_revisit_resolve(spark, sf_dir):
         "revisit_url", "revisit_date", "digest",
         "original_url", "original_date", "n_body",
     )
+
+
+def _edge_cls_sql() -> str:
+    """clf_edges_v1 scoring: binary argmax CASE (earlier class wins ties,
+    matching numpy argmax), decimal-literal weights shared verbatim by
+    both engines. Returns the pred_same 0/1 expression."""
+    with open(os.path.join(_ART, "clf_edges_v1.json")) as fh:
+        art = json.load(fh)
+    feats = art["feature_exprs"]
+    scores = []
+    for w_row, b in zip(art["W"], art["b"]):
+        terms = " + ".join(f"({w!r} * {fe})" for w, fe in zip(w_row, feats))
+        scores.append(f"({terms} + {b!r})")
+    # classes = [boundary, same]; boundary (idx 0) wins ties like argmax
+    return f"CASE WHEN {scores[0]} >= {scores[1]} THEN 0 ELSE 1 END"
+
+
+_EDGE_CASE = _edge_cls_sql()
+
+
+@q(
+    "layout_edge_classify",
+    f"""SELECT doc_id, region_id, edge_id, same,
+               {_EDGE_CASE} AS pred_same
+        FROM read_parquet('{fx("layout_edges")}')""",
+)
+def layout_edge_classify(spark, sf_dir):
+    """The upstream's SIGNATURE method [U: conjugate-graph edge
+    classification — label the RELATION between adjacent layout elements
+    (same-logical-unit vs boundary) instead of the elements, then recover
+    segmentation from the positive edges (its ECN/conjugate models)]:
+    binary softmax over consecutive-line pair features (gap normalized by
+    line height, next line's indent, previous line's width shortfall /
+    terminal punctuation / length, next line's capitalization), trained
+    OFFLINE on a disjoint doc split against hidden paragraph structure
+    (held-out 97.6%, boundary F1 0.930 vs planted 5% label noise + 15%
+    ambiguity) and frozen in artifacts/clf_edges_v1.json. Zero-exchange
+    codegen scoring; expressions shared VERBATIM with the DuckDB oracle.
+    tests/test_layout_cls.py gates accuracy/F1 and plan shape."""
+    return spark.read.parquet(fx("layout_edges")).selectExpr(
+        "doc_id", "region_id", "edge_id", "same",
+        f"{_EDGE_CASE} AS pred_same",
+    )
+
+
+@q(
+    "layout_edge_paragraphs",
+    f"""WITH e AS (
+          SELECT doc_id, region_id, edge_id, dst_line,
+                 {_EDGE_CASE} AS pred_same
+          FROM read_parquet('{fx("layout_edges")}'))
+        SELECT doc_id, region_id, dst_line AS line_id,
+               CAST(sum(1 - pred_same) OVER (
+                 PARTITION BY doc_id, region_id ORDER BY edge_id
+                 ROWS UNBOUNDED PRECEDING) AS INT) AS para_idx
+        FROM e
+        UNION ALL
+        SELECT DISTINCT doc_id, region_id, 0 AS line_id, 0 AS para_idx
+        FROM e""",
+)
+def layout_edge_paragraphs(spark, sf_dir):
+    """Segmentation recovered from the classified edges [U: the
+    conjugate method's second half — connected components of positive
+    edges ARE the logical units]: consecutive-line edges form a chain per
+    region, so the component id is a pure window cumsum of predicted
+    boundaries — no iterative CC needed, one window over
+    (doc_id, region_id) ordered by edge_id, identical SQL shape in both
+    engines. Each region's line 0 anchors paragraph 0. Recovery quality
+    vs HIDDEN truth paragraphs is pytest-gated (boundary F1 + exact
+    para-index rate on held-out docs)."""
+    from pyspark.sql import Window
+
+    e = spark.read.parquet(fx("layout_edges")).selectExpr(
+        "doc_id", "region_id", "edge_id", "dst_line",
+        f"{_EDGE_CASE} AS pred_same",
+    )
+    w = (Window.partitionBy("doc_id", "region_id").orderBy("edge_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    dst = e.select(
+        "doc_id", "region_id",
+        F.col("dst_line").alias("line_id"),
+        F.sum(1 - F.col("pred_same")).over(w).cast("int").alias("para_idx"),
+    )
+    first = e.select("doc_id", "region_id").distinct().select(
+        "doc_id", "region_id",
+        F.lit(0).cast("int").alias("line_id"),
+        F.lit(0).cast("int").alias("para_idx"),
+    )
+    return dst.unionByName(first)

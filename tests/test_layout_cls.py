@@ -166,3 +166,66 @@ def test_line_artifact_weights_are_decimal_literals():
         for w in row:
             assert round(w, 6) == w
     assert len(art["feature_exprs"]) == len(art["W"][0]) == 7
+
+
+# --------------- conjugate-edge classifier + recovery -----------------
+
+def test_edge_heldout_accuracy_and_boundary_f1(spark):
+    df = QUERIES["layout_edge_classify"](spark, SF)
+    test = df.filter(F.col("doc_id") % 5 == 0).collect()
+    art = json.load(open("artifacts/clf_edges_v1.json"))
+    assert len(test) == art["n_test"] > 500
+    acc = sum(r["pred_same"] == r["same"] for r in test) / len(test)
+    assert acc >= 0.93, acc
+    assert abs(acc - art["test_acc"]) < 1e-9  # frozen = reproducible
+    tp = sum(1 for r in test if r["pred_same"] == 0 and r["same"] == 0)
+    fp = sum(1 for r in test if r["pred_same"] == 0 and r["same"] == 1)
+    fn = sum(1 for r in test if r["pred_same"] == 1 and r["same"] == 0)
+    p, rcl = tp / max(tp + fp, 1), tp / max(tp + fn, 1)
+    f1 = 2 * p * rcl / max(p + rcl, 1e-9)
+    assert f1 >= 0.85, f1
+    assert abs(f1 - art["test_boundary_f1"]) < 1e-9
+
+
+def test_edge_paragraph_recovery(spark):
+    """Segmentation recovered from PREDICTED edges vs the HIDDEN truth
+    paragraphs (same cumsum over the truth `same` flags): on held-out
+    docs, most lines must land in exactly the right paragraph index —
+    a misclassified edge shifts every later line in its region, so this
+    is a strict compounding metric."""
+    from pyspark.sql import Window
+
+    pred = QUERIES["layout_edge_paragraphs"](spark, SF)
+    e = spark.read.parquet(fx("layout_edges"))
+    w = (Window.partitionBy("doc_id", "region_id").orderBy("edge_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    truth_dst = e.select(
+        "doc_id", "region_id", F.col("dst_line").alias("line_id"),
+        F.sum(1 - F.col("same")).over(w).cast("int").alias("true_idx"),
+    )
+    truth_first = e.select("doc_id", "region_id").distinct().select(
+        "doc_id", "region_id", F.lit(0).cast("int").alias("line_id"),
+        F.lit(0).cast("int").alias("true_idx"))
+    truth = truth_dst.unionByName(truth_first)
+    joined = pred.join(truth, ["doc_id", "region_id", "line_id"]).filter(
+        F.col("doc_id") % 5 == 0)
+    n = joined.count()
+    ok = joined.filter(F.col("para_idx") == F.col("true_idx")).count()
+    assert n > 600
+    assert ok / n >= 0.85, ok / n
+
+
+def test_edge_scoring_is_zero_exchange(spark):
+    plan = _plan(QUERIES["layout_edge_classify"](spark, SF))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan
+    assert "codegen id" in plan
+
+
+def test_edge_artifact_weights_are_decimal_literals():
+    art = json.load(open("artifacts/clf_edges_v1.json"))
+    assert art["train_split"] == "doc_id % 5 != 0"
+    assert art["classes"] == ["boundary", "same"]
+    for row in art["W"]:
+        for w in row:
+            assert round(w, 6) == w
+    assert len(art["feature_exprs"]) == len(art["W"][0]) == 6
