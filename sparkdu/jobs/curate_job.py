@@ -178,20 +178,36 @@ def main(argv=None) -> None:
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("--min-quality", type=float, default=0.35)
+    ap.add_argument("--min-chars", type=int, default=200,
+                    help="minimum extracted-text length to keep")
     ap.add_argument("--master", default=None)
     ap.add_argument("--cc", action="store_true",
                     help="cluster-canonical near-dup policy (connected components)")
     ap.add_argument("--span-dedup", action="store_true",
                     help="exact duplicated-substring rewrite on the survivors")
+    ap.add_argument("--format", default="html", choices=("html", "warc"),
+                    help="input: html pages parquet (url/warc_ts/html) or "
+                         "WARC/1.0 shards (shard_id + payload binary) — "
+                         "curation then runs on the crawl dump directly")
     args = ap.parse_args(argv)
 
     from sparkdu.session import get_spark
     from sparkdu.tables import PAGES_SCHEMA
 
     spark = get_spark(app="sparkdu-curate", master=args.master)
-    pages = spark.read.schema(PAGES_SCHEMA).parquet(args.input)
+    if args.format == "warc":
+        from sparkdu.warc import warc_pages, warc_records
+
+        shards = spark.read.parquet(args.input)
+        n_shards = shards.count()
+        ok = warc_records(shards).select("shard_id").distinct().count()
+        print(f"warc: shards={n_shards} shard_errors={n_shards - ok}")
+        pages = warc_pages(shards)
+    else:
+        pages = spark.read.schema(PAGES_SCHEMA).parquet(args.input)
     t0 = time.time()
     stages = curate(spark, pages, min_quality=args.min_quality,
+                    min_chars=args.min_chars,
                     cc_clusters=args.cc, span_dedup=args.span_dedup)
     lsh_stats = stages.pop("_lsh_stats")
     cached = stages.pop("_cached")
