@@ -5385,3 +5385,39 @@ def layout_edge_paragraphs(spark, sf_dir):
         F.lit(0).cast("int").alias("para_idx"),
     )
     return dst.unionByName(first)
+
+
+@q("stream_warc_pipeline_once")  # rows-only: commit protocol engine-side
+def stream_warc_pipeline_once(spark, sf_dir):
+    """Composed continuous CRAWL ingestion, driver-executed as two
+    bounded availableNow drains (streaming.streaming_warc_to_snapshots):
+    WARC shard stream -> container extraction -> within-watermark url
+    dedup -> fused Arrow extraction -> exactly-once snapshot sink.
+    Drain 1 consumes the landed fixture shards (corrupt shards fall away
+    whole); drain 2 (same checkpoint, no new files) must commit ZERO
+    epochs. Byte-identity vs the batch warc->extract path is pytest-gated
+    (tests/test_warc.py)."""
+    import shutil
+    import tempfile
+
+    from .snapshots import read_snapshot
+    from .streaming import streaming_warc_to_snapshots
+
+    d = tempfile.mkdtemp(prefix="sparkdu_streamwarc_")
+    src = os.path.join(d, "src")
+    os.makedirs(src)
+    shutil.copy(fx("warc"), os.path.join(src, "warc.parquet"))
+    out, ckpt = os.path.join(d, "table"), os.path.join(d, "ckpt")
+    try:
+        e1 = streaming_warc_to_snapshots(spark, src, out, "sw", ckpt)
+        e2 = streaming_warc_to_snapshots(spark, src, out, "sw", ckpt)
+        final = read_snapshot(spark, out)
+        rows = [
+            ("epochs_first_drain", e1),
+            ("epochs_replay_drain", e2),          # 0: nothing new landed
+            ("rows_committed", final.count()),
+            ("distinct_urls", final.select("url").distinct().count()),
+        ]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, "metric string, n long").orderBy("metric")

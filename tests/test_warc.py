@@ -219,3 +219,33 @@ def test_parse_never_raises_fuzz():
             assert out is None or isinstance(out, list)
 
     run()
+
+
+def test_streaming_warc_pipeline_matches_batch(spark, tmp_path):
+    """The streaming crawl-ingestion composition must commit exactly the
+    batch path's rows: same urls, byte-identical extracted text; a replay
+    drain with no new shards commits zero epochs."""
+    import shutil
+
+    from sparkdu.api import ExtractConfig, extract_pages
+    from sparkdu.harness import fx
+    from sparkdu.snapshots import read_snapshot
+    from sparkdu.streaming import streaming_warc_to_snapshots
+
+    src = tmp_path / "src"
+    src.mkdir()
+    shutil.copy(fx("warc"), src / "warc.parquet")
+    out, ckpt = str(tmp_path / "table"), str(tmp_path / "ckpt")
+    e1 = streaming_warc_to_snapshots(spark, str(src), out, "sw", ckpt)
+    assert e1 >= 1
+    assert streaming_warc_to_snapshots(spark, str(src), out, "sw", ckpt) == 0
+
+    got = {r["url"]: r["extracted_text"]
+           for r in read_snapshot(spark, out).collect()}
+    pages = warc_pages(spark.read.parquet(fx("warc")))
+    want = {r["url"]: r["extracted_text"]
+            for r in extract_pages(
+                spark, pages, ExtractConfig(model_path=None)).collect()}
+    assert set(got) == set(want) and len(got) > 250
+    for url, txt in want.items():
+        assert got[url].encode("utf-8") == txt.encode("utf-8"), url
