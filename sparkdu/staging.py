@@ -1,10 +1,12 @@
-"""Round-3 staging registry.
+"""Post-freeze staging registry (rounds 3-5).
 
-New operators added after the round-3 registry freeze register here (via the
-same ``@q`` decorator) so the frozen ``DRIVER_PRIORITY`` ordering in
+New operators added after each round's registry freeze register here (via
+the same ``@q`` decorator) so the frozen ``DRIVER_PRIORITY`` ordering in
 sparkdu/harness.py is never perturbed mid-round: keys named in the priority
 list slot into the driver window; anything else appends after the banked
-round-2 greens.
+greens. Round-5 additions (PDF 1.5, WARC/CDX/revisit, line/edge
+classifiers, z-order read, streaming crawl ingestion) live at the end of
+this file.
 """
 
 from __future__ import annotations
