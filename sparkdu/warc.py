@@ -9,8 +9,12 @@ Implemented subset, all from the public spec:
 
 - record grammar: ``WARC/1.0 CRLF`` version line, named header fields
   (``WARC-Type``, ``WARC-Target-URI``, ``WARC-Date``, ``Content-Type``,
-  ``Content-Length`` — the framing authority), ``CRLF`` blank line,
-  exactly Content-Length block bytes, ``CRLF CRLF`` record terminator;
+  ``Content-Length`` — the framing authority), LWS continuation-line
+  folding (ISO 28500 header grammar), ``CRLF`` blank line, exactly
+  Content-Length block bytes, ``CRLF CRLF`` record terminator;
+  ``WARC-Date`` is validated against WARC 1.0 §5.4's uniform
+  ``YYYY-MM-DDThh:mm:ssZ`` form INCLUDING calendar validity at parse
+  time, so timestamp conversion downstream is total;
 - record types: ``warcinfo``, ``request``, ``response`` (others parse and
   carry their type through);
 - HTTP payload extraction for ``application/http; msgtype=response``
@@ -36,8 +40,10 @@ paths in a real crawl), so cluster scaling is pure partition count.
 
 from __future__ import annotations
 
+import datetime
 import hashlib
 import random
+import re
 import zlib
 from typing import Iterator, Optional
 
@@ -48,6 +54,9 @@ from pyspark.sql import types as T
 from .fixtures import SEED_BASE
 
 CRLF = b"\r\n"
+
+# WARC 1.0 §5.4: a uniform fourteen-digit UTC timestamp, no variants
+_WARC_DATE = re.compile(r"(\d{4})-(\d{2})-(\d{2})T(\d{2}):(\d{2}):(\d{2})Z$")
 
 WARC_RECORDS_SCHEMA = T.StructType(
     [
@@ -83,18 +92,27 @@ def _gunzip_members(b: bytes) -> bytes:
 
 def _parse_headers(b: bytes, i: int) -> tuple:
     """Named header fields until the blank CRLF -> (dict, next_i).
-    Header names are case-insensitive per spec; keys are lowercased."""
+    Header names are case-insensitive per spec; keys are lowercased.
+    Lines starting with SP/HT are LWS continuations (ISO 28500 header
+    folding, same grammar as classic HTTP obs-fold): joined onto the
+    previous field's value with a single space. A continuation before
+    any field is malformed (fail-whole)."""
     headers: dict = {}
+    last: Optional[str] = None
     while True:
         j = b.index(CRLF, i)
         line = b[i:j]
         i = j + 2
         if not line:
             return headers, i
+        if line[:1] in (b" ", b"\t"):
+            if last is None:
+                raise ValueError("continuation line before any header")
+            headers[last] += " " + line.strip().decode("latin-1")
+            continue
         k = line.index(b":")
-        headers[line[:k].strip().lower().decode("ascii")] = (
-            line[k + 1 :].strip().decode("latin-1")
-        )
+        last = line[:k].strip().lower().decode("ascii")
+        headers[last] = line[k + 1 :].strip().decode("latin-1")
 
 
 def _parse_http_response(block: bytes) -> tuple:
@@ -146,6 +164,16 @@ def _parse_records(b: bytes) -> list:
                     "content-length"):
             if req not in headers:
                 raise ValueError(f"missing mandatory header {req}")
+        m = _WARC_DATE.match(headers["warc-date"])
+        if not m:
+            raise ValueError("bad WARC-Date (WARC 1.0 mandates uniform "
+                             "YYYY-MM-DDThh:mm:ssZ)")
+        # full calendar validation (rejects e.g. 2026-02-30T25:00:00Z) so
+        # every date that survives the parse is total for downstream
+        # strptime — a malformed date must fail the SHARD here, not kill
+        # the whole Spark job inside warc_pages
+        datetime.datetime(int(m[1]), int(m[2]), int(m[3]),
+                          int(m[4]), int(m[5]), int(m[6]))
         clen = int(headers["content-length"])
         block = b[i : i + clen]
         if len(block) != clen:

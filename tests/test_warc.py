@@ -87,9 +87,34 @@ def test_hand_vector_gzip_members_roundtrip():
                         b"Content-Length: 99999"),          # overrun
     lambda b: b[:-2],                                       # terminator
     lambda b: b[: len(b) // 2],                             # truncated
+    # WARC-Date deviations from the 1.0 SS5.4 uniform form: wrong shape,
+    # valid shape but impossible calendar date, valid shape + bad hour
+    lambda b: b.replace(b"2026-08-18T00:00:00Z",
+                        b"Tue, 18 Aug 2026 00:00:00 GMT"),
+    lambda b: b.replace(b"2026-08-18T00:00:00Z", b"2026-02-30T00:00:00Z"),
+    lambda b: b.replace(b"2026-08-18T00:00:00Z", b"2026-08-18T25:00:00Z"),
+    # LWS continuation line before any header field
+    lambda b: b.replace(b"WARC/1.0" + CRLF + b"warc-TYPE",
+                        b"WARC/1.0" + CRLF + b" folded" + CRLF
+                        + b"warc-TYPE", 1),
 ])
 def test_malformed_fail_whole(mutate):
     assert parse_warc(mutate(HAND_INFO + HAND_RECORD)) is None
+
+
+def test_header_folding_joined_with_space():
+    # ISO 28500 header grammar allows LWS continuation lines; the folded
+    # Content-Type must still be recognized as an HTTP response payload
+    folded = HAND_RECORD.replace(
+        b"Content-Type: application/http; msgtype=response" + CRLF,
+        b"Content-Type: application/http;" + CRLF
+        + b"\t msgtype=response" + CRLF, 1)
+    assert folded != HAND_RECORD
+    recs = parse_warc(HAND_INFO + folded)
+    assert recs is not None and len(recs) == 2
+    resp = recs[1]
+    assert (resp["status"], resp["mime"]) == (200, "text/html")
+    assert resp["_body"] == HAND_BODY
 
 
 def test_corrupt_gzip_member_fails_whole():
