@@ -14,7 +14,11 @@ STREAMS (§7.5.8: /W field widths, /Index subsections, FlateDecode +
 PNG-predictor /DecodeParms per RFC 2083) with compressed objects in
 object streams (§7.5.7), hybrid-reference files via /XRefStm —
 incremental updates followed via trailer /Prev, newest section wins per
-object — trailer with /Root. Implemented object syntax:
+object — trailer with /Root. The ``startxref`` pointer is located in the
+last 256 bytes of the file (ISO 32000-1 §7.5.5 puts it on the
+penultimate line before ``%%EOF``; a conforming file cannot push it
+further out, so a longer tail means trailing garbage and fails whole).
+Implemented object syntax:
 dictionaries, arrays, names, numbers, literal strings (with escapes and
 octal), hex strings, booleans, null, indirect references, and streams
 (with direct or INDIRECT /Length and optional /FlateDecode via stdlib
