@@ -1138,3 +1138,103 @@ def gen_sitemaps(urls: list) -> list:
         )
         out.append((host, xml))
     return out
+
+
+def gen_head_meta(n: int = 240) -> list:
+    """Deterministic <head>-metadata pages for the document-metadata
+    extraction key (extract_doc_meta).
+
+    Exercises the messy reality of head markup: missing fields, single vs
+    double quoting, flipped attribute order (content before name/property),
+    mixed-case tag and attribute names, whitespace/newlines inside <title>,
+    HTML entities in field text, extra attributes between the interesting
+    ones, unquoted charset values, XHTML self-closing tags, a prefix-trap
+    meta name ("description-alt" must NOT match "description"), and decoy
+    meta/link tags in the BODY that a head-scoped extractor must ignore.
+    Index arithmetic only (no RNG) so regeneration is byte-stable.
+    """
+    words = ["corpus", "layout", "extraction", "graph", "node", "signal",
+             "vector", "shard", "crawl", "render"]
+    out = []
+    for i in range(n):
+        url = f"https://meta{i % 30}.example/p/{i}"
+        w = lambda k: words[(i + k) % len(words)]  # noqa: E731
+        head = []
+        body_extra = []
+
+        # --- title ---------------------------------------------------
+        if i % 7 != 0:
+            t = f"{w(0).capitalize()} {w(1)} {i}"
+            if i % 5 == 2:
+                t = f"{w(0).capitalize()} &amp; {w(1)} &lt;{i}&gt;"
+            if i % 8 == 3:
+                t = f"  {t.replace(' ', chr(10) + '   ', 1)}\t"
+            tag = "TITLE" if i % 9 == 0 else "title"
+            head.append(f"<{tag}>{t}</{tag}>")
+
+        # --- meta description (quote style, attr order, extras) -------
+        if i % 6 != 5:
+            d = f"{w(2)} {w(3)} {w(4)} page {i} &amp; more"
+            qch = "'" if i % 5 in (1, 4) else '"'
+            nm = "Description" if i % 9 == 4 else "description"
+            close = " /" if i % 4 == 1 else ""
+            if i % 3 == 0:
+                head.append(
+                    f"<meta content={qch}{d}{qch} id={qch}m{i}{qch} "
+                    f"name={qch}{nm}{qch}{close}>"
+                )
+            else:
+                head.append(
+                    f"<meta name={qch}{nm}{qch} content={qch}{d}{qch}{close}>"
+                )
+        # prefix trap: must never be extracted as the description
+        if i % 10 == 6:
+            head.append(f'<meta name="description-alt" content="TRAP {i}">')
+
+        # --- canonical link -------------------------------------------
+        if i % 4 != 3:
+            canon = f"https://meta{i % 30}.example/canonical/{i}"
+            if i % 2 == 0:
+                head.append(f'<link rel="canonical" href="{canon}">')
+            else:
+                head.append(f"<link href='{canon}' rel='canonical'/>")
+
+        # --- og:title ---------------------------------------------------
+        if i % 6 < 4:
+            og = f"OG {w(5)} {i}"
+            prop = "OG:Title" if i % 11 == 7 else "og:title"
+            if i % 5 == 3:
+                head.append(f'<meta content="{og}" property="{prop}">')
+            else:
+                head.append(f'<meta property="{prop}" content="{og}">')
+
+        # --- charset: quoted / unquoted / http-equiv-only / absent ----
+        if i % 5 == 0:
+            head.append("<meta charset=utf-8>")
+        elif i % 5 == 1:
+            head.append('<meta charset="UTF-8">')
+        elif i % 5 == 2:
+            head.append("<meta charset='iso-8859-1' >")
+
+        # --- body decoys the head-scoped extractor must ignore --------
+        if i % 11 == 0:
+            body_extra.append(
+                f'<meta name="description" content="BODY DECOY {i}">'
+            )
+            body_extra.append(f'<link rel="canonical" href="https://decoy.example/{i}">')
+            body_extra.append(f"<span>literal &lt;title&gt;fake {i}&lt;/title&gt;</span>")
+
+        lang_attr = "" if i % 10 == 7 else (
+            f" lang='{['en', 'de', 'fr'][i % 3]}'" if i % 5 == 4
+            else f' lang="{["en", "de", "fr"][i % 3]}"'
+        )
+        nl = "\n  " if i % 2 else ""
+        html = (
+            f"<!DOCTYPE html><html{lang_attr}><head>{nl}"
+            + f"{nl}".join(head)
+            + f"{nl}</head><body><h1>{w(6)} {i}</h1><p>{w(7)} {w(8)} body {i}</p>"
+            + "".join(body_extra)
+            + "</body></html>"
+        )
+        out.append((url, html.encode("utf-8")))
+    return out

@@ -972,6 +972,21 @@ def make_table_span_cells() -> None:
     )
 
 
+def make_pages_meta() -> None:
+    """Head-metadata fixture: deterministic pages with messy <head> markup
+    (sparkdu.fixtures.gen_head_meta), for the extract_doc_meta key."""
+    rows = fixtures.gen_head_meta()
+    write(
+        "pages_meta.parquet",
+        pa.table(
+            {
+                "url": [r[0] for r in rows],
+                "html": pa.array([r[1] for r in rows], pa.binary()),
+            }
+        ),
+    )
+
+
 def regenerate_all() -> None:
     """The single documented regeneration entry point: produces EVERY
     committed fixture. New generators must be appended HERE (the only
@@ -998,6 +1013,7 @@ def regenerate_all() -> None:
     make_warc()
     make_table_cells()
     make_table_span_cells()
+    make_pages_meta()
 
 
 if __name__ == "__main__":
