@@ -1151,7 +1151,11 @@ def gen_head_meta(n: int = 240) -> list:
     ones, unquoted charset values, XHTML self-closing tags, a prefix-trap
     meta name ("description-alt" must NOT match "description"), and decoy
     meta/link tags in the BODY that a head-scoped extractor must ignore.
-    Index arithmetic only (no RNG) so regeneration is byte-stable.
+    Bodies also carry the outlink space for extract_outlinks: absolute,
+    protocol-relative, root-relative, sibling-relative, ../-relative and
+    query+fragment hrefs, plus never-extracted forms (fragment-only,
+    mailto:, javascript:, empty href, a commented-out anchor). Index
+    arithmetic only (no RNG) so regeneration is byte-stable.
     """
     words = ["corpus", "layout", "extraction", "graph", "node", "signal",
              "vector", "shard", "crawl", "render"]
@@ -1223,6 +1227,42 @@ def gen_head_meta(n: int = 240) -> list:
             )
             body_extra.append(f'<link rel="canonical" href="https://decoy.example/{i}">')
             body_extra.append(f"<span>literal &lt;title&gt;fake {i}&lt;/title&gt;</span>")
+
+        # --- body outlinks (extract_outlinks): every href form ---------
+        links = []
+        if i % 2 == 0:
+            links.append(
+                f'<a href="https://ext{i % 5}.example/abs/{i}">Abs link {i}</a>'
+            )
+        if i % 3 == 0:
+            links.append(f"<a href='//cdn{i % 4}.example/pp/{i}'>proto {i}</a>")
+        if i % 4 != 1:
+            links.append(f'<a href="/root/{i}">Root &amp; rel {i}</a>')
+        if i % 5 != 2:
+            links.append(
+                f'<a class="x" href="sib/{i}.html">sib\n  {i}</a>'
+            )
+        if i % 6 == 3:
+            links.append(f'<a href="../up/{i}">up {i}</a>')
+        if i % 10 == 4:
+            links.append(
+                f'<a href="https://q{i % 3}.example/pg?x={i}&amp;y=2#sec">'
+                f"query {i}</a>"
+            )
+        # never-extracted forms: fragment-only, mailto, javascript, empty
+        if i % 7 == 5:
+            links.append('<a href="#frag">skip frag</a>')
+        if i % 8 == 2:
+            links.append('<a href="mailto:a@b.example">skip mail</a>')
+        if i % 9 == 1:
+            links.append("<a href='javascript:void(0)'>skip js</a>")
+        if i % 12 == 6:
+            links.append('<a href="">skip empty</a>')
+        if i % 12 == 0:
+            links.append(
+                '<!-- <a href="https://commented.example/x">nope</a> -->'
+            )
+        body_extra.extend(links)
 
         lang_attr = "" if i % 10 == 7 else (
             f" lang='{['en', 'de', 'fr'][i % 3]}'" if i % 5 == 4

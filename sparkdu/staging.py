@@ -5550,3 +5550,129 @@ def extract_doc_meta(spark, sf_dir):
                   "og_title", "html_lang", "charset"]
     )
     return fields.withColumn("n_meta_fields", present)
+
+
+# --- outlink extraction (the WAT-record analogue) ---------------------
+
+_OL_COMMENT = r"(?s)<!--.*?-->"
+_OL_ANCHOR = r"""(?is)<a\s[^>]*href\s*=\s*["'][^"']*["'][^>]*>.*?</a>"""
+_OL_HREF = r"""(?is)<a\s[^>]*href\s*=\s*["']([^"']*)["']"""
+_OL_ATEXT = r"(?is)>(.*?)</a>"
+_OL_SCHEME = r"^(https?)://"
+_OL_HOST = r"^https?://([^/]+)"
+_OL_BASE = r"^(https?://.*/)"
+_OL_DOTDOT = r"/[^/]+/\.\./"
+# bounded dot-segment removal: fixture (and sane web) paths never nest
+# ../ deeper than this; each pass removes one level everywhere
+_OL_DOT_PASSES = 4
+
+
+def _ol_oracle() -> str:
+    def un(e):
+        for a, b in _DM_ENTS:
+            b = b.replace("'", "''")
+            e = f"replace({e}, '{a}', '{b}')"
+        return e
+
+    dst = "replace(regexp_replace(dst0, '#.*$', ''), '/./', '/')"
+    for _ in range(_OL_DOT_PASSES):
+        dst = f"regexp_replace({dst}, '{_dm_sq(_OL_DOTDOT)}', '/', 'g')"
+    return f"""
+        WITH raw AS (
+          SELECT url,
+                 regexp_replace(decode(html), '{_dm_sq(_OL_COMMENT)}', '', 'g') AS h
+          FROM read_parquet('{fx("pages_meta")}')
+        ), anchors AS (
+          SELECT url, unnest(regexp_extract_all(h, '{_dm_sq(_OL_ANCHOR)}')) AS elem
+          FROM raw
+        ), parts AS (
+          SELECT url,
+            trim({un(f"regexp_extract(elem, '{_dm_sq(_OL_HREF)}', 1)")}) AS href,
+            trim(regexp_replace({un(f"regexp_extract(elem, '{_dm_sq(_OL_ATEXT)}', 1)")},
+                 '\\s+', ' ', 'g')) AS anchor_text,
+            regexp_extract(url, '{_dm_sq(_OL_SCHEME)}', 1) AS scheme,
+            regexp_extract(url, '{_dm_sq(_OL_HOST)}', 1) AS host,
+            coalesce(nullif(regexp_extract(url, '{_dm_sq(_OL_BASE)}', 1), ''),
+                     regexp_extract(url, '{_dm_sq(_OL_SCHEME)}', 1) || '://'
+                     || regexp_extract(url, '{_dm_sq(_OL_HOST)}', 1) || '/') AS base
+          FROM anchors
+        ), resolved AS (
+          SELECT url, anchor_text, host,
+            CASE WHEN regexp_matches(href, '(?i)^https?://') THEN href
+                 WHEN href LIKE '//%' THEN scheme || ':' || href
+                 WHEN href LIKE '/%' THEN scheme || '://' || host || href
+                 ELSE base || href END AS dst0
+          FROM parts
+          WHERE href <> '' AND href NOT LIKE '#%'
+                AND NOT regexp_matches(href, '(?i)^(mailto|javascript):')
+        )
+        SELECT url, {dst} AS dst_url, anchor_text,
+               CAST(regexp_extract({dst}, '{_dm_sq(_OL_HOST)}', 1) <> host AS INT)
+                 AS external
+        FROM resolved"""
+
+
+@q("extract_outlinks", _ol_oracle())
+def extract_outlinks(spark, sf_dir):
+    """Outlink extraction with RFC 3986-lite reference resolution (the
+    WAT-record analogue; feeds the corpus_links/crawl_frontier family
+    from raw HTML instead of a pre-built edge table): strip comments,
+    find <a href> elements, entity-unescape href and anchor text, drop
+    non-navigational hrefs (empty, #fragment, mailto:, javascript:),
+    resolve absolute / protocol-relative / root-relative / path-relative
+    forms against the page url, strip fragments, remove ./ and bounded
+    ../ dot-segments, and flag cross-host links. One codegen stage ending
+    in a generate (explode) — zero shuffle, zero Python; at crawl scale
+    this is the map side of link-graph construction and partitions by
+    whatever the next consumer needs."""
+    def unesc(c):
+        for a, b in _DM_ENTS:
+            c = F.replace(c, F.lit(a), F.lit(b))
+        return c
+
+    h = F.regexp_replace(F.col("html").cast("string"), _OL_COMMENT, "")
+    anchors = (
+        f(spark, "pages_meta")
+        .select("url", F.explode(
+            F.regexp_extract_all(h, F.lit(_OL_ANCHOR), 0)).alias("elem"))
+    )
+    parts = anchors.select(
+        "url",
+        F.trim(unesc(F.regexp_extract("elem", _OL_HREF, 1))).alias("href"),
+        F.trim(F.regexp_replace(
+            unesc(F.regexp_extract("elem", _OL_ATEXT, 1)), r"\s+", " ")
+        ).alias("anchor_text"),
+        F.regexp_extract("url", _OL_SCHEME, 1).alias("scheme"),
+        F.regexp_extract("url", _OL_HOST, 1).alias("host"),
+    ).withColumn(
+        "base",
+        F.coalesce(
+            F.nullif(F.regexp_extract("url", _OL_BASE, 1), F.lit("")),
+            F.concat(F.col("scheme"), F.lit("://"), F.col("host"), F.lit("/")),
+        ),
+    )
+    resolved = parts.filter(
+        (F.col("href") != "")
+        & ~F.col("href").startswith("#")
+        & ~F.col("href").rlike(r"(?i)^(mailto|javascript):")
+    ).withColumn(
+        "dst0",
+        F.when(F.col("href").rlike(r"(?i)^https?://"), F.col("href"))
+        .when(F.col("href").startswith("//"),
+              F.concat(F.col("scheme"), F.lit(":"), F.col("href")))
+        .when(F.col("href").startswith("/"),
+              F.concat(F.col("scheme"), F.lit("://"), F.col("host"),
+                       F.col("href")))
+        .otherwise(F.concat(F.col("base"), F.col("href"))),
+    )
+    dst = F.replace(F.regexp_replace(F.col("dst0"), "#.*$", ""),
+                    F.lit("/./"), F.lit("/"))
+    for _ in range(_OL_DOT_PASSES):
+        dst = F.regexp_replace(dst, _OL_DOTDOT, "/")
+    return resolved.select(
+        "url",
+        dst.alias("dst_url"),
+        "anchor_text",
+        (F.regexp_extract(dst, _OL_HOST, 1) != F.col("host"))
+        .cast("int").alias("external"),
+    )

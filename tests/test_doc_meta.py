@@ -124,3 +124,115 @@ def test_plan_single_codegen_map(spark):
     assert "ArrowEvalPython" not in plan
     assert plan.count("Location: InMemoryFileIndex") == 1
     assert "WholeStageCodegen" in plan or "[codegen id :" in plan
+
+
+# ---------------------------------------------------------------------
+# extract_outlinks
+# ---------------------------------------------------------------------
+
+def _run_links_on(spark, html_rows):
+    from pyspark.sql import Row
+    df = spark.createDataFrame(
+        [Row(url=u, html=h.encode()) for u, h in html_rows],
+        "url string, html binary",
+    )
+    import sparkdu.harness as H
+    orig = H.f
+    try:
+        H.f = lambda s, name: df
+        st.f = H.f
+        return sorted(tuple(r) for r in st.extract_outlinks(spark, SF).collect())
+    finally:
+        H.f = orig
+        st.f = orig
+
+
+def test_outlink_resolution_vectors(spark):
+    got = _run_links_on(spark, [
+        ("https://h.example/a/b/page.html",
+         "<html><head></head><body>"
+         '<a href="https://x.example/p">abs</a>'
+         "<a href='//y.example/q'>proto</a>"
+         '<a href="/r">root</a>'
+         '<a href="s.html">sib</a>'
+         '<a href="../t">up</a>'
+         '<a href="u?k=1&amp;j=2#sec">qf</a>'
+         '<a href="#only">no1</a>'
+         '<a href="mailto:z@h">no2</a>'
+         "<a href='JavaScript:x()'>no3</a>"
+         '<a href="">no4</a>'
+         '<!-- <a href="https://c.example/n">no5</a> -->'
+         "</body></html>"),
+        # url with no path: relative resolves against scheme://host/
+        ("https://bare.example",
+         '<body><a href="p/1">rel\n x</a></body>'),
+    ])
+    assert got == sorted([
+        ("https://h.example/a/b/page.html", "https://x.example/p", "abs", 1),
+        ("https://h.example/a/b/page.html", "https://y.example/q", "proto", 1),
+        ("https://h.example/a/b/page.html", "https://h.example/r", "root", 0),
+        ("https://h.example/a/b/page.html", "https://h.example/a/b/s.html",
+         "sib", 0),
+        ("https://h.example/a/b/page.html", "https://h.example/a/t", "up", 0),
+        ("https://h.example/a/b/page.html",
+         "https://h.example/a/b/u?k=1&j=2", "qf", 0),
+        ("https://bare.example", "https://bare.example/p/1", "rel x", 0),
+    ])
+
+
+def test_outlinks_full_fixture_vs_reference(spark):
+    from sparkdu import fixtures
+
+    def ref(url, html):
+        def ex(pat, s, g=1):
+            m = re.search(pat, s)
+            return m.group(g) if m else ""
+
+        def unesc(s):
+            for a, b in st._DM_ENTS:
+                s = s.replace(a, b)
+            return s
+
+        h = re.sub(st._OL_COMMENT, "", html.decode())
+        scheme, host = ex(st._OL_SCHEME, url), ex(st._OL_HOST, url)
+        base = ex(st._OL_BASE, url) or f"{scheme}://{host}/"
+        out = []
+        for elem in re.findall(st._OL_ANCHOR, h):
+            href = unesc(ex(st._OL_HREF, elem)).strip()
+            text = re.sub(r"\s+", " ", unesc(ex(st._OL_ATEXT, elem))).strip()
+            if (not href or href.startswith("#")
+                    or re.match(r"(?i)^(mailto|javascript):", href)):
+                continue
+            if re.match(r"(?i)^https?://", href):
+                dst = href
+            elif href.startswith("//"):
+                dst = f"{scheme}:{href}"
+            elif href.startswith("/"):
+                dst = f"{scheme}://{host}{href}"
+            else:
+                dst = base + href
+            dst = re.sub(r"#.*$", "", dst).replace("/./", "/")
+            for _ in range(st._OL_DOT_PASSES):
+                dst = re.sub(st._OL_DOTDOT, "/", dst)
+            out.append((url, dst, text, int(ex(st._OL_HOST, dst) != host)))
+        return out
+
+    expected = []
+    for u, h in fixtures.gen_head_meta():
+        expected.extend(ref(u, h))
+    got = sorted(tuple(r) for r in
+                 QUERIES["extract_outlinks"](spark, SF).collect())
+    assert got == sorted(expected)
+    assert len(got) > 500
+    # fixture exercises internal AND external links, and no junk leaks
+    assert {g[3] for g in got} == {0, 1}
+    assert not any("#" in g[1] or "commented.example" in g[1] for g in got)
+    assert not any("/../" in g[1] for g in got)
+
+
+def test_outlinks_plan_shape(spark):
+    plan = plan_of(QUERIES["extract_outlinks"](spark, SF))
+    assert "Exchange" not in plan          # map + generate, no shuffle
+    assert "Generate" in plan              # the explode
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Location: InMemoryFileIndex") == 1
