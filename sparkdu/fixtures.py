@@ -1249,6 +1249,11 @@ def gen_head_meta(n: int = 240) -> list:
                 f'<a href="https://q{i % 3}.example/pg?x={i}&amp;y=2#sec">'
                 f"query {i}</a>"
             )
+        if i % 2 == 1:
+            # intra-site link to an ALREADY-CRAWLED page (same host:
+            # meta{(i+30) % 240 % 30} == meta{i % 30}) — the frontier
+            # anti-join must drop these
+            links.append(f'<a href="/p/{(i + 30) % 240}">next {i}</a>')
         # never-extracted forms: fragment-only, mailto, javascript, empty
         if i % 7 == 5:
             links.append('<a href="#frag">skip frag</a>')

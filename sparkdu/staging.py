@@ -5676,3 +5676,47 @@ def extract_outlinks(spark, sf_dir):
         (F.regexp_extract(dst, _OL_HOST, 1) != F.col("host"))
         .cast("int").alias("external"),
     )
+
+
+def _cf_oracle() -> str:
+    return f"""
+        WITH ol AS ({_ol_oracle()})
+        SELECT
+          regexp_extract(dst_url, '{_dm_sq(_OL_HOST)}', 1) AS dst_host,
+          count(DISTINCT dst_url) AS n_frontier_urls,
+          count(*) AS n_edges,
+          count(DISTINCT url) AS n_referring_pages
+        FROM ol
+        WHERE dst_url NOT IN
+              (SELECT url FROM read_parquet('{fx("pages_meta")}'))
+        GROUP BY 1"""
+
+
+@q("crawl_frontier_from_html", _cf_oracle())
+def crawl_frontier_from_html(spark, sf_dir):
+    """Frontier discovery straight from raw HTML (composition of
+    extract_outlinks with the crawl ledger): resolve every outlink, drop
+    links whose destination is ALREADY CRAWLED (left-anti join against
+    the page table on the resolved url — the fixture plants same-host
+    /p/<n> links to crawled pages that must vanish here), and aggregate
+    the uncrawled remainder per destination host: distinct frontier
+    urls, referring edges, distinct referring pages. This is the
+    discovery half of crawl_frontier/crawl_recrawl_priority, fed from
+    markup instead of a pre-built edge table. At 100 TB the crawled-url
+    ledger side is a bloom prefilter (dedup_bloom_prefilter) or a
+    bucketed MERGE key, never a broadcast of the full ledger; at fixture
+    scale AQE picks the broadcast anti-join, and the per-host aggregate
+    map-side-combines before its single shuffle."""
+    ol = extract_outlinks(spark, sf_dir)
+    crawled = f(spark, "pages_meta").select(F.col("url").alias("dst_url"))
+    frontier = ol.join(crawled, "dst_url", "left_anti")
+    return (
+        frontier
+        .withColumn("dst_host", F.regexp_extract("dst_url", _OL_HOST, 1))
+        .groupBy("dst_host")
+        .agg(
+            F.countDistinct("dst_url").alias("n_frontier_urls"),
+            F.count(F.lit(1)).alias("n_edges"),
+            F.countDistinct("url").alias("n_referring_pages"),
+        )
+    )

@@ -236,3 +236,35 @@ def test_outlinks_plan_shape(spark):
     assert "Generate" in plan              # the explode
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+# ---------------------------------------------------------------------
+# crawl_frontier_from_html
+# ---------------------------------------------------------------------
+
+def test_frontier_drops_crawled_destinations(spark):
+    ol = QUERIES["extract_outlinks"](spark, SF)
+    fr = QUERIES["crawl_frontier_from_html"](spark, SF)
+    total_edges = ol.count()
+    crawled_edges = ol.join(
+        st.f(spark, "pages_meta").select(
+            st.F.col("url").alias("dst_url")),
+        "dst_url").count()
+    assert crawled_edges == 120      # the planted same-host /p/<n> links
+    agg = fr.agg(st.F.sum("n_edges")).collect()[0][0]
+    assert agg == total_edges - crawled_edges
+    # no frontier host may be reachable only via crawled urls
+    assert fr.filter(st.F.col("n_frontier_urls") <= 0).count() == 0
+    # distinct-url counts never exceed edge counts
+    assert fr.filter(
+        st.F.col("n_frontier_urls") > st.F.col("n_edges")).count() == 0
+
+
+def test_frontier_plan_shape(spark):
+    plan = plan_of(QUERIES["crawl_frontier_from_html"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # exactly the aggregation shuffles (partial agg map-side first);
+    # the anti-join side is broadcast, never shuffled
+    assert plan.count("Exchange hashpartitioning") <= 2
