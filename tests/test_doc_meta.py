@@ -268,3 +268,51 @@ def test_frontier_plan_shape(spark):
     # exactly the aggregation shuffles (partial agg map-side first);
     # the anti-join side is broadcast, never shuffled
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+# ---------------------------------------------------------------------
+# robustness: the regex legs are total functions over garbage input
+# ---------------------------------------------------------------------
+
+def test_adversarial_bytes_never_throw(spark):
+    """extract_doc_meta / extract_outlinks over hostile rows: invalid
+    UTF-8, unterminated tags, nested quotes, pathological repetition,
+    urls with no scheme/host. Must not raise, and invariants must hold
+    (no fragments or crawled junk in dst_url, flags in {0,1})."""
+    hostile = [
+        ("u-badutf8", b"<html><head><title>a\xff\xfe\x80b</title></head>"
+                      b'<body><a href="/x">t</a></body></html>'),
+        ("u-unterminated", b"<html><head><title>never closed"),
+        ("u-nested-quotes", b"""<html><head><meta name="description" """
+                            b"""content="a 'b' c"></head><body></body>"""),
+        ("u-no-head", b"<html><body><a href='//h.example/p'>x</a></body>"),
+        ("u-repeat", b"<a href='/r'>t</a>" * 2000),
+        ("u-empty", b""),
+        ("not-a-url", b"<html lang='xx'><head></head>"
+                      b"<body><a href='rel/p'>r</a></body></html>"),
+        ("https://ok.example/d/", b"<body><a href='../../../../up'>u</a>"
+                                  b"<a href='#'>f</a></body>"),
+    ]
+    from pyspark.sql import Row
+    df = spark.createDataFrame(
+        [Row(url=u, html=h) for u, h in hostile],
+        "url string, html binary",
+    )
+    import sparkdu.harness as H
+    orig = H.f
+    try:
+        H.f = lambda s, name: df
+        st.f = H.f
+        m = st.extract_doc_meta(spark, SF).collect()       # must not raise
+        links = st.extract_outlinks(spark, SF).collect()   # must not raise
+        fr = st.crawl_frontier_from_html(spark, SF).collect()
+    finally:
+        H.f = orig
+        st.f = orig
+    assert len(m) == len(hostile)
+    assert all(r["n_meta_fields"] >= 0 for r in m)
+    assert all("#" not in r["dst_url"] for r in links)
+    assert all(r["external"] in (0, 1) for r in links)
+    assert all(r["n_frontier_urls"] >= 1 for r in fr)
+    # the 2000-anchor page exploded fully
+    assert sum(1 for r in links if r["url"] == "u-repeat") == 2000
