@@ -1,0 +1,110 @@
+"""CLI WAT job — per-page metadata + resolved outlinks from raw HTML.
+
+The WAT half of the crawl-dump triad (WET text = extract_job, CDX index
+= warc_cdx_index): one pass over the pages produces two tables,
+
+    <output>/doc_meta   url, title, meta_description, canonical_url,
+                        og_title, html_lang, charset, n_meta_fields
+    <output>/outlinks   url, dst_url, anchor_text, external
+
+Both transforms are pure JVM codegen maps (sparkdu.webmeta) — the job
+plan is scan -> map -> write with ZERO shuffles by default, so at 100 TB
+it runs at scan speed and parallelism is purely the input split count.
+``--by-host`` adds the one optional shuffle: outlinks repartitioned by
+dst_url host so downstream host-graph consumers (frontier, indegree,
+PageRank) read co-located partitions without re-shuffling.
+
+spark-submit --py-files dist/sparkdu.zip sparkdu/jobs/wat_job.py \
+    --input <pages parquet dir> --output <dir> --run-id w1 \
+    [--format html|warc] [--partitions N] [--by-host]
+
+Local smoke: python -m sparkdu.jobs.wat_job \
+    --input fixtures_data/pages_meta.parquet --output /tmp/sparkdu_wat \
+    --run-id local1
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+
+
+def run_wat_job(spark, pages, out_dir: str, partitions: int = 0,
+                by_host: bool = False) -> dict:
+    """Write doc_meta + outlinks for ``pages`` (url, html) under
+    ``out_dir``; returns row counts. Parquet job-commit protocol gives
+    per-table atomicity (either a table's _SUCCESS exists and the table
+    is complete, or the write never happened — rerun idempotently)."""
+    from pyspark.sql import functions as F
+
+    from sparkdu import webmeta as WM
+
+    meta = WM.doc_meta(pages)
+    links = WM.outlinks(pages)
+    if by_host:
+        n = partitions or spark.sparkContext.defaultParallelism
+        links = links.repartition(n, F.regexp_extract("dst_url", WM.HOST, 1))
+    elif partitions:
+        # split-count control without a shuffle (coalesce only narrows)
+        meta = meta.coalesce(partitions)
+        links = links.coalesce(partitions)
+    meta.write.mode("overwrite").parquet(os.path.join(out_dir, "doc_meta"))
+    links.write.mode("overwrite").parquet(os.path.join(out_dir, "outlinks"))
+    meta_out = spark.read.parquet(os.path.join(out_dir, "doc_meta"))
+    links_out = spark.read.parquet(os.path.join(out_dir, "outlinks"))
+    return {
+        "n_pages": meta_out.count(),
+        "n_links": links_out.count(),
+        "n_external": links_out.filter("external = 1").count(),
+    }
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--run-id", required=True)
+    ap.add_argument("--partitions", type=int, default=0)
+    ap.add_argument("--by-host", action="store_true",
+                    help="repartition outlinks by destination host "
+                         "(one shuffle) for co-located host-graph reads")
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--format", default="html", choices=("html", "warc"),
+                    help="html pages parquet (url + html binary) or "
+                         "WARC/1.0 shards (container-extracted first, "
+                         "with shard-granularity error accounting)")
+    args = ap.parse_args(argv)
+
+    from sparkdu.session import get_spark
+
+    spark = get_spark(app=f"sparkdu-wat-{args.run_id}", master=args.master)
+    if args.format == "warc":
+        # same shard-level accounting rationale as extract_job --format
+        # warc: fail-whole drops corrupt shards silently at record level
+        from sparkdu.warc import warc_pages, warc_records
+
+        shards = spark.read.parquet(args.input)
+        n_shards = shards.count()
+        ok_shards = warc_records(shards).select("shard_id").distinct().count()
+        print(f"warc: shards={n_shards} shard_errors={n_shards - ok_shards}")
+        pages = warc_pages(shards).select("url", "html")
+    else:
+        pages = spark.read.parquet(args.input).select("url", "html")
+    t0 = time.time()
+    total = run_wat_job(spark, pages, args.output,
+                        partitions=args.partitions, by_host=args.by_host)
+    dt = time.time() - t0
+    print(
+        f"run_id={args.run_id} pages={total['n_pages']} "
+        f"links={total['n_links']} external={total['n_external']} "
+        f"wall={dt:.1f}s rate={total['n_pages']/max(dt,1e-9):.0f} docs/s"
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

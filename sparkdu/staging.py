@@ -5426,28 +5426,14 @@ def stream_warc_pipeline_once(spark, sf_dir):
 
 
 # =====================================================================
-# Round 5 (late): HTML document-metadata extraction
+# Round 5 (late): WAT-analogue legs (head metadata, outlinks, frontier)
 # =====================================================================
+# Transforms live in sparkdu.webmeta (shared with jobs/wat_job.py); the
+# keys here bind them to the pages_meta fixture and build the DuckDB
+# oracles from the SAME pattern constants, so both engines run
+# byte-identical regexes.
 
-# Shared regex dialect: every pattern below is valid and equivalent in
-# Java regex (Spark) and RE2 (DuckDB) — inline (?is) flags, lazy .*?,
-# [^>] tag-local scans. Field regexes run over the <head> substring only
-# (body decoys in the fixture prove scoping); lang runs over the whole
-# document (the <html> tag sits outside <head>).
-_DM_HEAD = r"(?is)<head[^>]*>(.*?)</head>"
-_DM_TITLE = r"(?is)<title[^>]*>(.*?)</title>"
-_DM_DESC_F = r"""(?is)<meta\s[^>]*name\s*=\s*["']description["'][^>]*content\s*=\s*["']([^"']*)["']"""
-_DM_DESC_R = r"""(?is)<meta\s[^>]*content\s*=\s*["']([^"']*)["'][^>]*name\s*=\s*["']description["']"""
-_DM_CANON_F = r"""(?is)<link\s[^>]*rel\s*=\s*["']canonical["'][^>]*href\s*=\s*["']([^"']*)["']"""
-_DM_CANON_R = r"""(?is)<link\s[^>]*href\s*=\s*["']([^"']*)["'][^>]*rel\s*=\s*["']canonical["']"""
-_DM_OG_F = r"""(?is)<meta\s[^>]*property\s*=\s*["']og:title["'][^>]*content\s*=\s*["']([^"']*)["']"""
-_DM_OG_R = r"""(?is)<meta\s[^>]*content\s*=\s*["']([^"']*)["'][^>]*property\s*=\s*["']og:title["']"""
-_DM_LANG = r"""(?is)<html\s[^>]*lang\s*=\s*["']([^"']*)["']"""
-_DM_CHARSET = r"""(?i)<meta\s+charset\s*=\s*["']?([A-Za-z0-9_-]+)"""
-
-# minimal-entity unescape, &amp; LAST so "&amp;lt;" decodes to "&lt;"
-_DM_ENTS = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
-            ("&#39;", "'"), ("&amp;", "&")]
+from sparkdu import webmeta as WM
 
 
 def _dm_sq(pat: str) -> str:
@@ -5457,7 +5443,7 @@ def _dm_sq(pat: str) -> str:
 
 def _dm_sql_norm(expr: str) -> str:
     """DuckDB: entity-unescape + whitespace-collapse + trim."""
-    for a, b in _DM_ENTS:
+    for a, b in WM.ENTS:
         b = b.replace("'", "''")
         expr = f"replace({expr}, '{a}', '{b}')"
     return f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
@@ -5470,19 +5456,19 @@ def _dm_sql_pick(scope: str, fwd: str, rev: str) -> str:
 
 
 def _dm_oracle() -> str:
-    f_title = _dm_sql_norm(f"regexp_extract(head, '{_dm_sq(_DM_TITLE)}', 1)")
-    f_desc = _dm_sql_norm(_dm_sql_pick("head", _DM_DESC_F, _DM_DESC_R))
-    f_canon = f"trim({_dm_sql_pick('head', _DM_CANON_F, _DM_CANON_R)})"
-    f_og = _dm_sql_norm(_dm_sql_pick("head", _DM_OG_F, _DM_OG_R))
-    f_lang = f"lower(trim(regexp_extract(h, '{_dm_sq(_DM_LANG)}', 1)))"
-    f_cs = f"lower(regexp_extract(head, '{_dm_sq(_DM_CHARSET)}', 1))"
+    f_title = _dm_sql_norm(f"regexp_extract(head, '{_dm_sq(WM.TITLE)}', 1)")
+    f_desc = _dm_sql_norm(_dm_sql_pick("head", WM.DESC_F, WM.DESC_R))
+    f_canon = f"trim({_dm_sql_pick('head', WM.CANON_F, WM.CANON_R)})"
+    f_og = _dm_sql_norm(_dm_sql_pick("head", WM.OG_F, WM.OG_R))
+    f_lang = f"lower(trim(regexp_extract(h, '{_dm_sq(WM.LANG)}', 1)))"
+    f_cs = f"lower(regexp_extract(head, '{_dm_sq(WM.CHARSET)}', 1))"
     return f"""
         WITH raw AS (
           SELECT url, decode(html) AS h
           FROM read_parquet('{fx("pages_meta")}')
         ), scoped AS (
           SELECT url, h,
-                 regexp_extract(h, '{_dm_sq(_DM_HEAD)}', 1) AS head
+                 regexp_extract(h, '{_dm_sq(WM.HEAD)}', 1) AS head
           FROM raw
         ), fields AS (
           SELECT url,
@@ -5515,86 +5501,39 @@ def extract_doc_meta(spark, sf_dir):
     "description-alt" prefix trap never matches "description". Entirely
     JVM-side regexp_extract/replace in one codegen stage — zero Python,
     zero shuffle (per-row map over the scan); at 100 TB this runs at
-    scan speed next to the text-extraction pass."""
-    def unesc(c):
-        for a, b in _DM_ENTS:
-            c = F.replace(c, F.lit(a), F.lit(b))
-        return c
-
-    def norm(c):
-        return F.trim(F.regexp_replace(unesc(c), r"\s+", " "))
-
-    def pick(scope, fwd, rev):
-        return F.coalesce(
-            F.nullif(F.regexp_extract(scope, fwd, 1), F.lit("")),
-            F.regexp_extract(scope, rev, 1),
-        )
-
-    h = F.col("html").cast("string")
-    head = F.regexp_extract(h, _DM_HEAD, 1)
-    fields = (
-        f(spark, "pages_meta")
-        .select(
-            "url",
-            norm(F.regexp_extract(head, _DM_TITLE, 1)).alias("title"),
-            norm(pick(head, _DM_DESC_F, _DM_DESC_R)).alias("meta_description"),
-            F.trim(pick(head, _DM_CANON_F, _DM_CANON_R)).alias("canonical_url"),
-            norm(pick(head, _DM_OG_F, _DM_OG_R)).alias("og_title"),
-            F.lower(F.trim(F.regexp_extract(h, _DM_LANG, 1))).alias("html_lang"),
-            F.lower(F.regexp_extract(head, _DM_CHARSET, 1)).alias("charset"),
-        )
-    )
-    present = sum(
-        (F.col(c) != "").cast("int")
-        for c in ["title", "meta_description", "canonical_url",
-                  "og_title", "html_lang", "charset"]
-    )
-    return fields.withColumn("n_meta_fields", present)
-
-
-# --- outlink extraction (the WAT-record analogue) ---------------------
-
-_OL_COMMENT = r"(?s)<!--.*?-->"
-_OL_ANCHOR = r"""(?is)<a\s[^>]*href\s*=\s*["'][^"']*["'][^>]*>.*?</a>"""
-_OL_HREF = r"""(?is)<a\s[^>]*href\s*=\s*["']([^"']*)["']"""
-_OL_ATEXT = r"(?is)>(.*?)</a>"
-_OL_SCHEME = r"^(https?)://"
-_OL_HOST = r"^https?://([^/]+)"
-_OL_BASE = r"^(https?://.*/)"
-_OL_DOTDOT = r"/[^/]+/\.\./"
-# bounded dot-segment removal: fixture (and sane web) paths never nest
-# ../ deeper than this; each pass removes one level everywhere
-_OL_DOT_PASSES = 4
+    scan speed next to the text-extraction pass. Core: webmeta.doc_meta
+    (shared with the wat_job CLI leg)."""
+    return WM.doc_meta(f(spark, "pages_meta"))
 
 
 def _ol_oracle() -> str:
     def un(e):
-        for a, b in _DM_ENTS:
+        for a, b in WM.ENTS:
             b = b.replace("'", "''")
             e = f"replace({e}, '{a}', '{b}')"
         return e
 
     dst = "replace(regexp_replace(dst0, '#.*$', ''), '/./', '/')"
-    for _ in range(_OL_DOT_PASSES):
-        dst = f"regexp_replace({dst}, '{_dm_sq(_OL_DOTDOT)}', '/', 'g')"
+    for _ in range(WM.DOT_PASSES):
+        dst = f"regexp_replace({dst}, '{_dm_sq(WM.DOTDOT)}', '/', 'g')"
     return f"""
         WITH raw AS (
           SELECT url,
-                 regexp_replace(decode(html), '{_dm_sq(_OL_COMMENT)}', '', 'g') AS h
+                 regexp_replace(decode(html), '{_dm_sq(WM.COMMENT)}', '', 'g') AS h
           FROM read_parquet('{fx("pages_meta")}')
         ), anchors AS (
-          SELECT url, unnest(regexp_extract_all(h, '{_dm_sq(_OL_ANCHOR)}')) AS elem
+          SELECT url, unnest(regexp_extract_all(h, '{_dm_sq(WM.ANCHOR)}')) AS elem
           FROM raw
         ), parts AS (
           SELECT url,
-            trim({un(f"regexp_extract(elem, '{_dm_sq(_OL_HREF)}', 1)")}) AS href,
-            trim(regexp_replace({un(f"regexp_extract(elem, '{_dm_sq(_OL_ATEXT)}', 1)")},
+            trim({un(f"regexp_extract(elem, '{_dm_sq(WM.HREF)}', 1)")}) AS href,
+            trim(regexp_replace({un(f"regexp_extract(elem, '{_dm_sq(WM.ATEXT)}', 1)")},
                  '\\s+', ' ', 'g')) AS anchor_text,
-            regexp_extract(url, '{_dm_sq(_OL_SCHEME)}', 1) AS scheme,
-            regexp_extract(url, '{_dm_sq(_OL_HOST)}', 1) AS host,
-            coalesce(nullif(regexp_extract(url, '{_dm_sq(_OL_BASE)}', 1), ''),
-                     regexp_extract(url, '{_dm_sq(_OL_SCHEME)}', 1) || '://'
-                     || regexp_extract(url, '{_dm_sq(_OL_HOST)}', 1) || '/') AS base
+            regexp_extract(url, '{_dm_sq(WM.SCHEME)}', 1) AS scheme,
+            regexp_extract(url, '{_dm_sq(WM.HOST)}', 1) AS host,
+            coalesce(nullif(regexp_extract(url, '{_dm_sq(WM.BASE)}', 1), ''),
+                     regexp_extract(url, '{_dm_sq(WM.SCHEME)}', 1) || '://'
+                     || regexp_extract(url, '{_dm_sq(WM.HOST)}', 1) || '/') AS base
           FROM anchors
         ), resolved AS (
           SELECT url, anchor_text, host,
@@ -5607,7 +5546,7 @@ def _ol_oracle() -> str:
                 AND NOT regexp_matches(href, '(?i)^(mailto|javascript):')
         )
         SELECT url, {dst} AS dst_url, anchor_text,
-               CAST(regexp_extract({dst}, '{_dm_sq(_OL_HOST)}', 1) <> host AS INT)
+               CAST(regexp_extract({dst}, '{_dm_sq(WM.HOST)}', 1) <> host AS INT)
                  AS external
         FROM resolved"""
 
@@ -5624,65 +5563,16 @@ def extract_outlinks(spark, sf_dir):
     ../ dot-segments, and flag cross-host links. One codegen stage ending
     in a generate (explode) — zero shuffle, zero Python; at crawl scale
     this is the map side of link-graph construction and partitions by
-    whatever the next consumer needs."""
-    def unesc(c):
-        for a, b in _DM_ENTS:
-            c = F.replace(c, F.lit(a), F.lit(b))
-        return c
-
-    h = F.regexp_replace(F.col("html").cast("string"), _OL_COMMENT, "")
-    anchors = (
-        f(spark, "pages_meta")
-        .select("url", F.explode(
-            F.regexp_extract_all(h, F.lit(_OL_ANCHOR), 0)).alias("elem"))
-    )
-    parts = anchors.select(
-        "url",
-        F.trim(unesc(F.regexp_extract("elem", _OL_HREF, 1))).alias("href"),
-        F.trim(F.regexp_replace(
-            unesc(F.regexp_extract("elem", _OL_ATEXT, 1)), r"\s+", " ")
-        ).alias("anchor_text"),
-        F.regexp_extract("url", _OL_SCHEME, 1).alias("scheme"),
-        F.regexp_extract("url", _OL_HOST, 1).alias("host"),
-    ).withColumn(
-        "base",
-        F.coalesce(
-            F.nullif(F.regexp_extract("url", _OL_BASE, 1), F.lit("")),
-            F.concat(F.col("scheme"), F.lit("://"), F.col("host"), F.lit("/")),
-        ),
-    )
-    resolved = parts.filter(
-        (F.col("href") != "")
-        & ~F.col("href").startswith("#")
-        & ~F.col("href").rlike(r"(?i)^(mailto|javascript):")
-    ).withColumn(
-        "dst0",
-        F.when(F.col("href").rlike(r"(?i)^https?://"), F.col("href"))
-        .when(F.col("href").startswith("//"),
-              F.concat(F.col("scheme"), F.lit(":"), F.col("href")))
-        .when(F.col("href").startswith("/"),
-              F.concat(F.col("scheme"), F.lit("://"), F.col("host"),
-                       F.col("href")))
-        .otherwise(F.concat(F.col("base"), F.col("href"))),
-    )
-    dst = F.replace(F.regexp_replace(F.col("dst0"), "#.*$", ""),
-                    F.lit("/./"), F.lit("/"))
-    for _ in range(_OL_DOT_PASSES):
-        dst = F.regexp_replace(dst, _OL_DOTDOT, "/")
-    return resolved.select(
-        "url",
-        dst.alias("dst_url"),
-        "anchor_text",
-        (F.regexp_extract(dst, _OL_HOST, 1) != F.col("host"))
-        .cast("int").alias("external"),
-    )
+    whatever the next consumer needs. Core: webmeta.outlinks (shared
+    with the wat_job CLI leg)."""
+    return WM.outlinks(f(spark, "pages_meta"))
 
 
 def _cf_oracle() -> str:
     return f"""
         WITH ol AS ({_ol_oracle()})
         SELECT
-          regexp_extract(dst_url, '{_dm_sq(_OL_HOST)}', 1) AS dst_host,
+          regexp_extract(dst_url, '{_dm_sq(WM.HOST)}', 1) AS dst_host,
           count(DISTINCT dst_url) AS n_frontier_urls,
           count(*) AS n_edges,
           count(DISTINCT url) AS n_referring_pages
@@ -5706,17 +5596,7 @@ def crawl_frontier_from_html(spark, sf_dir):
     ledger side is a bloom prefilter (dedup_bloom_prefilter) or a
     bucketed MERGE key, never a broadcast of the full ledger; at fixture
     scale AQE picks the broadcast anti-join, and the per-host aggregate
-    map-side-combines before its single shuffle."""
-    ol = extract_outlinks(spark, sf_dir)
-    crawled = f(spark, "pages_meta").select(F.col("url").alias("dst_url"))
-    frontier = ol.join(crawled, "dst_url", "left_anti")
-    return (
-        frontier
-        .withColumn("dst_host", F.regexp_extract("dst_url", _OL_HOST, 1))
-        .groupBy("dst_host")
-        .agg(
-            F.countDistinct("dst_url").alias("n_frontier_urls"),
-            F.count(F.lit(1)).alias("n_edges"),
-            F.countDistinct("url").alias("n_referring_pages"),
-        )
-    )
+    map-side-combines before its single shuffle. Core:
+    webmeta.frontier_hosts."""
+    pages = f(spark, "pages_meta")
+    return WM.frontier_hosts(WM.outlinks(pages), pages)

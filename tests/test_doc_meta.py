@@ -1,44 +1,34 @@
-"""Gates for HTML document-metadata extraction (extract_doc_meta): hand
-vectors for every adversarial markup shape the fixture plants (quote
-styles, flipped attribute order, mixed case, entities, traps, body
-decoys, head scoping), full-fixture agreement with an independent
-stdlib-re reference, and plan shape (single zero-exchange codegen map).
-"""
+"""Gates for the WAT-analogue legs (sparkdu.webmeta via the
+extract_doc_meta / extract_outlinks / crawl_frontier_from_html keys):
+hand vectors for every adversarial markup shape the fixture plants
+(quote styles, flipped attribute order, mixed case, entities, traps,
+body decoys, head scoping, each href form), full-fixture agreement with
+an independent stdlib-re reference, plan shapes (zero-exchange codegen
+maps; broadcast anti-join), and totality over hostile bytes."""
 
 import re
 
 from pyspark.sql import Row
 
-import sparkdu.staging as st
-from sparkdu.harness import QUERIES
+import sparkdu.staging  # noqa: F401  (registers the keys)
+from pyspark.sql import functions as F
+from sparkdu import webmeta as WM
+from sparkdu.harness import QUERIES, f
 from tests.conftest import plan_of
 
 SF = "/root/testdata/sf0.01"
 
 
-def _run_on(spark, html_rows):
-    """Run the extract_doc_meta column expressions over ad-hoc HTML."""
-    df = spark.createDataFrame(
-        [Row(url=u, html=h.encode()) for u, h in html_rows],
+def _df(spark, html_rows):
+    return spark.createDataFrame(
+        [Row(url=u, html=h if isinstance(h, bytes) else h.encode())
+         for u, h in html_rows],
         "url string, html binary",
     )
-    real = st.extract_doc_meta.__wrapped__ if hasattr(
-        st.extract_doc_meta, "__wrapped__") else st.extract_doc_meta
-    # reuse the registered query body by substituting the source table
-    import sparkdu.harness as H
-    orig = H.f
-    try:
-        H.f = lambda s, name: df
-        st.f = H.f
-        out = real(spark, SF)
-        return {r["url"]: r.asDict() for r in out.collect()}
-    finally:
-        H.f = orig
-        st.f = orig
 
 
 def test_hand_vectors(spark):
-    got = _run_on(spark, [
+    got = {r["url"]: r.asDict() for r in WM.doc_meta(_df(spark, [
         # flipped attr order + entity in desc + single quotes + XHTML close
         ("u1", "<html lang='de'><head><title>A &amp; B</title>"
                "<meta content='d1 &amp; d2' id='x' name='description' />"
@@ -57,7 +47,7 @@ def test_hand_vectors(spark):
                "&lt;title&gt;fake&lt;/title&gt;</body></html>"),
         # nothing at all
         ("u4", "<html><head></head><body><p>hi</p></body></html>"),
-    ])
+    ])).collect()}
     assert got["u1"] == {
         "url": "u1", "title": "A & B", "meta_description": "d1 & d2",
         "canonical_url": "https://c/1", "og_title": "og1",
@@ -83,7 +73,7 @@ def _py_ref(url, html):
         return m.group(1) if m else ""
 
     def unesc(s):
-        for a, b in st._DM_ENTS:
+        for a, b in WM.ENTS:
             s = s.replace(a, b)
         return s
 
@@ -91,13 +81,13 @@ def _py_ref(url, html):
         return re.sub(r"\s+", " ", unesc(s)).strip()
 
     h = html.decode()
-    head = ex(st._DM_HEAD, h)
-    title = norm(ex(st._DM_TITLE, head))
-    desc = norm(ex(st._DM_DESC_F, head) or ex(st._DM_DESC_R, head))
-    canon = (ex(st._DM_CANON_F, head) or ex(st._DM_CANON_R, head)).strip()
-    og = norm(ex(st._DM_OG_F, head) or ex(st._DM_OG_R, head))
-    lang = ex(st._DM_LANG, h).strip().lower()
-    cs = ex(st._DM_CHARSET, head).lower()
+    head = ex(WM.HEAD, h)
+    title = norm(ex(WM.TITLE, head))
+    desc = norm(ex(WM.DESC_F, head) or ex(WM.DESC_R, head))
+    canon = (ex(WM.CANON_F, head) or ex(WM.CANON_R, head)).strip()
+    og = norm(ex(WM.OG_F, head) or ex(WM.OG_R, head))
+    lang = ex(WM.LANG, h).strip().lower()
+    cs = ex(WM.CHARSET, head).lower()
     vals = [title, desc, canon, og, lang, cs]
     return (url, *vals, sum(1 for v in vals if v))
 
@@ -130,25 +120,8 @@ def test_plan_single_codegen_map(spark):
 # extract_outlinks
 # ---------------------------------------------------------------------
 
-def _run_links_on(spark, html_rows):
-    from pyspark.sql import Row
-    df = spark.createDataFrame(
-        [Row(url=u, html=h.encode()) for u, h in html_rows],
-        "url string, html binary",
-    )
-    import sparkdu.harness as H
-    orig = H.f
-    try:
-        H.f = lambda s, name: df
-        st.f = H.f
-        return sorted(tuple(r) for r in st.extract_outlinks(spark, SF).collect())
-    finally:
-        H.f = orig
-        st.f = orig
-
-
 def test_outlink_resolution_vectors(spark):
-    got = _run_links_on(spark, [
+    got = sorted(tuple(r) for r in WM.outlinks(_df(spark, [
         ("https://h.example/a/b/page.html",
          "<html><head></head><body>"
          '<a href="https://x.example/p">abs</a>'
@@ -166,7 +139,7 @@ def test_outlink_resolution_vectors(spark):
         # url with no path: relative resolves against scheme://host/
         ("https://bare.example",
          '<body><a href="p/1">rel\n x</a></body>'),
-    ])
+    ])).collect())
     assert got == sorted([
         ("https://h.example/a/b/page.html", "https://x.example/p", "abs", 1),
         ("https://h.example/a/b/page.html", "https://y.example/q", "proto", 1),
@@ -180,46 +153,48 @@ def test_outlink_resolution_vectors(spark):
     ])
 
 
+def outlinks_py_ref(url, html):
+    """Independent stdlib-re reference for outlinks."""
+    def ex(pat, s, g=1):
+        m = re.search(pat, s)
+        return m.group(g) if m else ""
+
+    def unesc(s):
+        for a, b in WM.ENTS:
+            s = s.replace(a, b)
+        return s
+
+    h = re.sub(WM.COMMENT, "", html.decode())
+    scheme, host = ex(WM.SCHEME, url), ex(WM.HOST, url)
+    base = ex(WM.BASE, url) or f"{scheme}://{host}/"
+    out = []
+    for elem in re.findall(WM.ANCHOR, h):
+        href = unesc(ex(WM.HREF, elem)).strip()
+        text = re.sub(r"\s+", " ", unesc(ex(WM.ATEXT, elem))).strip()
+        if (not href or href.startswith("#")
+                or re.match(r"(?i)^(mailto|javascript):", href)):
+            continue
+        if re.match(r"(?i)^https?://", href):
+            dst = href
+        elif href.startswith("//"):
+            dst = f"{scheme}:{href}"
+        elif href.startswith("/"):
+            dst = f"{scheme}://{host}{href}"
+        else:
+            dst = base + href
+        dst = re.sub(r"#.*$", "", dst).replace("/./", "/")
+        for _ in range(WM.DOT_PASSES):
+            dst = re.sub(WM.DOTDOT, "/", dst)
+        out.append((url, dst, text, int(ex(WM.HOST, dst) != host)))
+    return out
+
+
 def test_outlinks_full_fixture_vs_reference(spark):
     from sparkdu import fixtures
 
-    def ref(url, html):
-        def ex(pat, s, g=1):
-            m = re.search(pat, s)
-            return m.group(g) if m else ""
-
-        def unesc(s):
-            for a, b in st._DM_ENTS:
-                s = s.replace(a, b)
-            return s
-
-        h = re.sub(st._OL_COMMENT, "", html.decode())
-        scheme, host = ex(st._OL_SCHEME, url), ex(st._OL_HOST, url)
-        base = ex(st._OL_BASE, url) or f"{scheme}://{host}/"
-        out = []
-        for elem in re.findall(st._OL_ANCHOR, h):
-            href = unesc(ex(st._OL_HREF, elem)).strip()
-            text = re.sub(r"\s+", " ", unesc(ex(st._OL_ATEXT, elem))).strip()
-            if (not href or href.startswith("#")
-                    or re.match(r"(?i)^(mailto|javascript):", href)):
-                continue
-            if re.match(r"(?i)^https?://", href):
-                dst = href
-            elif href.startswith("//"):
-                dst = f"{scheme}:{href}"
-            elif href.startswith("/"):
-                dst = f"{scheme}://{host}{href}"
-            else:
-                dst = base + href
-            dst = re.sub(r"#.*$", "", dst).replace("/./", "/")
-            for _ in range(st._OL_DOT_PASSES):
-                dst = re.sub(st._OL_DOTDOT, "/", dst)
-            out.append((url, dst, text, int(ex(st._OL_HOST, dst) != host)))
-        return out
-
     expected = []
     for u, h in fixtures.gen_head_meta():
-        expected.extend(ref(u, h))
+        expected.extend(outlinks_py_ref(u, h))
     got = sorted(tuple(r) for r in
                  QUERIES["extract_outlinks"](spark, SF).collect())
     assert got == sorted(expected)
@@ -247,17 +222,16 @@ def test_frontier_drops_crawled_destinations(spark):
     fr = QUERIES["crawl_frontier_from_html"](spark, SF)
     total_edges = ol.count()
     crawled_edges = ol.join(
-        st.f(spark, "pages_meta").select(
-            st.F.col("url").alias("dst_url")),
+        f(spark, "pages_meta").select(F.col("url").alias("dst_url")),
         "dst_url").count()
     assert crawled_edges == 120      # the planted same-host /p/<n> links
-    agg = fr.agg(st.F.sum("n_edges")).collect()[0][0]
+    agg = fr.agg(F.sum("n_edges")).collect()[0][0]
     assert agg == total_edges - crawled_edges
     # no frontier host may be reachable only via crawled urls
-    assert fr.filter(st.F.col("n_frontier_urls") <= 0).count() == 0
+    assert fr.filter(F.col("n_frontier_urls") <= 0).count() == 0
     # distinct-url counts never exceed edge counts
     assert fr.filter(
-        st.F.col("n_frontier_urls") > st.F.col("n_edges")).count() == 0
+        F.col("n_frontier_urls") > F.col("n_edges")).count() == 0
 
 
 def test_frontier_plan_shape(spark):
@@ -275,10 +249,10 @@ def test_frontier_plan_shape(spark):
 # ---------------------------------------------------------------------
 
 def test_adversarial_bytes_never_throw(spark):
-    """extract_doc_meta / extract_outlinks over hostile rows: invalid
-    UTF-8, unterminated tags, nested quotes, pathological repetition,
-    urls with no scheme/host. Must not raise, and invariants must hold
-    (no fragments or crawled junk in dst_url, flags in {0,1})."""
+    """webmeta transforms over hostile rows: invalid UTF-8, unterminated
+    tags, nested quotes, pathological repetition, urls with no
+    scheme/host. Must not raise, and invariants must hold (no fragments
+    in dst_url, flags in {0,1})."""
     hostile = [
         ("u-badutf8", b"<html><head><title>a\xff\xfe\x80b</title></head>"
                       b'<body><a href="/x">t</a></body></html>'),
@@ -293,26 +267,77 @@ def test_adversarial_bytes_never_throw(spark):
         ("https://ok.example/d/", b"<body><a href='../../../../up'>u</a>"
                                   b"<a href='#'>f</a></body>"),
     ]
-    from pyspark.sql import Row
-    df = spark.createDataFrame(
-        [Row(url=u, html=h) for u, h in hostile],
-        "url string, html binary",
-    )
-    import sparkdu.harness as H
-    orig = H.f
-    try:
-        H.f = lambda s, name: df
-        st.f = H.f
-        m = st.extract_doc_meta(spark, SF).collect()       # must not raise
-        links = st.extract_outlinks(spark, SF).collect()   # must not raise
-        fr = st.crawl_frontier_from_html(spark, SF).collect()
-    finally:
-        H.f = orig
-        st.f = orig
+    df = _df(spark, hostile)
+    m = WM.doc_meta(df).collect()                          # must not raise
+    links_df = WM.outlinks(df)
+    links = links_df.collect()                             # must not raise
+    frontier = WM.frontier_hosts(links_df, df).collect()   # must not raise
     assert len(m) == len(hostile)
     assert all(r["n_meta_fields"] >= 0 for r in m)
     assert all("#" not in r["dst_url"] for r in links)
     assert all(r["external"] in (0, 1) for r in links)
-    assert all(r["n_frontier_urls"] >= 1 for r in fr)
+    assert all(r["n_frontier_urls"] >= 1 for r in frontier)
     # the 2000-anchor page exploded fully
     assert sum(1 for r in links if r["url"] == "u-repeat") == 2000
+
+
+# ---------------------------------------------------------------------
+# wat_job CLI leg
+# ---------------------------------------------------------------------
+
+def test_wat_job_html_matches_registry(spark, tmp_path):
+    from sparkdu.jobs.wat_job import run_wat_job
+
+    pages = f(spark, "pages_meta")
+    total = run_wat_job(spark, pages, str(tmp_path), partitions=4)
+    meta = spark.read.parquet(f"{tmp_path}/doc_meta")
+    links = spark.read.parquet(f"{tmp_path}/outlinks")
+    # written tables byte-equal the registry keys' output
+    reg_meta = QUERIES["extract_doc_meta"](spark, SF)
+    reg_links = QUERIES["extract_outlinks"](spark, SF)
+    assert meta.exceptAll(reg_meta).count() == 0
+    assert reg_meta.exceptAll(meta).count() == 0
+    assert links.exceptAll(reg_links).count() == 0
+    assert reg_links.exceptAll(links).count() == 0
+    assert total["n_pages"] == 240
+    assert total["n_links"] == links.count()
+    assert 0 < total["n_external"] < total["n_links"]
+    # rerun is idempotent (overwrite + job-commit protocol)
+    again = run_wat_job(spark, pages, str(tmp_path), partitions=4)
+    assert again == total
+
+
+def test_wat_job_by_host_colocates(spark, tmp_path):
+    from sparkdu.jobs.wat_job import run_wat_job
+
+    run_wat_job(spark, f(spark, "pages_meta"), str(tmp_path),
+                partitions=8, by_host=True)
+    links = spark.read.parquet(f"{tmp_path}/outlinks")
+    # every destination host lives in exactly one file
+    hosts_per_file = (
+        links
+        .withColumn("fname", F.input_file_name())
+        .withColumn("dst_host", F.regexp_extract("dst_url", WM.HOST, 1))
+        .groupBy("dst_host")
+        .agg(F.countDistinct("fname").alias("nf"))
+    )
+    assert hosts_per_file.filter(F.col("nf") > 1).count() == 0
+
+
+def test_wat_job_warc_leg(spark, tmp_path):
+    """WARC shards -> container extraction -> WAT tables: one row per
+    HTTP-200 text/html capture; the fixture's minimal payloads carry no
+    head metadata or anchors, which must yield empty-string fields and
+    zero links (not errors)."""
+    from sparkdu.jobs.wat_job import run_wat_job
+    from sparkdu.warc import warc_pages
+
+    pages = warc_pages(
+        spark.read.parquet("fixtures_data/warc.parquet")
+    ).select("url", "html")
+    n_pages = pages.count()
+    total = run_wat_job(spark, pages, str(tmp_path))
+    assert total["n_pages"] == n_pages > 0
+    assert total["n_links"] == 0
+    meta = spark.read.parquet(f"{tmp_path}/doc_meta")
+    assert meta.filter("n_meta_fields != 0").count() == 0
