@@ -247,3 +247,29 @@ def streaming_warc_to_snapshots(spark: SparkSession, shards_dir: str,
         fused_extract_udf(cfg), schema=EXTRACTED_SCHEMA
     )
     return snapshot_sink(extracted, out_dir, run_id, checkpoint_dir)
+
+def streaming_wat(spark: SparkSession, pages_dir: str, out_dir: str,
+                  checkpoint_dir: str) -> dict:
+    """Streaming WAT emission: file-source page stream -> the SAME
+    zero-shuffle webmeta codegen maps as batch (doc_meta + outlinks) ->
+    two append-mode parquet sinks, each with its own checkpoint. The
+    transforms are stateless narrow maps, so streaming needs no
+    watermark and no state store — each availableNow drain processes
+    exactly the newly landed files (O(new), never O(table)) and
+    replaying a drained source appends nothing. Returns the sink row
+    counts after the drain. Batch byte-equality and replay idempotence
+    are gated in tests/test_doc_meta.py."""
+    import os
+
+    from . import webmeta as WM
+
+    stream = spark.readStream.schema("url string, html binary").parquet(
+        pages_dir
+    )
+    counts = {}
+    for name, df in (("doc_meta", WM.doc_meta(stream)),
+                     ("outlinks", WM.outlinks(stream))):
+        path = os.path.join(out_dir, name)
+        run_available_now(df, path, os.path.join(checkpoint_dir, name))
+        counts[name] = spark.read.parquet(path).count()
+    return counts

@@ -341,3 +341,41 @@ def test_wat_job_warc_leg(spark, tmp_path):
     assert total["n_links"] == 0
     meta = spark.read.parquet(f"{tmp_path}/doc_meta")
     assert meta.filter("n_meta_fields != 0").count() == 0
+
+
+# ---------------------------------------------------------------------
+# streaming WAT leg
+# ---------------------------------------------------------------------
+
+def test_streaming_wat_equals_batch_and_replays_idempotent(spark, tmp_path):
+    """Two-wave page stream drained twice: after both drains the sink
+    tables byte-equal the batch transforms over all pages; a third drain
+    with no new files appends nothing (checkpointed file source)."""
+    import shutil
+
+    from sparkdu.streaming import streaming_wat
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    pages = f(spark, "pages_meta")
+    wave_a = pages.filter(F.pmod(F.xxhash64("url"), F.lit(2)) == 0)
+    wave_b = pages.filter(F.pmod(F.xxhash64("url"), F.lit(2)) == 1)
+
+    wave_a.write.mode("append").parquet(src)
+    c1 = streaming_wat(spark, src, out, ckpt)
+    wave_b.write.mode("append").parquet(src)
+    c2 = streaming_wat(spark, src, out, ckpt)
+    c3 = streaming_wat(spark, src, out, ckpt)     # no new files -> no-op
+
+    batch_meta = WM.doc_meta(pages)
+    batch_links = WM.outlinks(pages)
+    got_meta = spark.read.parquet(f"{out}/doc_meta")
+    got_links = spark.read.parquet(f"{out}/outlinks")
+    assert c1["doc_meta"] < c2["doc_meta"] == c3["doc_meta"] == 240
+    assert c2["outlinks"] == c3["outlinks"] == batch_links.count()
+    assert got_meta.exceptAll(batch_meta).count() == 0
+    assert batch_meta.exceptAll(got_meta).count() == 0
+    assert got_links.exceptAll(batch_links).count() == 0
+    assert batch_links.exceptAll(got_links).count() == 0
+    shutil.rmtree(str(tmp_path), ignore_errors=True)
