@@ -5600,3 +5600,52 @@ def crawl_frontier_from_html(spark, sf_dir):
     webmeta.frontier_hosts."""
     pages = f(spark, "pages_meta")
     return WM.frontier_hosts(WM.outlinks(pages), pages)
+
+
+def _cc_oracle() -> str:
+    return f"""
+        WITH meta AS ({_dm_oracle()}),
+        keyed AS (
+          SELECT url,
+                 CASE WHEN canonical_url <> '' THEN canonical_url
+                      ELSE url END AS canon_key
+          FROM meta
+        )
+        SELECT canon_key,
+               count(*) AS n_pages,
+               min(url) AS representative_url,
+               CAST(max(CASE WHEN url = canon_key THEN 1 ELSE 0 END) AS INT)
+                 AS has_self_capture
+        FROM keyed
+        GROUP BY canon_key
+        HAVING count(*) > 1 OR max(CASE WHEN url = canon_key THEN 1 ELSE 0 END) = 0
+        ORDER BY canon_key"""
+
+
+@q("dedup_canonical_cluster", _cc_oracle())
+def dedup_canonical_cluster(spark, sf_dir):
+    """Canonical-URL clustering (the dedup signal the page AUTHOR
+    declares, complementing content hashing and url canonicalization):
+    group captures by their rel=canonical target (falling back to the
+    capture url when the page declares none), keep the interesting
+    clusters — more than one capture claiming the same canonical, or a
+    canonical that was never itself captured (a crawl gap the frontier
+    should close) — with the deterministic min-url representative. One
+    map (webmeta.doc_meta) + one map-side-combined aggregate; at 100 TB
+    this shuffles only (canon_key, url) pairs, never html."""
+    meta = WM.doc_meta(f(spark, "pages_meta"))
+    keyed = meta.select(
+        "url",
+        F.when(F.col("canonical_url") != "", F.col("canonical_url"))
+        .otherwise(F.col("url")).alias("canon_key"),
+    )
+    return (
+        keyed.groupBy("canon_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.min("url").alias("representative_url"),
+            F.max((F.col("url") == F.col("canon_key")).cast("int"))
+            .alias("has_self_capture"),
+        )
+        .filter((F.col("n_pages") > 1) | (F.col("has_self_capture") == 0))
+    )

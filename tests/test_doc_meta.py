@@ -379,3 +379,25 @@ def test_streaming_wat_equals_batch_and_replays_idempotent(spark, tmp_path):
     assert got_links.exceptAll(batch_links).count() == 0
     assert batch_links.exceptAll(got_links).count() == 0
     shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
+# ---------------------------------------------------------------------
+# dedup_canonical_cluster
+# ---------------------------------------------------------------------
+
+def test_canonical_cluster_semantics(spark):
+    rows = QUERIES["dedup_canonical_cluster"](spark, SF).collect()
+    assert len(rows) > 0
+    meta = {r["url"]: r["canonical_url"]
+            for r in QUERIES["extract_doc_meta"](spark, SF).collect()}
+    for r in rows:
+        # interesting clusters only: multi-capture or uncaptured canonical
+        assert r["n_pages"] > 1 or r["has_self_capture"] == 0
+        # representative is a real capture that maps to this key
+        rep = r["representative_url"]
+        assert rep in meta
+        assert (meta[rep] or rep) == r["canon_key"]
+    # fixture canonicals point at /canonical/<i> urls that were never
+    # crawled -> every declared-canonical cluster lacks a self capture
+    declared = [r for r in rows if "/canonical/" in r["canon_key"]]
+    assert declared and all(r["has_self_capture"] == 0 for r in declared)
