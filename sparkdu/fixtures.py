@@ -1153,9 +1153,12 @@ def gen_head_meta(n: int = 240) -> list:
     meta/link tags in the BODY that a head-scoped extractor must ignore.
     Bodies also carry the outlink space for extract_outlinks: absolute,
     protocol-relative, root-relative, sibling-relative, ../-relative and
-    query+fragment hrefs, plus never-extracted forms (fragment-only,
-    mailto:, javascript:, empty href, a commented-out anchor). Index
-    arithmetic only (no RNG) so regeneration is byte-stable.
+    query+fragment hrefs, uppercase-scheme same-host links, ././
+    dot-segments, plus never-extracted forms (fragment-only, mailto:,
+    javascript:, tel:, data:, ftp:, empty href, a commented-out anchor)
+    and a commented-out head-metadata block that comment-stripping must
+    reject. Index arithmetic only (no RNG) so regeneration is
+    byte-stable.
     """
     words = ["corpus", "layout", "extraction", "graph", "node", "signal",
              "vector", "shard", "crawl", "render"]
@@ -1220,6 +1223,20 @@ def gen_head_meta(n: int = 240) -> list:
         elif i % 5 == 2:
             head.append("<meta charset='iso-8859-1' >")
 
+        # commented-out head block: NOT live metadata (comment-strip gate)
+        if i % 9 == 5:
+            head.append(
+                f"<!-- <title>DRAFT {i}</title>"
+                f'<meta name="description" content="COMMENTED {i}"> -->'
+            )
+        # value containing the other quote character: captured whole
+        # (only on pages with no regular description, so pattern-order
+        # precedence never has to arbitrate between two live tags)
+        if i % 6 == 5 and i % 15 == 4:
+            head.append(
+                f'<meta name="description" content="it\'s page {i}">'
+            )
+
         # --- body decoys the head-scoped extractor must ignore --------
         if i % 11 == 0:
             body_extra.append(
@@ -1254,7 +1271,19 @@ def gen_head_meta(n: int = 240) -> list:
             # meta{(i+30) % 240 % 30} == meta{i % 30}) — the frontier
             # anti-join must drop these
             links.append(f'<a href="/p/{(i + 30) % 240}">next {i}</a>')
+        if i % 14 == 3:
+            # uppercase scheme: same-host must still compare case-insensitively
+            links.append(
+                f'<a href="HTTPS://META{i % 30}.example/UC/{i}">uc {i}</a>'
+            )
+        if i % 16 == 7:
+            links.append(f'<a href="././z/{i}">dots {i}</a>')
         # never-extracted forms: fragment-only, mailto, javascript, empty
+        # (plus the other non-http(s) schemes: tel, data, ftp)
+        if i % 13 == 2:
+            links.append(f'<a href="tel:+1555{i:04d}">skip tel</a>')
+            links.append('<a href="data:text/plain,x">skip data</a>')
+            links.append(f"<a href='ftp://files.example/{i}'>skip ftp</a>")
         if i % 7 == 5:
             links.append('<a href="#frag">skip frag</a>')
         if i % 8 == 2:

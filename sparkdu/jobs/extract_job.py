@@ -56,14 +56,11 @@ def main(argv=None) -> None:
         # drops corrupt shards SILENTLY at the record level, so account
         # them here at shard granularity — an invisible coverage hole is
         # the one thing a crawl-scale job must never have.
-        from sparkdu.warc import warc_pages, warc_records
+        from sparkdu.warc import shard_error_accounting, warc_pages
 
         shards = spark.read.parquet(args.input)
-        n_shards = shards.count()
-        ok_shards = (
-            warc_records(shards).select("shard_id").distinct().count()
-        )
-        print(f"warc: shards={n_shards} shard_errors={n_shards - ok_shards}")
+        n_shards, n_failed = shard_error_accounting(shards)
+        print(f"warc: shards={n_shards} shard_errors={n_failed}")
         pages = warc_pages(shards)
     else:
         # native collection: synthesize the url/warc_ts key so the wave

@@ -45,13 +45,15 @@ def run_wat_job(spark, pages, out_dir: str, partitions: int = 0,
 
     meta = WM.doc_meta(pages)
     links = WM.outlinks(pages)
-    if by_host:
-        n = partitions or spark.sparkContext.defaultParallelism
-        links = links.repartition(n, F.regexp_extract("dst_url", WM.HOST, 1))
-    elif partitions:
-        # split-count control without a shuffle (coalesce only narrows)
+    if partitions:
+        # split-count control without a shuffle (coalesce only narrows);
+        # applies to doc_meta regardless of the outlinks layout choice
         meta = meta.coalesce(partitions)
         links = links.coalesce(partitions)
+    if by_host:
+        n = partitions or spark.sparkContext.defaultParallelism
+        links = links.repartition(
+            n, F.lower(F.regexp_extract("dst_url", WM.HOST, 1)))
     meta.write.mode("overwrite").parquet(os.path.join(out_dir, "doc_meta"))
     links.write.mode("overwrite").parquet(os.path.join(out_dir, "outlinks"))
     meta_out = spark.read.parquet(os.path.join(out_dir, "doc_meta"))
@@ -83,15 +85,16 @@ def main(argv=None) -> None:
 
     spark = get_spark(app=f"sparkdu-wat-{args.run_id}", master=args.master)
     if args.format == "warc":
-        # same shard-level accounting rationale as extract_job --format
-        # warc: fail-whole drops corrupt shards silently at record level
-        from sparkdu.warc import warc_pages, warc_records
+        from sparkdu.warc import shard_error_accounting, warc_pages
 
         shards = spark.read.parquet(args.input)
-        n_shards = shards.count()
-        ok_shards = warc_records(shards).select("shard_id").distinct().count()
-        print(f"warc: shards={n_shards} shard_errors={n_shards - ok_shards}")
-        pages = warc_pages(shards).select("url", "html")
+        n_shards, n_failed = shard_error_accounting(shards)
+        print(f"warc: shards={n_shards} shard_errors={n_failed}")
+        # cache the container extraction: both table writes consume it,
+        # so shards parse once, not once per sink (at 100 TB the same
+        # economics say: materialize the extracted-pages table once and
+        # run the WAT pass from it)
+        pages = warc_pages(shards).select("url", "html").cache()
     else:
         pages = spark.read.parquet(args.input).select("url", "html")
     t0 = time.time()

@@ -5441,30 +5441,44 @@ def _dm_sq(pat: str) -> str:
     return pat.replace("'", "''")
 
 
-def _dm_sql_norm(expr: str) -> str:
-    """DuckDB: entity-unescape + whitespace-collapse + trim."""
+def _dm_sql_unesc(expr: str) -> str:
     for a, b in WM.ENTS:
         b = b.replace("'", "''")
         expr = f"replace({expr}, '{a}', '{b}')"
-    return f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
+    return expr
 
 
-def _dm_sql_pick(scope: str, fwd: str, rev: str) -> str:
-    """DuckDB: forward attribute order, falling back to reversed."""
-    return (f"coalesce(nullif(regexp_extract({scope}, '{_dm_sq(fwd)}', 1), ''), "
-            f"regexp_extract({scope}, '{_dm_sq(rev)}', 1))")
+def _dm_sql_norm(expr: str) -> str:
+    """DuckDB: entity-unescape + whitespace-collapse + trim."""
+    return (f"trim(regexp_replace({_dm_sql_unesc(expr)},"
+            f" '\\s+', ' ', 'g'))")
+
+
+def _dm_sql_pick(scope: str, pats: list) -> str:
+    """DuckDB: first non-empty capture across the pattern list."""
+    tries = ", ".join(
+        f"nullif(regexp_extract({scope}, '{_dm_sq(p)}', 1), '')"
+        for p in pats
+    )
+    return f"coalesce({tries}, '')"
+
+
+def _dm_html_sql() -> str:
+    """DuckDB twin of webmeta._html_str: comment-stripped, NULL-total."""
+    return ("regexp_replace(coalesce(decode(html), ''), "
+            f"'{_dm_sq(WM.COMMENT)}', '', 'g')")
 
 
 def _dm_oracle() -> str:
     f_title = _dm_sql_norm(f"regexp_extract(head, '{_dm_sq(WM.TITLE)}', 1)")
-    f_desc = _dm_sql_norm(_dm_sql_pick("head", WM.DESC_F, WM.DESC_R))
-    f_canon = f"trim({_dm_sql_pick('head', WM.CANON_F, WM.CANON_R)})"
-    f_og = _dm_sql_norm(_dm_sql_pick("head", WM.OG_F, WM.OG_R))
-    f_lang = f"lower(trim(regexp_extract(h, '{_dm_sq(WM.LANG)}', 1)))"
+    f_desc = _dm_sql_norm(_dm_sql_pick("head", WM.DESC_PATS))
+    f_canon = f"trim({_dm_sql_pick('head', WM.CANON_PATS)})"
+    f_og = _dm_sql_norm(_dm_sql_pick("head", WM.OG_PATS))
+    f_lang = f"lower(trim({_dm_sql_pick('h', WM.LANG_PATS)}))"
     f_cs = f"lower(regexp_extract(head, '{_dm_sq(WM.CHARSET)}', 1))"
     return f"""
         WITH raw AS (
-          SELECT url, decode(html) AS h
+          SELECT url, {_dm_html_sql()} AS h
           FROM read_parquet('{fx("pages_meta")}')
         ), scoped AS (
           SELECT url, h,
@@ -5494,61 +5508,69 @@ def extract_doc_meta(spark, sf_dir):
     WET-style text legs): title, meta description, canonical url,
     og:title, html lang, declared charset — one row per page, '' for
     absent fields, plus a completeness count. Handles single/double
-    quoting, flipped attribute order (content before name/property),
-    mixed-case tags/attributes, whitespace and entities inside <title>,
-    unquoted charset, XHTML self-closing tags; field extraction is
-    scoped to the <head> substring so body decoys never leak, and the
-    "description-alt" prefix trap never matches "description". Entirely
-    JVM-side regexp_extract/replace in one codegen stage — zero Python,
-    zero shuffle (per-row map over the scan); at 100 TB this runs at
-    scan speed next to the text-extraction pass. Core: webmeta.doc_meta
-    (shared with the wat_job CLI leg)."""
+    quoting (a value containing the other quote char is captured whole),
+    flipped attribute order (content before name/property), mixed-case
+    tags/attributes, whitespace and entities inside <title>, unquoted
+    charset, XHTML self-closing tags, NULL html (empty row, never a NULL
+    field); comments are stripped first (a commented-out tag is not live
+    metadata) and field extraction is scoped to the <head> substring so
+    body decoys never leak; the "description-alt" prefix trap never
+    matches "description". Entirely JVM-side regexp_extract/replace in
+    one codegen stage — zero Python, zero shuffle; at 100 TB this runs
+    at scan speed next to the text-extraction pass. Core:
+    webmeta.doc_meta (shared with the wat_job CLI leg)."""
     return WM.doc_meta(f(spark, "pages_meta"))
 
 
 def _ol_oracle() -> str:
-    def un(e):
-        for a, b in WM.ENTS:
-            b = b.replace("'", "''")
-            e = f"replace({e}, '{a}', '{b}')"
-        return e
-
-    dst = "replace(regexp_replace(dst0, '#.*$', ''), '/./', '/')"
+    path = "regexp_extract(defrag, '{}', 1)".format(_dm_sq(WM.PRE_QUERY))
     for _ in range(WM.DOT_PASSES):
-        dst = f"regexp_replace({dst}, '{_dm_sq(WM.DOTDOT)}', '/', 'g')"
+        path = (f"regexp_replace(regexp_replace({path}, "
+                f"'{_dm_sq(WM.DOTSLASH)}', '/', 'g'), "
+                f"'{_dm_sq(WM.DOTDOT)}', '/', 'g')")
+    dst = (f"{path} || regexp_extract(defrag, '{_dm_sq(WM.QUERY)}', 1)")
     return f"""
         WITH raw AS (
-          SELECT url,
-                 regexp_replace(decode(html), '{_dm_sq(WM.COMMENT)}', '', 'g') AS h
+          SELECT url, {_dm_html_sql()} AS h
           FROM read_parquet('{fx("pages_meta")}')
         ), anchors AS (
           SELECT url, unnest(regexp_extract_all(h, '{_dm_sq(WM.ANCHOR)}')) AS elem
           FROM raw
         ), parts AS (
           SELECT url,
-            trim({un(f"regexp_extract(elem, '{_dm_sq(WM.HREF)}', 1)")}) AS href,
-            trim(regexp_replace({un(f"regexp_extract(elem, '{_dm_sq(WM.ATEXT)}', 1)")},
+            trim({_dm_sql_unesc(_dm_sql_pick("elem", WM.HREF_PATS))}) AS href,
+            trim(regexp_replace({_dm_sql_unesc(
+                f"regexp_extract(elem, '{_dm_sq(WM.ATEXT)}', 1)")},
                  '\\s+', ' ', 'g')) AS anchor_text,
-            regexp_extract(url, '{_dm_sq(WM.SCHEME)}', 1) AS scheme,
+            lower(regexp_extract(url, '{_dm_sq(WM.SCHEME)}', 1)) AS scheme,
             regexp_extract(url, '{_dm_sq(WM.HOST)}', 1) AS host,
             coalesce(nullif(regexp_extract(url, '{_dm_sq(WM.BASE)}', 1), ''),
-                     regexp_extract(url, '{_dm_sq(WM.SCHEME)}', 1) || '://'
+                     lower(regexp_extract(url, '{_dm_sq(WM.SCHEME)}', 1))
+                     || '://'
                      || regexp_extract(url, '{_dm_sq(WM.HOST)}', 1) || '/') AS base
           FROM anchors
         ), resolved AS (
           SELECT url, anchor_text, host,
-            CASE WHEN regexp_matches(href, '(?i)^https?://') THEN href
+            CASE WHEN regexp_matches(href, '{_dm_sq(WM.HTTP_ABS)}') THEN href
                  WHEN href LIKE '//%' THEN scheme || ':' || href
                  WHEN href LIKE '/%' THEN scheme || '://' || host || href
                  ELSE base || href END AS dst0
           FROM parts
           WHERE href <> '' AND href NOT LIKE '#%'
-                AND NOT regexp_matches(href, '(?i)^(mailto|javascript):')
+                AND (regexp_matches(href, '{_dm_sq(WM.HTTP_ABS)}')
+                     OR NOT regexp_matches(href, '{_dm_sq(WM.ANY_SCHEME)}'))
+        ), defragged AS (
+          SELECT url, anchor_text, host,
+                 regexp_replace(dst0, '#.*$', '') AS defrag
+          FROM resolved
+        ), cleaned AS (
+          SELECT url, anchor_text, host, {dst} AS dst_url
+          FROM defragged
         )
-        SELECT url, {dst} AS dst_url, anchor_text,
-               CAST(regexp_extract({dst}, '{_dm_sq(WM.HOST)}', 1) <> host AS INT)
-                 AS external
-        FROM resolved"""
+        SELECT url, dst_url, anchor_text,
+               CAST(lower(regexp_extract(dst_url, '{_dm_sq(WM.HOST)}', 1))
+                    <> lower(host) AS INT) AS external
+        FROM cleaned"""
 
 
 @q("extract_outlinks", _ol_oracle())
@@ -5556,15 +5578,18 @@ def extract_outlinks(spark, sf_dir):
     """Outlink extraction with RFC 3986-lite reference resolution (the
     WAT-record analogue; feeds the corpus_links/crawl_frontier family
     from raw HTML instead of a pre-built edge table): strip comments,
-    find <a href> elements, entity-unescape href and anchor text, drop
-    non-navigational hrefs (empty, #fragment, mailto:, javascript:),
-    resolve absolute / protocol-relative / root-relative / path-relative
-    forms against the page url, strip fragments, remove ./ and bounded
-    ../ dot-segments, and flag cross-host links. One codegen stage ending
-    in a generate (explode) — zero shuffle, zero Python; at crawl scale
-    this is the map side of link-graph construction and partitions by
-    whatever the next consumer needs. Core: webmeta.outlinks (shared
-    with the wat_job CLI leg)."""
+    find <a href> elements (quote-aware tag scan — a '>' inside a quoted
+    attribute never truncates the element or the anchor text), drop
+    non-navigational hrefs (empty, #fragment, and EVERY non-http(s)
+    scheme: mailto:, javascript:, tel:, data:, ftp:, ...), resolve
+    absolute / protocol-relative / root-relative / path-relative forms
+    against the page url (merge base = path only, query excluded per
+    RFC 3986), strip fragments, remove ./ and bounded ../ dot-segments
+    from the PATH only, and flag cross-host links case-insensitively.
+    One codegen stage ending in a generate (explode) — zero shuffle,
+    zero Python; at crawl scale this is the map side of link-graph
+    construction and partitions by whatever the next consumer needs.
+    Core: webmeta.outlinks (shared with the wat_job CLI leg)."""
     return WM.outlinks(f(spark, "pages_meta"))
 
 
@@ -5572,7 +5597,7 @@ def _cf_oracle() -> str:
     return f"""
         WITH ol AS ({_ol_oracle()})
         SELECT
-          regexp_extract(dst_url, '{_dm_sq(WM.HOST)}', 1) AS dst_host,
+          lower(regexp_extract(dst_url, '{_dm_sq(WM.HOST)}', 1)) AS dst_host,
           count(DISTINCT dst_url) AS n_frontier_urls,
           count(*) AS n_edges,
           count(DISTINCT url) AS n_referring_pages
@@ -5589,14 +5614,14 @@ def crawl_frontier_from_html(spark, sf_dir):
     links whose destination is ALREADY CRAWLED (left-anti join against
     the page table on the resolved url — the fixture plants same-host
     /p/<n> links to crawled pages that must vanish here), and aggregate
-    the uncrawled remainder per destination host: distinct frontier
-    urls, referring edges, distinct referring pages. This is the
-    discovery half of crawl_frontier/crawl_recrawl_priority, fed from
-    markup instead of a pre-built edge table. At 100 TB the crawled-url
-    ledger side is a bloom prefilter (dedup_bloom_prefilter) or a
-    bucketed MERGE key, never a broadcast of the full ledger; at fixture
-    scale AQE picks the broadcast anti-join, and the per-host aggregate
-    map-side-combines before its single shuffle. Core:
+    the uncrawled remainder per lowercased destination host: distinct
+    frontier urls, referring edges, distinct referring pages. This is
+    the discovery half of crawl_frontier/crawl_recrawl_priority, fed
+    from markup instead of a pre-built edge table. At 100 TB the
+    crawled-url ledger side is a bloom prefilter (dedup_bloom_prefilter)
+    or a bucketed MERGE key, never a broadcast of the full ledger; at
+    fixture scale AQE picks the broadcast anti-join, and the per-host
+    aggregate map-side-combines before its single shuffle. Core:
     webmeta.frontier_hosts."""
     pages = f(spark, "pages_meta")
     return WM.frontier_hosts(WM.outlinks(pages), pages)

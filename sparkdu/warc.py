@@ -449,3 +449,13 @@ def synth_warc_bytes(shard_id: int) -> tuple:
 def _gzip_member(b: bytes) -> bytes:
     c = zlib.compressobj(6, zlib.DEFLATED, 31)
     return c.compress(b) + c.flush()
+
+
+def shard_error_accounting(shards: DataFrame) -> tuple:
+    """(n_shards, n_failed) for a shard DataFrame: fail-whole drops a
+    corrupt shard SILENTLY at the record level, so crawl-scale jobs must
+    account the coverage hole at shard granularity before running.
+    Shared by extract_job --format warc and wat_job --format warc."""
+    n = shards.count()
+    ok = warc_records(shards).select("shard_id").distinct().count()
+    return n, n - ok

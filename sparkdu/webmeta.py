@@ -11,8 +11,16 @@ and the link-graph shuffle is the consumer's choice of key.
 
 Shared regex dialect: every pattern is valid and EQUIVALENT in Java
 regex (Spark) and RE2 (DuckDB) — inline (?is) flags, lazy ``.*?``,
-``[^>]`` tag-local scans — so the harness oracles run the identical
-patterns (sparkdu/staging.py builds the SQL from these constants).
+``[^>]`` tag-local scans, NO lookarounds and NO backreferences (RE2 has
+neither) — so the harness oracles run the identical patterns
+(sparkdu/staging.py builds the SQL from these constants).
+
+Quoting: attribute VALUES are captured with per-quote-style patterns
+("([^"]*)" tried before '([^']*)') so a value containing the other
+quote character is captured whole, never truncated at it. Attribute-name
+DELIMITERS (e.g. ["']description["']) keep the loose two-char class —
+the literal between them contains no quotes, so mismatched delimiters
+there can only accept malformed markup, never corrupt a value.
 """
 
 from __future__ import annotations
@@ -20,19 +28,34 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# ---- head metadata (extract_doc_meta) --------------------------------
-# Field regexes run over the <head> substring only (body decoys must
-# never leak); LANG runs over the whole document (the <html> tag sits
-# outside <head>).
+# ---- head metadata (doc_meta) ----------------------------------------
+# Comments are stripped FIRST (a commented-out <title>/<meta> is not
+# live metadata); field regexes then run over the <head> substring only
+# (body decoys must never leak); LANG runs over the whole stripped
+# document (the <html> tag sits outside <head>).
+COMMENT = r"(?s)<!--.*?-->"
 HEAD = r"(?is)<head[^>]*>(.*?)</head>"
 TITLE = r"(?is)<title[^>]*>(.*?)</title>"
-DESC_F = r"""(?is)<meta\s[^>]*name\s*=\s*["']description["'][^>]*content\s*=\s*["']([^"']*)["']"""
-DESC_R = r"""(?is)<meta\s[^>]*content\s*=\s*["']([^"']*)["'][^>]*name\s*=\s*["']description["']"""
-CANON_F = r"""(?is)<link\s[^>]*rel\s*=\s*["']canonical["'][^>]*href\s*=\s*["']([^"']*)["']"""
-CANON_R = r"""(?is)<link\s[^>]*href\s*=\s*["']([^"']*)["'][^>]*rel\s*=\s*["']canonical["']"""
-OG_F = r"""(?is)<meta\s[^>]*property\s*=\s*["']og:title["'][^>]*content\s*=\s*["']([^"']*)["']"""
-OG_R = r"""(?is)<meta\s[^>]*content\s*=\s*["']([^"']*)["'][^>]*property\s*=\s*["']og:title["']"""
-LANG = r"""(?is)<html\s[^>]*lang\s*=\s*["']([^"']*)["']"""
+
+
+def _attr_pats(tag: str, key_attr: str, key_val: str, val_attr: str) -> list:
+    """The four patterns for <tag key_attr=key_val ... val_attr=VALUE>:
+    forward / reversed attribute order x double / single quoted value,
+    tried in that order (first non-empty capture wins)."""
+    key = f"""{key_attr}\\s*=\\s*["']{key_val}["']"""
+    return [
+        f"""(?is)<{tag}\\s[^>]*{key}[^>]*{val_attr}\\s*=\\s*"([^"]*)\"""",
+        f"""(?is)<{tag}\\s[^>]*{key}[^>]*{val_attr}\\s*=\\s*'([^']*)'""",
+        f"""(?is)<{tag}\\s[^>]*{val_attr}\\s*=\\s*"([^"]*)"[^>]*{key}""",
+        f"""(?is)<{tag}\\s[^>]*{val_attr}\\s*=\\s*'([^']*)'[^>]*{key}""",
+    ]
+
+
+DESC_PATS = _attr_pats("meta", "name", "description", "content")
+CANON_PATS = _attr_pats("link", "rel", "canonical", "href")
+OG_PATS = _attr_pats("meta", "property", "og:title", "content")
+LANG_PATS = [r"""(?is)<html\s[^>]*lang\s*=\s*"([^"]*)\"""",
+             r"""(?is)<html\s[^>]*lang\s*=\s*'([^']*)'"""]
 CHARSET = r"""(?i)<meta\s+charset\s*=\s*["']?([A-Za-z0-9_-]+)"""
 
 # minimal-entity unescape, &amp; LAST so "&amp;lt;" decodes to "&lt;"
@@ -42,17 +65,30 @@ ENTS = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
 META_FIELDS = ["title", "meta_description", "canonical_url",
                "og_title", "html_lang", "charset"]
 
-# ---- outlinks (extract_outlinks) --------------------------------------
-COMMENT = r"(?s)<!--.*?-->"
-ANCHOR = r"""(?is)<a\s[^>]*href\s*=\s*["'][^"']*["'][^>]*>.*?</a>"""
-HREF = r"""(?is)<a\s[^>]*href\s*=\s*["']([^"']*)["']"""
-ATEXT = r"(?is)>(.*?)</a>"
-SCHEME = r"^(https?)://"
-HOST = r"^https?://([^/]+)"
-BASE = r"^(https?://.*/)"
+# ---- outlinks ---------------------------------------------------------
+# A "tag token": one unquoted non-delimiter char, or a whole quoted
+# string consumed atomically — so a '>' inside a quoted attribute value
+# can never terminate the opening tag early.
+_TOK = """(?:[^>"']|"[^"]*"|'[^']*')"""
+ANCHOR = (r"""(?is)<a\s[^>]*href\s*=\s*("[^"]*"|'[^']*')"""
+          + _TOK + r"*>.*?</a>")
+HREF_PATS = [r"""(?is)<a\s[^>]*?href\s*=\s*"([^"]*)\"""",
+             r"""(?is)<a\s[^>]*?href\s*=\s*'([^']*)'"""]
+ATEXT = r"(?is)<a\s" + _TOK + r"*?>(.*?)</a>"
+# any scheme-shaped prefix; only http(s) is navigational for us
+ANY_SCHEME = r"(?i)^[a-z][a-z0-9+.-]*:"
+HTTP_ABS = r"(?i)^https?://"
+SCHEME = r"(?i)^(https?)://"
+HOST = r"(?i)^https?://([^/]+)"
+# resolution base = page url through its last PATH slash (query and
+# fragment excluded — RFC 3986 merges against the path only)
+BASE = r"(?i)^(https?://[^?#]*/)"
+QUERY = r"(\?.*)$"
+PRE_QUERY = r"^([^?]*)"
 DOTDOT = r"/[^/]+/\.\./"
+DOTSLASH = r"/\./"
 # bounded dot-segment removal: sane web paths never nest ../ deeper than
-# this; each pass removes one level everywhere in the string
+# this; each pass removes one level everywhere (and one /./ overlap)
 DOT_PASSES = 4
 
 
@@ -66,27 +102,34 @@ def _norm(c):
     return F.trim(F.regexp_replace(_unesc(c), r"\s+", " "))
 
 
-def _pick(scope, fwd, rev):
-    """Forward attribute order, falling back to reversed."""
+def _pick(scope, pats):
+    """First non-empty capture across the pattern list."""
     return F.coalesce(
-        F.nullif(F.regexp_extract(scope, fwd, 1), F.lit("")),
-        F.regexp_extract(scope, rev, 1),
+        *[F.nullif(F.regexp_extract(scope, p, 1), F.lit("")) for p in pats],
+        F.lit(""),
     )
+
+
+def _html_str():
+    """html binary -> comment-stripped string; NULL html is an empty
+    document, never a NULL row (totality contract)."""
+    return F.regexp_replace(
+        F.coalesce(F.col("html").cast("string"), F.lit("")), COMMENT, "")
 
 
 def doc_meta(pages: DataFrame) -> DataFrame:
     """(url, html:binary) -> one row per page of head metadata: title,
     meta description, canonical url, og:title, html lang, declared
     charset ('' when absent) + completeness count. Single codegen map."""
-    h = F.col("html").cast("string")
+    h = _html_str()
     head = F.regexp_extract(h, HEAD, 1)
     fields = pages.select(
         "url",
         _norm(F.regexp_extract(head, TITLE, 1)).alias("title"),
-        _norm(_pick(head, DESC_F, DESC_R)).alias("meta_description"),
-        F.trim(_pick(head, CANON_F, CANON_R)).alias("canonical_url"),
-        _norm(_pick(head, OG_F, OG_R)).alias("og_title"),
-        F.lower(F.trim(F.regexp_extract(h, LANG, 1))).alias("html_lang"),
+        _norm(_pick(head, DESC_PATS)).alias("meta_description"),
+        F.trim(_pick(head, CANON_PATS)).alias("canonical_url"),
+        _norm(_pick(head, OG_PATS)).alias("og_title"),
+        F.lower(F.trim(_pick(h, LANG_PATS))).alias("html_lang"),
         F.lower(F.regexp_extract(head, CHARSET, 1)).alias("charset"),
     )
     present = sum((F.col(c) != "").cast("int") for c in META_FIELDS)
@@ -95,22 +138,25 @@ def doc_meta(pages: DataFrame) -> DataFrame:
 
 def outlinks(pages: DataFrame) -> DataFrame:
     """(url, html:binary) -> one row per navigational anchor with the
-    reference RESOLVED against the page url (RFC 3986-lite: absolute /
-    protocol-relative / root-relative / path-relative; fragment
-    stripped; ./ and bounded ../ removed; empty, #-only, mailto:,
-    javascript: dropped; comments stripped first) + cross-host flag.
-    One codegen map ending in a generate — still no shuffle."""
-    h = F.regexp_replace(F.col("html").cast("string"), COMMENT, "")
+    reference RESOLVED against the page url (RFC 3986-lite: absolute
+    http(s) / protocol-relative / root-relative / path-relative;
+    fragment stripped; ./ and bounded ../ removed from the PATH only;
+    empty, #-only, and every non-http(s) scheme — mailto:, javascript:,
+    tel:, data:, ftp:, ... — dropped; comments stripped first) + a
+    case-insensitive cross-host flag. One codegen map ending in a
+    generate — still no shuffle."""
     anchors = pages.select(
-        "url", F.explode(F.regexp_extract_all(h, F.lit(ANCHOR), 0)).alias("elem")
+        "url",
+        F.explode(F.regexp_extract_all(_html_str(), F.lit(ANCHOR), 0))
+        .alias("elem"),
     )
     parts = anchors.select(
         "url",
-        F.trim(_unesc(F.regexp_extract("elem", HREF, 1))).alias("href"),
+        F.trim(_unesc(_pick(F.col("elem"), HREF_PATS))).alias("href"),
         F.trim(F.regexp_replace(
             _unesc(F.regexp_extract("elem", ATEXT, 1)), r"\s+", " ")
         ).alias("anchor_text"),
-        F.regexp_extract("url", SCHEME, 1).alias("scheme"),
+        F.lower(F.regexp_extract("url", SCHEME, 1)).alias("scheme"),
         F.regexp_extract("url", HOST, 1).alias("host"),
     ).withColumn(
         "base",
@@ -122,10 +168,10 @@ def outlinks(pages: DataFrame) -> DataFrame:
     resolved = parts.filter(
         (F.col("href") != "")
         & ~F.col("href").startswith("#")
-        & ~F.col("href").rlike(r"(?i)^(mailto|javascript):")
+        & (F.col("href").rlike(HTTP_ABS) | ~F.col("href").rlike(ANY_SCHEME))
     ).withColumn(
         "dst0",
-        F.when(F.col("href").rlike(r"(?i)^https?://"), F.col("href"))
+        F.when(F.col("href").rlike(HTTP_ABS), F.col("href"))
         .when(F.col("href").startswith("//"),
               F.concat(F.col("scheme"), F.lit(":"), F.col("href")))
         .when(F.col("href").startswith("/"),
@@ -133,15 +179,17 @@ def outlinks(pages: DataFrame) -> DataFrame:
                        F.col("href")))
         .otherwise(F.concat(F.col("base"), F.col("href"))),
     )
-    dst = F.replace(F.regexp_replace(F.col("dst0"), "#.*$", ""),
-                    F.lit("/./"), F.lit("/"))
+    defrag = F.regexp_replace(F.col("dst0"), "#.*$", "")
+    path = F.regexp_extract(defrag, PRE_QUERY, 1)
     for _ in range(DOT_PASSES):
-        dst = F.regexp_replace(dst, DOTDOT, "/")
+        path = F.regexp_replace(F.regexp_replace(path, DOTSLASH, "/"),
+                                DOTDOT, "/")
+    dst = F.concat(path, F.regexp_extract(defrag, QUERY, 1))
     return resolved.select(
         "url",
         dst.alias("dst_url"),
         "anchor_text",
-        (F.regexp_extract(dst, HOST, 1) != F.col("host"))
+        (F.lower(F.regexp_extract(dst, HOST, 1)) != F.lower(F.col("host")))
         .cast("int").alias("external"),
     )
 
@@ -159,7 +207,8 @@ def frontier_hosts(ol: DataFrame, crawled: DataFrame) -> DataFrame:
     )
     return (
         frontier
-        .withColumn("dst_host", F.regexp_extract("dst_url", HOST, 1))
+        .withColumn("dst_host",
+                    F.lower(F.regexp_extract("dst_url", HOST, 1)))
         .groupBy("dst_host")
         .agg(
             F.countDistinct("dst_url").alias("n_frontier_urls"),

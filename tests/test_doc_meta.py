@@ -72,6 +72,13 @@ def _py_ref(url, html):
         m = re.search(pat, s)
         return m.group(1) if m else ""
 
+    def pick(pats, s):
+        for p in pats:
+            v = ex(p, s)
+            if v:
+                return v
+        return ""
+
     def unesc(s):
         for a, b in WM.ENTS:
             s = s.replace(a, b)
@@ -80,13 +87,13 @@ def _py_ref(url, html):
     def norm(s):
         return re.sub(r"\s+", " ", unesc(s)).strip()
 
-    h = html.decode()
+    h = re.sub(WM.COMMENT, "", html.decode() if html is not None else "")
     head = ex(WM.HEAD, h)
     title = norm(ex(WM.TITLE, head))
-    desc = norm(ex(WM.DESC_F, head) or ex(WM.DESC_R, head))
-    canon = (ex(WM.CANON_F, head) or ex(WM.CANON_R, head)).strip()
-    og = norm(ex(WM.OG_F, head) or ex(WM.OG_R, head))
-    lang = ex(WM.LANG, h).strip().lower()
+    desc = norm(pick(WM.DESC_PATS, head))
+    canon = pick(WM.CANON_PATS, head).strip()
+    og = norm(pick(WM.OG_PATS, head))
+    lang = pick(WM.LANG_PATS, h).strip().lower()
     cs = ex(WM.CHARSET, head).lower()
     vals = [title, desc, canon, og, lang, cs]
     return (url, *vals, sum(1 for v in vals if v))
@@ -164,17 +171,27 @@ def outlinks_py_ref(url, html):
             s = s.replace(a, b)
         return s
 
-    h = re.sub(WM.COMMENT, "", html.decode())
-    scheme, host = ex(WM.SCHEME, url), ex(WM.HOST, url)
+    def pick(pats, s):
+        for p in pats:
+            v = ex(p, s)
+            if v:
+                return v
+        return ""
+
+    h = re.sub(WM.COMMENT, "", html.decode() if html is not None else "")
+    scheme = ex(WM.SCHEME, url).lower()
+    host = ex(WM.HOST, url)
     base = ex(WM.BASE, url) or f"{scheme}://{host}/"
     out = []
-    for elem in re.findall(WM.ANCHOR, h):
-        href = unesc(ex(WM.HREF, elem)).strip()
+    for m in re.finditer(WM.ANCHOR, h):
+        elem = m.group(0)
+        href = unesc(pick(WM.HREF_PATS, elem)).strip()
         text = re.sub(r"\s+", " ", unesc(ex(WM.ATEXT, elem))).strip()
         if (not href or href.startswith("#")
-                or re.match(r"(?i)^(mailto|javascript):", href)):
+                or (re.match(WM.ANY_SCHEME, href)
+                    and not re.match(WM.HTTP_ABS, href))):
             continue
-        if re.match(r"(?i)^https?://", href):
+        if re.match(WM.HTTP_ABS, href):
             dst = href
         elif href.startswith("//"):
             dst = f"{scheme}:{href}"
@@ -182,10 +199,13 @@ def outlinks_py_ref(url, html):
             dst = f"{scheme}://{host}{href}"
         else:
             dst = base + href
-        dst = re.sub(r"#.*$", "", dst).replace("/./", "/")
+        defrag = re.sub(r"#.*$", "", dst)
+        path = ex(WM.PRE_QUERY, defrag)
         for _ in range(WM.DOT_PASSES):
-            dst = re.sub(WM.DOTDOT, "/", dst)
-        out.append((url, dst, text, int(ex(WM.HOST, dst) != host)))
+            path = re.sub(WM.DOTDOT, "/", re.sub(WM.DOTSLASH, "/", path))
+        dst = path + ex(WM.QUERY, defrag)
+        out.append((url, dst, text,
+                    int(ex(WM.HOST, dst).lower() != host.lower())))
     return out
 
 
@@ -317,7 +337,8 @@ def test_wat_job_by_host_colocates(spark, tmp_path):
     hosts_per_file = (
         links
         .withColumn("fname", F.input_file_name())
-        .withColumn("dst_host", F.regexp_extract("dst_url", WM.HOST, 1))
+        .withColumn("dst_host",
+                    F.lower(F.regexp_extract("dst_url", WM.HOST, 1)))
         .groupBy("dst_host")
         .agg(F.countDistinct("fname").alias("nf"))
     )
@@ -401,3 +422,57 @@ def test_canonical_cluster_semantics(spark):
     # crawled -> every declared-canonical cluster lacks a self capture
     declared = [r for r in rows if "/canonical/" in r["canon_key"]]
     assert declared and all(r["has_self_capture"] == 0 for r in declared)
+
+
+# ---------------------------------------------------------------------
+# review-fix vectors (round-5 code review on webmeta/wat_job)
+# ---------------------------------------------------------------------
+
+def test_review_fix_vectors(spark):
+    meta = {r["url"]: r.asDict() for r in WM.doc_meta(_df(spark, [
+        # commented-out head tags are NOT live metadata
+        ("m1", "<html><head><!-- <title>draft</title>"
+               '<meta name="description" content="C"> -->'
+               "<title>Real</title></head><body></body></html>"),
+        # value containing the other quote char is captured whole
+        ("m2", '<html><head><meta name="description" '
+               'content="it\'s a test"></head><body></body></html>'),
+    ])).collect()}
+    assert meta["m1"]["title"] == "Real"
+    assert meta["m1"]["meta_description"] == ""
+    assert meta["m2"]["meta_description"] == "it's a test"
+
+    # NULL html: empty row, never NULL fields (totality contract)
+    from pyspark.sql import Row
+    null_df = spark.createDataFrame([Row(url="n1", html=None)],
+                                    "url string, html binary")
+    r = WM.doc_meta(null_df).collect()[0]
+    assert r["n_meta_fields"] == 0 and r["title"] == ""
+    assert WM.outlinks(null_df).count() == 0
+
+    links = sorted(tuple(x) for x in WM.outlinks(_df(spark, [
+        # query string containing '/' must NOT join the resolution base,
+        # and dot-removal must not touch the query
+        ("https://ex.com/dir/page?img=/icons/a.png",
+         '<body><a href="next.html">n</a>'
+         '<a href="go?to=/a/../b">q</a></body>'),
+        # non-http(s) schemes dropped; uppercase scheme kept + same-host
+        ("https://ex.com/d/",
+         '<body><a href="tel:+15551234567">t</a>'
+         '<a href="data:text/html,x">d</a>'
+         "<a href='ftp://files/f'>f</a>"
+         '<a href="HTTPS://EX.com/Upper">u</a>'
+         '<a href="././z">z</a>'
+         "<a href=\"/a?x=1>2\">gt</a>"
+         "<a href=\"it's here\">mixed</a></body>"),
+    ])).collect())
+    assert links == sorted([
+        ("https://ex.com/dir/page?img=/icons/a.png",
+         "https://ex.com/dir/next.html", "n", 0),
+        ("https://ex.com/dir/page?img=/icons/a.png",
+         "https://ex.com/dir/go?to=/a/../b", "q", 0),
+        ("https://ex.com/d/", "HTTPS://EX.com/Upper", "u", 0),  # ci same-host
+        ("https://ex.com/d/", "https://ex.com/d/z", "z", 0),
+        ("https://ex.com/d/", "https://ex.com/a?x=1>2", "gt", 0),
+        ("https://ex.com/d/", "https://ex.com/d/it's here", "mixed", 0),
+    ])
