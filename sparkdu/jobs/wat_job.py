@@ -36,32 +36,49 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspa
 def run_wat_job(spark, pages, out_dir: str, partitions: int = 0,
                 by_host: bool = False) -> dict:
     """Write doc_meta + outlinks for ``pages`` (url, html) under
-    ``out_dir``; returns row counts. Parquet job-commit protocol gives
-    per-table atomicity (either a table's _SUCCESS exists and the table
-    is complete, or the write never happened — rerun idempotently)."""
+    ``out_dir``; returns row counts. The input is cached for the job's
+    duration so both sinks consume ONE scan+parse of the pages (at crawl
+    scale, materialize the pages once and run this from that table — the
+    cache is the in-sandbox stand-in). Atomicity: the parquet job-commit
+    protocol makes each FIRST write into a fresh ``out_dir`` all-or-
+    nothing (_SUCCESS present iff complete); a rerun in overwrite mode
+    is NOT atomic over a previous table, so point each run at its own
+    directory — or use the snapshots module when readers need an atomic
+    pointer swap."""
     from pyspark.sql import functions as F
 
     from sparkdu import webmeta as WM
 
-    meta = WM.doc_meta(pages)
-    links = WM.outlinks(pages)
-    if partitions:
-        # split-count control without a shuffle (coalesce only narrows);
-        # applies to doc_meta regardless of the outlinks layout choice
-        meta = meta.coalesce(partitions)
-        links = links.coalesce(partitions)
-    if by_host:
-        n = partitions or spark.sparkContext.defaultParallelism
-        links = links.repartition(
-            n, F.lower(F.regexp_extract("dst_url", WM.HOST, 1)))
-    meta.write.mode("overwrite").parquet(os.path.join(out_dir, "doc_meta"))
-    links.write.mode("overwrite").parquet(os.path.join(out_dir, "outlinks"))
+    pages = pages.cache()
+    try:
+        meta = WM.doc_meta(pages)
+        links = WM.outlinks(pages)
+        if partitions:
+            # split-count control without a shuffle (coalesce only
+            # narrows); under --by-host the links layout comes from the
+            # repartition instead — coalescing first would throttle the
+            # scan+parse stage to `partitions` tasks for no layout gain
+            meta = meta.coalesce(partitions)
+            if not by_host:
+                links = links.coalesce(partitions)
+        if by_host:
+            n = partitions or spark.sparkContext.defaultParallelism
+            links = links.repartition(
+                n, F.lower(F.regexp_extract("dst_url", WM.HOST, 1)))
+        meta.write.mode("overwrite").parquet(os.path.join(out_dir, "doc_meta"))
+        links.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "outlinks"))
+    finally:
+        pages.unpersist()
     meta_out = spark.read.parquet(os.path.join(out_dir, "doc_meta"))
     links_out = spark.read.parquet(os.path.join(out_dir, "outlinks"))
+    n_links, n_external = links_out.agg(
+        F.count(F.lit(1)), F.coalesce(F.sum("external"), F.lit(0))
+    ).collect()[0]
     return {
         "n_pages": meta_out.count(),
-        "n_links": links_out.count(),
-        "n_external": links_out.filter("external = 1").count(),
+        "n_links": n_links,
+        "n_external": int(n_external),
     }
 
 
@@ -90,11 +107,9 @@ def main(argv=None) -> None:
         shards = spark.read.parquet(args.input)
         n_shards, n_failed = shard_error_accounting(shards)
         print(f"warc: shards={n_shards} shard_errors={n_failed}")
-        # cache the container extraction: both table writes consume it,
-        # so shards parse once, not once per sink (at 100 TB the same
-        # economics say: materialize the extracted-pages table once and
-        # run the WAT pass from it)
-        pages = warc_pages(shards).select("url", "html").cache()
+        # run_wat_job caches its input, so the container extraction also
+        # parses once, not once per sink
+        pages = warc_pages(shards).select("url", "html")
     else:
         pages = spark.read.parquet(args.input).select("url", "html")
     t0 = time.time()

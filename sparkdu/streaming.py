@@ -217,59 +217,49 @@ def streaming_extract_to_snapshots(spark: SparkSession, pages_dir: str,
     )
     return snapshot_sink(extracted, out_dir, run_id, checkpoint_dir)
 
-
-def streaming_warc_to_snapshots(spark: SparkSession, shards_dir: str,
-                                out_dir: str, run_id: str,
-                                checkpoint_dir: str,
-                                watermark: str = "2 days",
-                                cfg: ExtractConfig | None = None) -> int:
-    """Continuous CRAWL ingestion: the streaming composition over raw
-    WARC/1.0 shards — file-source shard stream -> container extraction
-    (warc.warc_pages: HTTP-200 text/html filter, fail-whole per shard) ->
-    within-watermark url dedup -> the SAME fused Arrow extraction as
-    batch -> exactly-once snapshot-committed sink. Identical guarantees
-    to streaming_extract_to_snapshots (O(new files) per drain, bounded
-    dedup state, epoch-idempotent replay); the only addition is the
-    zero-shuffle container stage in front. This is the shape a live
-    crawl-to-corpus pipeline runs at: shards land, records flow, the
-    snapshot table is always a consistent prefix."""
-    from .warc import warc_pages
-
-    cfg = cfg or ExtractConfig(dedup=False)
-    stream = spark.readStream.schema(
-        "shard_id long, payload binary"
-    ).parquet(shards_dir)
-    pages = warc_pages(stream)
-    deduped = pages.withWatermark(
-        "warc_ts", watermark
-    ).dropDuplicatesWithinWatermark(["url"])
-    extracted = deduped.select("url", "warc_ts", "html").mapInArrow(
-        fused_extract_udf(cfg), schema=EXTRACTED_SCHEMA
-    )
-    return snapshot_sink(extracted, out_dir, run_id, checkpoint_dir)
-
 def streaming_wat(spark: SparkSession, pages_dir: str, out_dir: str,
                   checkpoint_dir: str) -> dict:
     """Streaming WAT emission: file-source page stream -> the SAME
     zero-shuffle webmeta codegen maps as batch (doc_meta + outlinks) ->
     two append-mode parquet sinks, each with its own checkpoint. The
     transforms are stateless narrow maps, so streaming needs no
-    watermark and no state store — each availableNow drain processes
-    exactly the newly landed files (O(new), never O(table)) and
-    replaying a drained source appends nothing. Returns the sink row
-    counts after the drain. Batch byte-equality and replay idempotence
-    are gated in tests/test_doc_meta.py."""
+    watermark and no state store. Both availableNow queries START
+    before either is awaited: they snapshot the same file listing
+    instant, so files landing mid-call can skew the two tables by at
+    most that startup window (and are picked up by the next drain
+    either way — per-table exactly-once is checkpointed). Each drain
+    costs O(new files), never O(table): the returned counts come from an
+    observe() counter at each plan's tail (the A6 lineage pattern — the
+    parquet FileSink itself reports numOutputRows=-1), not a table
+    re-scan. An empty or not-yet-created source drains to zero rows, it
+    does not error. Batch byte-equality and replay idempotence are gated
+    in tests/test_doc_meta.py."""
     import os
 
     from . import webmeta as WM
 
+    os.makedirs(pages_dir, exist_ok=True)
     stream = spark.readStream.schema("url string, html binary").parquet(
         pages_dir
     )
-    counts = {}
+    queries = []
     for name, df in (("doc_meta", WM.doc_meta(stream)),
                      ("outlinks", WM.outlinks(stream))):
-        path = os.path.join(out_dir, name)
-        run_available_now(df, path, os.path.join(checkpoint_dir, name))
-        counts[name] = spark.read.parquet(path).count()
+        observed = df.observe(f"wat_{name}", F.count(F.lit(1)).alias("rows"))
+        queries.append((name, (
+            observed.writeStream.format("parquet")
+            .option("path", os.path.join(out_dir, name))
+            .option("checkpointLocation", os.path.join(checkpoint_dir, name))
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )))
+    counts = {}
+    for name, q in queries:
+        q.awaitTermination()
+        counts[name] = sum(
+            p["observedMetrics"][f"wat_{name}"]["rows"]
+            for p in q.recentProgress
+            if f"wat_{name}" in p.get("observedMetrics", {})
+        )
     return counts

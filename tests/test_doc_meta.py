@@ -19,6 +19,32 @@ from tests.conftest import plan_of
 SF = "/root/testdata/sf0.01"
 
 
+# shared stdlib-re helpers for the independent references (same public
+# regex dialect as webmeta; kept reference-side so both _py_ref and
+# outlinks_py_ref stay in lockstep)
+def _ex(pat, s, g=1):
+    m = re.search(pat, s)
+    return m.group(g) if m else ""
+
+
+def _rpick(pats, s):
+    for p in pats:
+        v = _ex(p, s)
+        if v:
+            return v
+    return ""
+
+
+def _runesc(s):
+    for a, b in WM.ENTS:
+        s = s.replace(a, b)
+    return s
+
+
+def _rnorm(s):
+    return re.sub(r"\s+", " ", _runesc(s)).strip()
+
+
 def _df(spark, html_rows):
     return spark.createDataFrame(
         [Row(url=u, html=h if isinstance(h, bytes) else h.encode())
@@ -68,33 +94,14 @@ def test_hand_vectors(spark):
 
 def _py_ref(url, html):
     """Independent stdlib-re reference (same public regex dialect)."""
-    def ex(pat, s):
-        m = re.search(pat, s)
-        return m.group(1) if m else ""
-
-    def pick(pats, s):
-        for p in pats:
-            v = ex(p, s)
-            if v:
-                return v
-        return ""
-
-    def unesc(s):
-        for a, b in WM.ENTS:
-            s = s.replace(a, b)
-        return s
-
-    def norm(s):
-        return re.sub(r"\s+", " ", unesc(s)).strip()
-
     h = re.sub(WM.COMMENT, "", html.decode() if html is not None else "")
-    head = ex(WM.HEAD, h)
-    title = norm(ex(WM.TITLE, head))
-    desc = norm(pick(WM.DESC_PATS, head))
-    canon = pick(WM.CANON_PATS, head).strip()
-    og = norm(pick(WM.OG_PATS, head))
-    lang = pick(WM.LANG_PATS, h).strip().lower()
-    cs = ex(WM.CHARSET, head).lower()
+    head = _ex(WM.HEAD, h)
+    title = _rnorm(_ex(WM.TITLE, head))
+    desc = _rnorm(_rpick(WM.DESC_PATS, head))
+    canon = _rpick(WM.CANON_PATS, head).strip()
+    og = _rnorm(_rpick(WM.OG_PATS, head))
+    lang = _rpick(WM.LANG_PATS, h).strip().lower()
+    cs = _ex(WM.CHARSET, head).lower()
     vals = [title, desc, canon, og, lang, cs]
     return (url, *vals, sum(1 for v in vals if v))
 
@@ -162,31 +169,15 @@ def test_outlink_resolution_vectors(spark):
 
 def outlinks_py_ref(url, html):
     """Independent stdlib-re reference for outlinks."""
-    def ex(pat, s, g=1):
-        m = re.search(pat, s)
-        return m.group(g) if m else ""
-
-    def unesc(s):
-        for a, b in WM.ENTS:
-            s = s.replace(a, b)
-        return s
-
-    def pick(pats, s):
-        for p in pats:
-            v = ex(p, s)
-            if v:
-                return v
-        return ""
-
     h = re.sub(WM.COMMENT, "", html.decode() if html is not None else "")
-    scheme = ex(WM.SCHEME, url).lower()
-    host = ex(WM.HOST, url)
-    base = ex(WM.BASE, url) or f"{scheme}://{host}/"
+    scheme = _ex(WM.SCHEME, url).lower()
+    host = _ex(WM.HOST, url)
+    base = _ex(WM.BASE, url) or f"{scheme}://{host}/"
     out = []
     for m in re.finditer(WM.ANCHOR, h):
         elem = m.group(0)
-        href = unesc(pick(WM.HREF_PATS, elem)).strip()
-        text = re.sub(r"\s+", " ", unesc(ex(WM.ATEXT, elem))).strip()
+        href = _runesc(_rpick(WM.HREF_PATS, elem)).strip()
+        text = _rnorm(_ex(WM.ATEXT, elem))
         if (not href or href.startswith("#")
                 or (re.match(WM.ANY_SCHEME, href)
                     and not re.match(WM.HTTP_ABS, href))):
@@ -200,12 +191,12 @@ def outlinks_py_ref(url, html):
         else:
             dst = base + href
         defrag = re.sub(r"#.*$", "", dst)
-        path = ex(WM.PRE_QUERY, defrag)
+        path = _ex(WM.PRE_QUERY, defrag)
         for _ in range(WM.DOT_PASSES):
             path = re.sub(WM.DOTDOT, "/", re.sub(WM.DOTSLASH, "/", path))
-        dst = path + ex(WM.QUERY, defrag)
+        dst = path + _ex(WM.QUERY, defrag)
         out.append((url, dst, text,
-                    int(ex(WM.HOST, dst).lower() != host.lower())))
+                    int(_ex(WM.HOST, dst).lower() != host.lower())))
     return out
 
 
@@ -371,17 +362,23 @@ def test_wat_job_warc_leg(spark, tmp_path):
 def test_streaming_wat_equals_batch_and_replays_idempotent(spark, tmp_path):
     """Two-wave page stream drained twice: after both drains the sink
     tables byte-equal the batch transforms over all pages; a third drain
-    with no new files appends nothing (checkpointed file source)."""
-    import shutil
-
+    with no new files appends nothing; a drain over a not-yet-created
+    source returns zeros instead of erroring. Counts are per-drain NEW
+    rows (sink progress totals), never a table re-scan."""
     from sparkdu.streaming import streaming_wat
 
     src = str(tmp_path / "src")
     out = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
+
+    # empty / not-yet-created source: zero rows, no error
+    c0 = streaming_wat(spark, src, out, ckpt)
+    assert c0 == {"doc_meta": 0, "outlinks": 0}
+
     pages = f(spark, "pages_meta")
     wave_a = pages.filter(F.pmod(F.xxhash64("url"), F.lit(2)) == 0)
     wave_b = pages.filter(F.pmod(F.xxhash64("url"), F.lit(2)) == 1)
+    n_a = wave_a.count()
 
     wave_a.write.mode("append").parquet(src)
     c1 = streaming_wat(spark, src, out, ckpt)
@@ -391,15 +388,16 @@ def test_streaming_wat_equals_batch_and_replays_idempotent(spark, tmp_path):
 
     batch_meta = WM.doc_meta(pages)
     batch_links = WM.outlinks(pages)
+    assert c1["doc_meta"] == n_a
+    assert c1["doc_meta"] + c2["doc_meta"] == 240
+    assert c1["outlinks"] + c2["outlinks"] == batch_links.count()
+    assert c3 == {"doc_meta": 0, "outlinks": 0}
     got_meta = spark.read.parquet(f"{out}/doc_meta")
     got_links = spark.read.parquet(f"{out}/outlinks")
-    assert c1["doc_meta"] < c2["doc_meta"] == c3["doc_meta"] == 240
-    assert c2["outlinks"] == c3["outlinks"] == batch_links.count()
     assert got_meta.exceptAll(batch_meta).count() == 0
     assert batch_meta.exceptAll(got_meta).count() == 0
     assert got_links.exceptAll(batch_links).count() == 0
     assert batch_links.exceptAll(got_links).count() == 0
-    shutil.rmtree(str(tmp_path), ignore_errors=True)
 
 
 # ---------------------------------------------------------------------
