@@ -217,6 +217,37 @@ def streaming_extract_to_snapshots(spark: SparkSession, pages_dir: str,
     )
     return snapshot_sink(extracted, out_dir, run_id, checkpoint_dir)
 
+def streaming_warc_to_snapshots(spark: SparkSession, shards_dir: str,
+                                out_dir: str, run_id: str,
+                                checkpoint_dir: str,
+                                watermark: str = "2 days",
+                                cfg: ExtractConfig | None = None) -> int:
+    """Continuous CRAWL ingestion: the streaming composition over raw
+    WARC/1.0 shards — file-source shard stream -> container extraction
+    (warc.warc_pages: HTTP-200 text/html filter, fail-whole per shard) ->
+    within-watermark url dedup -> the SAME fused Arrow extraction as
+    batch -> exactly-once snapshot-committed sink. Identical guarantees
+    to streaming_extract_to_snapshots (O(new files) per drain, bounded
+    dedup state, epoch-idempotent replay); the only addition is the
+    zero-shuffle container stage in front. This is the shape a live
+    crawl-to-corpus pipeline runs at: shards land, records flow, the
+    snapshot table is always a consistent prefix."""
+    from .warc import warc_pages
+
+    cfg = cfg or ExtractConfig(dedup=False)
+    stream = spark.readStream.schema(
+        "shard_id long, payload binary"
+    ).parquet(shards_dir)
+    pages = warc_pages(stream)
+    deduped = pages.withWatermark(
+        "warc_ts", watermark
+    ).dropDuplicatesWithinWatermark(["url"])
+    extracted = deduped.select("url", "warc_ts", "html").mapInArrow(
+        fused_extract_udf(cfg), schema=EXTRACTED_SCHEMA
+    )
+    return snapshot_sink(extracted, out_dir, run_id, checkpoint_dir)
+
+
 def streaming_wat(spark: SparkSession, pages_dir: str, out_dir: str,
                   checkpoint_dir: str) -> dict:
     """Streaming WAT emission: file-source page stream -> the SAME
