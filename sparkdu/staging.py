@@ -5674,3 +5674,82 @@ def dedup_canonical_cluster(spark, sf_dir):
         )
         .filter((F.col("n_pages") > 1) | (F.col("has_self_capture") == 0))
     )
+
+
+@q("wat_warc_pipeline")  # rows-only: WARC parse has no SQL-oracle form
+def wat_warc_pipeline(spark, sf_dir):
+    """Crawl-dump WAT composition end-to-end: WARC/1.0 shards ->
+    container extraction (HTTP-200 text/html, fail-whole per shard,
+    shard-granularity error accounting) -> run_wat_job writes the
+    doc_meta + outlinks tables from ONE cached parse. The fixture's
+    minimal payloads carry no head metadata or anchors, so the gate is
+    structural: every extracted capture gets exactly one all-empty
+    doc_meta row, zero links, and the shard accounting matches the
+    committed truth (9 corrupt shards of 80). CLI twin: wat_job
+    --format warc (spark-submit-driven in tests/test_doc_meta.py)."""
+    import shutil
+    import tempfile
+
+    from .jobs.wat_job import run_wat_job
+    from .warc import shard_error_accounting, warc_pages
+
+    shards = f(spark, "warc")
+    n_shards, n_failed = shard_error_accounting(shards)
+    pages = warc_pages(shards).select("url", "html")
+    d = tempfile.mkdtemp(prefix="sparkdu_watwarc_")
+    try:
+        total = run_wat_job(spark, pages, d, partitions=4)
+        meta = spark.read.parquet(f"{d}/doc_meta")
+        rows = [
+            ("shards", n_shards),
+            ("shard_errors", n_failed),
+            ("pages", total["n_pages"]),
+            ("links", total["n_links"]),
+            ("external", total["n_external"]),
+            ("nonempty_meta_rows", meta.filter("n_meta_fields != 0").count()),
+            ("one_row_per_capture",
+             int(total["n_pages"] == pages.count())),
+        ]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, "metric string, n long").orderBy("metric")
+
+
+@q("stream_wat_once")  # rows-only: streaming drains are engine-side
+def stream_wat_once(spark, sf_dir):
+    """Streaming WAT drain as a driver-runnable check: land the
+    pages_meta fixture in two waves, drain after each (availableNow),
+    then a third no-op drain; the per-drain observe() counts must sum to
+    the batch row counts, the replay must add zero, and the sink tables
+    must equal the batch transforms exactly (exceptAll both ways)."""
+    import shutil
+    import tempfile
+
+    from .streaming import streaming_wat
+
+    d = tempfile.mkdtemp(prefix="sparkdu_streamwat_")
+    src, out, ckpt = f"{d}/src", f"{d}/out", f"{d}/ckpt"
+    pages = f(spark, "pages_meta")
+    try:
+        wave_a = pages.filter(F.pmod(F.xxhash64("url"), F.lit(2)) == 0)
+        wave_b = pages.filter(F.pmod(F.xxhash64("url"), F.lit(2)) == 1)
+        wave_a.write.mode("append").parquet(src)
+        c1 = streaming_wat(spark, src, out, ckpt)
+        wave_b.write.mode("append").parquet(src)
+        c2 = streaming_wat(spark, src, out, ckpt)
+        c3 = streaming_wat(spark, src, out, ckpt)
+        bm, bl = WM.doc_meta(pages), WM.outlinks(pages)
+        gm = spark.read.parquet(f"{out}/doc_meta")
+        gl = spark.read.parquet(f"{out}/outlinks")
+        rows = [
+            ("meta_rows_drained", c1["doc_meta"] + c2["doc_meta"]),
+            ("link_rows_drained", c1["outlinks"] + c2["outlinks"]),
+            ("replay_rows", c3["doc_meta"] + c3["outlinks"]),
+            ("meta_mismatch",
+             gm.exceptAll(bm).count() + bm.exceptAll(gm).count()),
+            ("links_mismatch",
+             gl.exceptAll(bl).count() + bl.exceptAll(gl).count()),
+        ]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, "metric string, n long").orderBy("metric")
