@@ -1194,8 +1194,11 @@ def gen_head_meta(n: int = 240) -> list:
                 head.append(
                     f"<meta name={qch}{nm}{qch} content={qch}{d}{qch}{close}>"
                 )
-        # prefix trap: must never be extracted as the description
-        if i % 10 == 6:
+        # prefix trap: must never be extracted as the description — and
+        # it must DISCRIMINATE: on i%6==5 pages (no real description) a
+        # prefix-over-matching pattern would surface TRAP where the
+        # correct answer is ''
+        if i % 10 == 6 or (i % 6 == 5 and i % 10 == 1):
             head.append(f'<meta name="description-alt" content="TRAP {i}">')
 
         # --- canonical link -------------------------------------------
@@ -1231,10 +1234,21 @@ def gen_head_meta(n: int = 240) -> list:
             )
         # value containing the other quote character: captured whole
         # (only on pages with no regular description, so pattern-order
-        # precedence never has to arbitrate between two live tags)
-        if i % 6 == 5 and i % 15 == 4:
+        # precedence never has to arbitrate between two live tags;
+        # i%6==5 suppresses the regular tag, i%5==4 is CRT-compatible
+        # with it — i ≡ 29 mod 30, 8 live pages)
+        if i % 6 == 5 and i % 5 == 4:
             head.append(
                 f'<meta name="description" content="it\'s page {i}">'
+            )
+        # canonical with an escaped query ampersand: must unescape to a
+        # real '&' (valid HTML writes & in attribute values as &amp;).
+        # Only on pages without the regular canonical (i%4==3), so
+        # pattern-order precedence never arbitrates two live tags.
+        if i % 4 == 3 and i % 10 == 3:
+            head.append(
+                f'<link rel="canonical" '
+                f'href="https://meta{i % 30}.example/c?x={i}&amp;y=2">'
             )
 
         # --- body decoys the head-scoped extractor must ignore --------
@@ -1278,6 +1292,15 @@ def gen_head_meta(n: int = 240) -> list:
             )
         if i % 16 == 7:
             links.append(f'<a href="././z/{i}">dots {i}</a>')
+        if i % 16 == 11:
+            # unquoted href (valid HTML) + root-climbing ../ that must
+            # clamp at the root, never delete the authority
+            links.append(f"<a href=/unq/{i}>unq {i}</a>")
+            links.append(f'<a href="../../../root{i}">climb {i}</a>')
+        if i % 17 == 9:
+            # '>' inside a quoted attribute BEFORE href: the quote-aware
+            # tag scan must still find the element
+            links.append(f'<a title="a > b" href="/titled/{i}">tt {i}</a>')
         # never-extracted forms: fragment-only, mailto, javascript, empty
         # (plus the other non-http(s) schemes: tel, data, ftp)
         if i % 13 == 2:

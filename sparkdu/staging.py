@@ -5472,7 +5472,7 @@ def _dm_html_sql() -> str:
 def _dm_oracle() -> str:
     f_title = _dm_sql_norm(f"regexp_extract(head, '{_dm_sq(WM.TITLE)}', 1)")
     f_desc = _dm_sql_norm(_dm_sql_pick("head", WM.DESC_PATS))
-    f_canon = f"trim({_dm_sql_pick('head', WM.CANON_PATS)})"
+    f_canon = f"trim({_dm_sql_unesc(_dm_sql_pick('head', WM.CANON_PATS))})"
     f_og = _dm_sql_norm(_dm_sql_pick("head", WM.OG_PATS))
     f_lang = f"lower(trim({_dm_sql_pick('h', WM.LANG_PATS)}))"
     f_cs = f"lower(regexp_extract(head, '{_dm_sq(WM.CHARSET)}', 1))"
@@ -5523,12 +5523,16 @@ def extract_doc_meta(spark, sf_dir):
 
 
 def _ol_oracle() -> str:
-    path = "regexp_extract(defrag, '{}', 1)".format(_dm_sq(WM.PRE_QUERY))
+    pre = "regexp_extract(defrag, '{}', 1)".format(_dm_sq(WM.PRE_QUERY))
+    auth = f"regexp_extract({pre}, '{_dm_sq(WM.AUTHORITY)}', 1)"
+    path = f"regexp_replace({pre}, '{_dm_sq(WM.AUTH_STRIP)}', '')"
     for _ in range(WM.DOT_PASSES):
-        path = (f"regexp_replace(regexp_replace({path}, "
+        path = (f"regexp_replace(regexp_replace(regexp_replace({path}, "
                 f"'{_dm_sq(WM.DOTSLASH)}', '/', 'g'), "
-                f"'{_dm_sq(WM.DOTDOT)}', '/', 'g')")
-    dst = (f"{path} || regexp_extract(defrag, '{_dm_sq(WM.QUERY)}', 1)")
+                f"'{_dm_sq(WM.DOTDOT)}', '/', 'g'), "
+                f"'{_dm_sq(WM.ROOT_DOTDOT)}', '/')")
+    dst = (f"{auth} || {path} || "
+           f"regexp_extract(defrag, '{_dm_sq(WM.QUERY)}', 1)")
     return f"""
         WITH raw AS (
           SELECT url, {_dm_html_sql()} AS h
@@ -5695,7 +5699,10 @@ def wat_warc_pipeline(spark, sf_dir):
 
     shards = f(spark, "warc")
     n_shards, n_failed = shard_error_accounting(shards)
-    pages = warc_pages(shards).select("url", "html")
+    # count captures while the cache run_wat_job will reuse is warm —
+    # counting after the job would re-run the container extraction
+    pages = warc_pages(shards).select("url", "html").cache()
+    n_in = pages.count()
     d = tempfile.mkdtemp(prefix="sparkdu_watwarc_")
     try:
         total = run_wat_job(spark, pages, d, partitions=4)
@@ -5707,10 +5714,10 @@ def wat_warc_pipeline(spark, sf_dir):
             ("links", total["n_links"]),
             ("external", total["n_external"]),
             ("nonempty_meta_rows", meta.filter("n_meta_fields != 0").count()),
-            ("one_row_per_capture",
-             int(total["n_pages"] == pages.count())),
+            ("one_row_per_capture", int(total["n_pages"] == n_in)),
         ]
     finally:
+        pages.unpersist()
         shutil.rmtree(d, ignore_errors=True)
     return spark.createDataFrame(rows, "metric string, n long").orderBy("metric")
 

@@ -217,6 +217,7 @@ def streaming_extract_to_snapshots(spark: SparkSession, pages_dir: str,
     )
     return snapshot_sink(extracted, out_dir, run_id, checkpoint_dir)
 
+
 def streaming_warc_to_snapshots(spark: SparkSession, shards_dir: str,
                                 out_dir: str, run_id: str,
                                 checkpoint_dir: str,

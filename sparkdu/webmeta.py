@@ -68,12 +68,16 @@ META_FIELDS = ["title", "meta_description", "canonical_url",
 # ---- outlinks ---------------------------------------------------------
 # A "tag token": one unquoted non-delimiter char, or a whole quoted
 # string consumed atomically — so a '>' inside a quoted attribute value
-# can never terminate the opening tag early.
+# can never terminate the opening tag early (before OR after href).
 _TOK = """(?:[^>"']|"[^"]*"|'[^']*')"""
-ANCHOR = (r"""(?is)<a\s[^>]*href\s*=\s*("[^"]*"|'[^']*')"""
+ANCHOR = (r"(?is)<a\s" + _TOK
+          + r"""*?href\s*=\s*("[^"]*"|'[^']*'|[^\s>"']+)"""
           + _TOK + r"*>.*?</a>")
-HREF_PATS = [r"""(?is)<a\s[^>]*?href\s*=\s*"([^"]*)\"""",
-             r"""(?is)<a\s[^>]*?href\s*=\s*'([^']*)'"""]
+# value capture per quote style, quoted tried first, then unquoted
+# (<a href=/x> is valid HTML)
+HREF_PATS = [r"(?is)<a\s" + _TOK + r"""*?href\s*=\s*"([^"]*)\"""",
+             r"(?is)<a\s" + _TOK + r"""*?href\s*=\s*'([^']*)'""",
+             r"(?is)<a\s" + _TOK + r"""*?href\s*=\s*([^\s>"']+)"""]
 ATEXT = r"(?is)<a\s" + _TOK + r"*?>(.*?)</a>"
 # any scheme-shaped prefix; only http(s) is navigational for us
 ANY_SCHEME = r"(?i)^[a-z][a-z0-9+.-]*:"
@@ -85,8 +89,13 @@ HOST = r"(?i)^https?://([^/]+)"
 BASE = r"(?i)^(https?://[^?#]*/)"
 QUERY = r"(\?.*)$"
 PRE_QUERY = r"^([^?]*)"
+AUTHORITY = r"(?i)^(https?://[^/?#]*)"
+AUTH_STRIP = r"(?i)^https?://[^/?#]*"
 DOTDOT = r"/[^/]+/\.\./"
 DOTSLASH = r"/\./"
+# excess '..' at the root is dropped (RFC 3986 5.2.4), never allowed to
+# climb into (and delete) the authority
+ROOT_DOTDOT = r"^/\.\./"
 # bounded dot-segment removal: sane web paths never nest ../ deeper than
 # this; each pass removes one level everywhere (and one /./ overlap)
 DOT_PASSES = 4
@@ -127,7 +136,9 @@ def doc_meta(pages: DataFrame) -> DataFrame:
         "url",
         _norm(F.regexp_extract(head, TITLE, 1)).alias("title"),
         _norm(_pick(head, DESC_PATS)).alias("meta_description"),
-        F.trim(_pick(head, CANON_PATS)).alias("canonical_url"),
+        # hrefs are attribute values too: entity-unescape (valid HTML
+        # writes & in a query string as &amp;), same as outlink hrefs
+        F.trim(_unesc(_pick(head, CANON_PATS))).alias("canonical_url"),
         _norm(_pick(head, OG_PATS)).alias("og_title"),
         F.lower(F.trim(_pick(h, LANG_PATS))).alias("html_lang"),
         F.lower(F.regexp_extract(head, CHARSET, 1)).alias("charset"),
@@ -180,11 +191,18 @@ def outlinks(pages: DataFrame) -> DataFrame:
         .otherwise(F.concat(F.col("base"), F.col("href"))),
     )
     defrag = F.regexp_replace(F.col("dst0"), "#.*$", "")
-    path = F.regexp_extract(defrag, PRE_QUERY, 1)
+    pre = F.regexp_extract(defrag, PRE_QUERY, 1)
+    # dot cleanup runs on the PATH alone: the authority is split off
+    # first so '..' can never climb into (and delete) the hostname, and
+    # excess root-level '..' is dropped per RFC 3986 5.2.4
+    auth = F.regexp_extract(pre, AUTHORITY, 1)
+    path = F.regexp_replace(pre, AUTH_STRIP, "")
     for _ in range(DOT_PASSES):
-        path = F.regexp_replace(F.regexp_replace(path, DOTSLASH, "/"),
-                                DOTDOT, "/")
-    dst = F.concat(path, F.regexp_extract(defrag, QUERY, 1))
+        path = F.regexp_replace(
+            F.regexp_replace(F.regexp_replace(path, DOTSLASH, "/"),
+                             DOTDOT, "/"),
+            ROOT_DOTDOT, "/")
+    dst = F.concat(auth, path, F.regexp_extract(defrag, QUERY, 1))
     return resolved.select(
         "url",
         dst.alias("dst_url"),

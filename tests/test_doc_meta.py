@@ -98,7 +98,7 @@ def _py_ref(url, html):
     head = _ex(WM.HEAD, h)
     title = _rnorm(_ex(WM.TITLE, head))
     desc = _rnorm(_rpick(WM.DESC_PATS, head))
-    canon = _rpick(WM.CANON_PATS, head).strip()
+    canon = _runesc(_rpick(WM.CANON_PATS, head)).strip()
     og = _rnorm(_rpick(WM.OG_PATS, head))
     lang = _rpick(WM.LANG_PATS, h).strip().lower()
     cs = _ex(WM.CHARSET, head).lower()
@@ -191,10 +191,13 @@ def outlinks_py_ref(url, html):
         else:
             dst = base + href
         defrag = re.sub(r"#.*$", "", dst)
-        path = _ex(WM.PRE_QUERY, defrag)
+        pre = _ex(WM.PRE_QUERY, defrag)
+        auth = _ex(WM.AUTHORITY, pre)
+        path = re.sub(WM.AUTH_STRIP, "", pre)
         for _ in range(WM.DOT_PASSES):
-            path = re.sub(WM.DOTDOT, "/", re.sub(WM.DOTSLASH, "/", path))
-        dst = path + _ex(WM.QUERY, defrag)
+            path = re.sub(WM.ROOT_DOTDOT, "/", re.sub(
+                WM.DOTDOT, "/", re.sub(WM.DOTSLASH, "/", path)))
+        dst = auth + path + _ex(WM.QUERY, defrag)
         out.append((url, dst, text,
                     int(_ex(WM.HOST, dst).lower() != host.lower())))
     return out
@@ -474,3 +477,65 @@ def test_review_fix_vectors(spark):
         ("https://ex.com/d/", "https://ex.com/a?x=1>2", "gt", 0),
         ("https://ex.com/d/", "https://ex.com/d/it's here", "mixed", 0),
     ])
+
+
+def test_third_review_fix_vectors(spark):
+    """Round-5 third review pass: authority-safe ../ clamping, canonical
+    entity-unescape, quote-aware pre-href scan, unquoted hrefs."""
+    links = sorted(tuple(x) for x in WM.outlinks(_df(spark, [
+        # ../ past the root must clamp, never delete the hostname
+        ("https://a.example/about",
+         '<body><a href="../contact">c</a>'
+         '<a href="../../../deep">d</a></body>'),
+        # '>' inside a quoted attribute BEFORE href; unquoted href
+        ("https://b.example/p/",
+         '<body><a title="a > b" href="/titled">t</a>'
+         "<a href=/unq>u</a></body>"),
+    ])).collect())
+    assert links == sorted([
+        ("https://a.example/about", "https://a.example/contact", "c", 0),
+        ("https://a.example/about", "https://a.example/deep", "d", 0),
+        ("https://b.example/p/", "https://b.example/titled", "t", 0),
+        ("https://b.example/p/", "https://b.example/unq", "u", 0),
+    ])
+
+    meta = {r["url"]: r.asDict() for r in WM.doc_meta(_df(spark, [
+        # canonical entity-unescape: self-canonical must match the url
+        ("https://a.example/p?x=1&y=2",
+         '<html><head><link rel="canonical" '
+         'href="https://a.example/p?x=1&amp;y=2"></head><body></body></html>'),
+    ])).collect()}
+    assert (meta["https://a.example/p?x=1&y=2"]["canonical_url"]
+            == "https://a.example/p?x=1&y=2")
+
+    # ...and dedup_canonical_cluster no longer reports that page as a gap
+    from pyspark.sql import Row
+    kc = QUERIES["dedup_canonical_cluster"](spark, SF).collect()
+    fixture_self = [r for r in kc if "?x=" in r["canon_key"]]
+    # fixture entity-canonicals point at /c?x=N&y=2 (never crawled) —
+    # unescaped correctly they appear as plain-& keys
+    assert fixture_self and all("&amp;" not in r["canon_key"]
+                                for r in fixture_self)
+    assert all("&y=2" in r["canon_key"] for r in fixture_self)
+
+
+def test_fixture_traps_discriminate(spark):
+    """The fixture must contain pages where a buggy extractor would
+    differ: trap-only pages (prefix over-match would surface TRAP) and
+    quote-value pages (loose value class would truncate)."""
+    from sparkdu import fixtures
+
+    got = {r["url"]: r.asDict()
+           for r in QUERIES["extract_doc_meta"](spark, SF).collect()}
+    trap_only = quote_val = 0
+    for u, h in fixtures.gen_head_meta():
+        s = h.decode()
+        real_desc = re.search(
+            "(?i)name=[\"']description[\"']", s.replace("description-alt", ""))
+        if "description-alt" in s and not real_desc:
+            trap_only += 1
+            assert got[u]["meta_description"] == ""
+        if "it's page" in s:
+            quote_val += 1
+            assert got[u]["meta_description"].startswith("it's page")
+    assert trap_only > 0 and quote_val > 0
